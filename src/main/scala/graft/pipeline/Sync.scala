@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import graft.ingest.Ingest
+import graft.model.RootSchema
+import graft.views.Views
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, Path}
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+/** Incremental sync orchestration (SURVEY.md §2.6, §3.1/§3.3).
+  *
+  * The reference polls an HTTP API with a server-issued high-water-mark
+  * cursor persisted after every page (cmd_sync.go:77-187). In the
+  * zero-egress build the document source is a directory of NDJSON files;
+  * the cursor is a lexicographic filename watermark with identical
+  * at-least-once semantics: the cursor advances only after a page's
+  * batch is durably appended, and replays are absorbed by the
+  * latest-version views (Views.latestAllVersions).
+  */
+final case class SyncPage(files: Seq[Path], cursor: String, truncated: Boolean)
+
+/** S4 — cursor persisted as `{stateDir}/last_sync_date.txt`; missing file
+  * or force ⇒ full sync from epoch (cmd_sync.go:85-90, 189-206). */
+final class SyncState(stateDir: String) {
+  private val file = Paths.get(stateDir, "last_sync_date.txt")
+  val Epoch = "1900-01-01"
+  def read(force: Boolean = false): String =
+    if (force || !Files.exists(file)) Epoch
+    else Files.readString(file).trim
+  def write(cursor: String): Unit = {
+    Files.createDirectories(file.getParent)
+    Files.writeString(file, cursor)
+  }
+  def reset(): Unit = Files.deleteIfExists(file)
+}
+
+/** File-based document source: NDJSON files in `dir`, ordered by name;
+  * `since` is an exclusive filename watermark (the HTTP source S1 would
+  * slot in behind the same pager interface). */
+final class FileDocumentSource(dir: String, pageFiles: Int = 10) {
+  def fetchPage(since: String): SyncPage = {
+    val all = Files.list(Paths.get(dir)).iterator.asScala
+      .filter(p => p.getFileName.toString.endsWith(".ndjson"))
+      .toVector.sortBy(_.getFileName.toString)
+      .filter(_.getFileName.toString > since)
+    val page = all.take(pageFiles)
+    SyncPage(page,
+      cursor = page.lastOption.map(_.getFileName.toString).getOrElse(since),
+      truncated = all.size > pageFiles)
+  }
+}
+
+final class SyncPipeline(
+    spark: SparkSession,
+    sourceDir: String,
+    landingPath: String,
+    stateDir: String,
+    chunkSize: Int = 10000,
+    pageFiles: Int = 10) {
+
+  val state = new SyncState(stateDir)
+  private val source = new FileDocumentSource(sourceDir, pageFiles)
+
+  /** One sync run: page through new files, append each page's batch,
+    * persist the cursor per page (O2). Returns documents landed. */
+  def syncOnce(force: Boolean = false): Long = {
+    var cursor = state.read(force)
+    var total = 0L
+    var more = true
+    val batchDate = new Timestamp(System.currentTimeMillis())
+    while (more) {
+      val page = source.fetchPage(cursor)
+      if (page.files.isEmpty) more = false
+      else {
+        val df = Ingest.fromNdjsonLines(
+          spark.read.textFile(page.files.map(_.toString): _*),
+          batchDate, chunkSize)
+        val n = df.count()
+        if (n > 0) Ingest.appendBatch(df, landingPath)
+        total += n
+        cursor = page.cursor
+        state.write(cursor)
+        more = page.truncated
+      }
+    }
+    total
+  }
+
+  /** create_views (§3.2): register the R1/R2 + typed view catalog over
+    * the current landing store. */
+  def createViews(schema: RootSchema): Seq[String] = {
+    val landing = spark.read.schema(graft.ingest.Landing.schema)
+      .parquet(landingPath)
+    val latest = Views.latest(landing)
+    latest.createOrReplaceTempView("DOCUMENTS_LATEST")
+    Views.latestAllVersions(landing)
+      .createOrReplaceTempView("DOCUMENTS_LATEST_ALL_VERSIONS")
+    Seq("DOCUMENTS_LATEST", "DOCUMENTS_LATEST_ALL_VERSIONS") ++
+      Views.registerAll(latest, schema)
+  }
+
+  /** clone (§3.3): views + forced full sync. */
+  def clone(schema: RootSchema): Long = {
+    val n = syncOnce(force = true)
+    createViews(schema)
+    n
+  }
+
+  /** R4 prune: compact the landing store to only the rows that are the
+    * latest batch_date for their (type,id,version,chunk). Rewrites to a
+    * staging dir then swaps, since Parquet has no DELETE. */
+  def prune(): Unit = {
+    val landing = spark.read.schema(graft.ingest.Landing.schema)
+      .parquet(landingPath)
+    val staging = landingPath.stripSuffix("/") + ".pruned"
+    Views.prune(landing).write.mode("overwrite")
+      .partitionBy("type").parquet(staging)
+    val target = Paths.get(landingPath)
+    deleteRecursive(target)
+    Files.move(Paths.get(staging), target)
+  }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator.asScala.foreach(Files.delete)
+    }
+}

@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Tables._
+
+/** The standard relational query surface (SURVEY.md §2.7): aggregations,
+  * joins (broadcast/shuffle/semi/anti), windows, sort/limit, set ops,
+  * grouping sets, scalar functions — each Spark-first with a DuckDB
+  * oracle twin.
+  *
+  * Scale notes baked into each plan:
+  *  - dimension joins (region/nation/customer/part) are broadcast,
+  *  - aggregations are partial (map-side) by construction (groupBy.agg),
+  *  - double sums go through decimal so results are independent of
+  *    partition/merge order (required for oracle equality AND for
+  *    determinism on a 1000-executor cluster).
+  */
+object Relational {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r01_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount"), 4).as("avg_disc"),
+          cnt.as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    "r02_topk_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    "r03_segment_revenue" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 6)
+            .as("revenue"),
+          cnt.as("n_rows"))
+        .orderBy(col("c_mktsegment"))
+    },
+    "r04_brand_volume" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          cnt.as("n"))
+        .orderBy(col("p_brand"))
+    },
+    "r05_customers_with_orders" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    "r06_customers_without_orders" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    "r07_top3_orders_per_customer" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rk"))
+        .orderBy(col("o_custkey"), col("rk"))
+    },
+    "r08_running_user_value" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .withColumn("running_value",
+          sum(col("value").cast(DecimalType(20, 2))).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    "r09_rollup_volume" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(cnt.as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    },
+    "r10_setops_custkeys" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val big = o.filter(col("o_totalprice") > 150000.0d)
+        .select(col("o_custkey").as("custkey"))
+      val negative = c.filter(col("c_acctbal") < 0.0d)
+        .select(col("c_custkey").as("custkey"))
+      building.union(big).distinct().except(negative).orderBy(col("custkey"))
+    },
+    "r11_intersect_custkeys" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.select(col("o_custkey").as("custkey"))
+        .intersect(c.filter(col("c_acctbal") > 5000.0d)
+          .select(col("c_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    },
+    "r12_scalar_functions" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("pri_upper"),
+          substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority"))
+            .as("status_pri"),
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          month(col("o_orderdate")).cast("long").as("order_month"),
+          round(col("o_totalprice"), 0).as("price_rounded"),
+          abs(col("o_totalprice") - lit(100000.0d)).as("price_dist"),
+          length(col("o_orderpriority")).cast("long").as("pri_len"))
+        .orderBy(col("o_orderkey"))
+    },
+    "r13_conditional_agg" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L))
+            .as("n_urgent"),
+          sum(when(col("o_totalprice") > 100000.0d, 1L).otherwise(0L))
+            .as("n_big"),
+          cnt.as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+    "r14_distinct_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          cnt.as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    "r15_repeat_customers" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(cnt.as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey"))
+    },
+    "r16_nation_revenue" -> { (s, dir) =>
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice")).as("rev"), cnt.as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    "r17_monthly_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+        .agg(cnt.as("n_orders"), dsum(col("o_totalprice")).as("volume"))
+        .orderBy(col("month_start"))
+    },
+    "r18_event_hourly" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(cnt.as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    },
+    "r19_props_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long")
+            .as("k"))
+        .filter(col("k") % 10 === 0)
+        .orderBy(col("event_id"))
+    },
+    "r20_pivot_qty" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(DecimalType(20, 2))))
+        .select(col("l_linestatus"),
+          col("A").cast("double").as("qty_a"),
+          col("N").cast("double").as("qty_n"),
+          col("R").cast("double").as("qty_r"))
+        .orderBy(col("l_linestatus"))
+    },
+    // rows-only (approximate — no exact oracle by construction)
+    "r21_approx_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+            .as("price_p50_p95"))
+    },
+  )
+
+  private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)"
+
+  val oracleSql: Map[String, String] = Map(
+    "r01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $sumQty AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+         |  $sumQty / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(22,4))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+         |  CAST(COUNT(*) AS BIGINT) AS count_order
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "r02_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "r03_segment_revenue" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r04_brand_volume" ->
+      s"""SELECT p_brand, $sumQty AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r05_customers_with_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "r06_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "r07_top3_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders) x
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "r08_running_user_value" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,2))) OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "r09_rollup_volume" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+         |  $sumQty AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "r10_setops_custkeys" ->
+      """SELECT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_acctbal < 0.0) x
+        |ORDER BY custkey""".stripMargin,
+    "r11_intersect_custkeys" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0) x
+        |ORDER BY custkey""".stripMargin,
+    "r12_scalar_functions" ->
+      """SELECT o_orderkey,
+        |  UPPER(o_orderpriority) AS pri_upper,
+        |  SUBSTRING(o_orderpriority, 1, 1) AS pri_code,
+        |  CONCAT(o_orderstatus, '-', o_orderpriority) AS status_pri,
+        |  CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+        |  ROUND(o_totalprice, 0) AS price_rounded,
+        |  ABS(o_totalprice - 100000.0) AS price_dist,
+        |  CAST(LENGTH(o_orderpriority) AS BIGINT) AS pri_len
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+    "r13_conditional_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |  CAST(SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r14_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r15_repeat_customers" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total_spent
+        |FROM orders GROUP BY 1 HAVING COUNT(*) >= 15 ORDER BY o_custkey""".stripMargin,
+    "r16_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS rev,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "r17_monthly_orders" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS volume
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r18_event_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "r19_props_extract" ->
+      """SELECT event_id, k FROM (
+        |  SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |  FROM events) x
+        |WHERE k % 10 = 0 ORDER BY event_id""".stripMargin,
+    "r20_pivot_qty" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(20,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(20,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(20,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,164 @@
+package graft.views
+
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The generated query layer of the reference, re-expressed as native
+  * DataFrame operators (SURVEY.md §2.4–§2.5). The reference emits SQL
+  * strings per warehouse dialect; here each view is a declarative
+  * LogicalPlan that Catalyst optimizes (pushdown, pruning, join
+  * strategy) — no dialect generators needed.
+  */
+object Views {
+
+  /** R1 — `_LATEST_ALL_VERSIONS`: per (type,id,version,chunk) keep the
+    * most recent batch_date copy (absorbs at-least-once replays).
+    * Reference forms: tuple-IN (snowflake.go:264-273) or self-join
+    * (sqlserver.go:213-226); here a single window dedup — one shuffle on
+    * the document key, no self-join / double scan.
+    *
+    * Note: the reference groups by (TYPE,ID,VERSION) only, but a replayed
+    * batch re-lands every chunk, so including chunk in the partition key
+    * preserves each chunk's latest copy — same result set on chunked
+    * docs, and it protects re-chunked replays.
+    */
+  def latestAllVersions(landing: DataFrame): DataFrame = {
+    val w = Window.partitionBy("type", "id", "version", "chunk")
+      .orderBy(col("batch_date").desc)
+    landing.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** R2 — `_LATEST`: of those, keep only the max version per (type,id)
+    * (argmax over the full history, snowflake.go:278-287). Implemented as
+    * a second window on the same (type,id)-prefixed key, so AQE can reuse
+    * the exchange from R1 (both windows shuffle on type,id-prefixed
+    * keys). */
+  def latest(landing: DataFrame): DataFrame = {
+    val w = Window.partitionBy("type", "id")
+    latestAllVersions(landing)
+      .withColumn("__maxv", max(col("version")).over(w))
+      .filter(col("version") === col("__maxv")).drop("__maxv")
+  }
+
+  /** R4 — prune: the complement of R1. Returns the compacted landing set
+    * (rows that ARE the latest batch_date for their key); a writer can
+    * overwrite the store with this (Delta DELETE analogue). */
+  def prune(landing: DataFrame): DataFrame = latestAllVersions(landing)
+
+  /** Rows R4 would delete (for parity testing: anti-join form,
+    * snowflake.go:87-94). */
+  def pruneDeletes(landing: DataFrame): DataFrame = {
+    val w = Window.partitionBy("type", "id", "version", "chunk")
+      .orderBy(col("batch_date").desc)
+    landing.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).drop("__rn")
+  }
+
+  // ─── Typed per-document-type views (V1–V6) ───
+
+  /** Scalar projection of one field per §1.3's cast table; `path` is the
+    * column path inside the parsed struct. */
+  private def scalarCol(path: Column, name: String, fm: FieldMetadata): Option[Column] =
+    fm.fieldType match {
+      case "DOCUMENT" => // V4: FK — project the nested DOCUMENT_ID
+        Some(path.getField(name).getField("DOCUMENT_ID").as(name))
+      case t =>
+        SchemaMapper.scalarType(fm).map(dt => path.getField(name).cast(dt).as(name))
+    }
+
+  /** V1+V2+V3 — top-level typed view for `docType`: filter latest rows of
+    * that type at chunk 0, parse DATA once with the schema-derived
+    * StructType, project one typed column per scalar field plus the root
+    * metadata passthrough (_DELETED/_AUTHOR/_VERSION/_DATE,
+    * snowflake.go:325-330). Tombstones are visible, not filtered. */
+  def typedView(latestDf: DataFrame, docType: String, ds: DocumentSchema): DataFrame = {
+    val struct = SchemaMapper.structFor(ds)
+    val base = latestDf
+      .filter(col("type") === docType && col("chunk") === 0)
+      .withColumn("__j", from_json(col("data"), struct))
+    val cols =
+      col("id").as("DOCUMENT_ID") +:
+      (ds.fields.flatMap { case (n, fm) => scalarCol(col("__j"), n, fm) } ++
+        Seq(col("deleted").as("_DELETED"), col("author").as("_AUTHOR"),
+          col("version").as("_VERSION"), col("date").as("_DATE")))
+    base.select(cols: _*)
+  }
+
+  /** V5 — nested RECORD child view: same row grain, deeper path. `path`
+    * is the field chain from the root, e.g. Seq("LOCATION"). */
+  def recordView(latestDf: DataFrame, docType: String, root: DocumentSchema,
+      path: Seq[String]): DataFrame = {
+    val struct = SchemaMapper.structFor(root)
+    val inner = path.foldLeft(root) { (ds, f) => ds(f).recordType.get }
+    val base = latestDf
+      .filter(col("type") === docType && col("chunk") === 0)
+      .withColumn("__j", from_json(col("data"), struct))
+    val nested = path.foldLeft(col("__j"))(_.getField(_))
+    val cols = col("id").as("DOCUMENT_ID") +:
+      inner.fields.flatMap { case (n, fm) => scalarCol(nested, n, fm) }
+    base.select(cols: _*)
+  }
+
+  /** V6 — RECORD LIST flatten: one row per list element, DOCUMENT_ID +
+    * LISTITEM_ID first. No chunk=0 filter — split chunks (T2) re-union
+    * transparently. List-in-list is refused, matching the reference
+    * (snowflake.go:352-356). */
+  def recordListView(latestDf: DataFrame, docType: String,
+      root: DocumentSchema, listField: String): DataFrame = {
+    val fm = root(listField)
+    require(fm.fieldType == "RECORD LIST", s"$listField is not a RECORD LIST")
+    val inner = fm.recordType.get
+    val struct = SchemaMapper.structFor(root)
+    val base = latestDf
+      .filter(col("type") === docType) // chunk union: all chunks contribute
+      .withColumn("__j", from_json(col("data"), struct))
+      .select(col("id").as("DOCUMENT_ID"),
+        explode(col("__j").getField(listField)).as("__item"))
+    val cols = Seq(col("DOCUMENT_ID"),
+      col("__item").getField("LISTITEM_ID").cast(StringType).as("LISTITEM_ID")) ++
+      inner.fields.flatMap { case (n, fm2) =>
+        fm2.fieldType match {
+          case "RECORD LIST" => None // list-in-list unsupported
+          case _             => scalarCol(col("__item"), n, fm2)
+        }
+      }
+    base.select(cols: _*)
+  }
+
+  /** V7 — register the full view catalog for a schema: `<TYPE>` top view,
+    * `<TYPE>_<FIELD>` per nested RECORD (recursively) and per RECORD LIST.
+    * Returns the registered names. */
+  def registerAll(latestDf: DataFrame, schema: RootSchema): Seq[String] = {
+    val reg = scala.collection.mutable.ArrayBuffer.empty[String]
+    schema.types.foreach { case (docType, ds) =>
+      val top = typedView(latestDf, docType, ds)
+      top.createOrReplaceTempView(docType)
+      reg += docType
+      def walk(d: DocumentSchema, path: Seq[String]): Unit =
+        d.fields.foreach { case (n, fm) =>
+          fm.fieldType match {
+            case "RECORD" if fm.recordType.isDefined =>
+              val name = (docType +: path :+ n).mkString("_")
+              recordView(latestDf, docType, ds, path :+ n)
+                .createOrReplaceTempView(name)
+              reg += name
+              walk(fm.recordType.get, path :+ n)
+            case "RECORD LIST" if fm.recordType.isDefined && path.isEmpty =>
+              val name = s"${docType}_$n"
+              recordListView(latestDf, docType, ds, n)
+                .createOrReplaceTempView(name)
+              reg += name
+            // RECORD LIST below a RECORD or another list: not supported
+            // at depth by the reference either; skipped.
+            case _ =>
+          }
+        }
+      walk(ds, Nil)
+    }
+    reg.toSeq
+  }
+}
