@@ -56,7 +56,7 @@ object Landing {
 object Ingest {
 
   /** Parse one line; None on any malformed input (skip semantics). */
-  private[ingest] def parseLine(
+  private[graft] def parseLine(
       mapper: ObjectMapper, line: String, batchDate: Timestamp,
       chunkSize: Int): Seq[LandingRecord] = {
     val node =
@@ -100,7 +100,7 @@ object Ingest {
     }
   }
 
-  private[ingest] def parseTs(s: String): Option[Timestamp] =
+  private[graft] def parseTs(s: String): Option[Timestamp] =
     try Some(Timestamp.from(java.time.OffsetDateTime.parse(s).toInstant))
     catch {
       case _: Exception =>

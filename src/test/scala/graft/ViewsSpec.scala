@@ -1,0 +1,146 @@
+package graft
+
+import graft.ingest.{Ingest, Landing, LandingRecord}
+import graft.model.SchemaCodec
+import graft.views.Views
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+
+class ViewsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def rec(batch: String, typ: String, id: String, ver: Long,
+      chunk: Int = 0, deleted: Boolean = false, data: String = "{}") =
+    LandingRecord(ts(batch), typ, id, ver, chunk, "a", ts(batch), deleted, data)
+
+  private def landing(rs: LandingRecord*): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(rs).toDF()
+  }
+
+  test("R1 latestAllVersions keeps one copy per (type,id,version,chunk), newest batch") {
+    val df = landing(
+      rec("2026-01-01 00:00:00", "W", "d1", 1, data = "old"),
+      rec("2026-01-02 00:00:00", "W", "d1", 1, data = "new"), // replay of v1
+      rec("2026-01-01 00:00:00", "W", "d1", 2),
+      rec("2026-01-01 00:00:00", "W", "d2", 1))
+    val out = Views.latestAllVersions(df).collect()
+    assert(out.length == 3)
+    val v1 = out.find(r => r.getAs[String]("id") == "d1" && r.getAs[Long]("version") == 1L).get
+    assert(v1.getAs[String]("data") == "new")
+  }
+
+  test("R2 latest keeps only the argmax version per (type,id); tombstones visible") {
+    val df = landing(
+      rec("2026-01-01 00:00:00", "W", "d1", 1),
+      rec("2026-01-01 00:00:00", "W", "d1", 2, deleted = true),
+      rec("2026-01-01 00:00:00", "W", "d2", 5),
+      rec("2026-01-01 00:00:00", "X", "d1", 9)) // same id, other type
+    val out = Views.latest(df).collect()
+    assert(out.length == 3)
+    val d1 = out.find(r => r.getAs[String]("type") == "W" && r.getAs[String]("id") == "d1").get
+    assert(d1.getAs[Long]("version") == 2L && d1.getAs[Boolean]("deleted"))
+  }
+
+  test("R2 latest keeps every chunk of the winning version") {
+    val df = landing(
+      rec("2026-01-01 00:00:00", "W", "d1", 1, chunk = 0),
+      rec("2026-01-01 00:00:00", "W", "d1", 1, chunk = 1),
+      rec("2026-01-02 00:00:00", "W", "d1", 2, chunk = 0),
+      rec("2026-01-02 00:00:00", "W", "d1", 2, chunk = 1),
+      rec("2026-01-02 00:00:00", "W", "d1", 2, chunk = 2))
+    val out = Views.latest(df).collect()
+    assert(out.map(_.getAs[Long]("version")).toSet == Set(2L))
+    assert(out.map(_.getAs[Int]("chunk")).sorted.toSeq == Seq(0, 1, 2))
+  }
+
+  test("R4 prune ∘ R1 = R1 (idempotent) and deletes = complement") {
+    val df = landing(
+      rec("2026-01-01 00:00:00", "W", "d1", 1),
+      rec("2026-01-02 00:00:00", "W", "d1", 1),
+      rec("2026-01-03 00:00:00", "W", "d1", 1),
+      rec("2026-01-01 00:00:00", "W", "d2", 1))
+    val pruned = Views.prune(df)
+    assert(pruned.count() == 2)
+    assert(Views.prune(pruned).count() == 2) // idempotent
+    assert(Views.pruneDeletes(df).count() == df.count() - pruned.count())
+  }
+
+  val wellSchema = SchemaCodec.parse(
+    """{"WELL": {
+      |  "NAME": {"ACTIVE": true, "TYPE": "TEXT", "NULLABLE": true},
+      |  "DEPTH": {"ACTIVE": true, "TYPE": "DECIMAL", "NULLABLE": true},
+      |  "OPERATOR": {"ACTIVE": true, "TYPE": "DOCUMENT", "NULLABLE": true, "DOCUMENT_TYPE": "CO"},
+      |  "LOCATION": {"ACTIVE": true, "TYPE": "RECORD", "NULLABLE": true,
+      |    "RECORD_TYPE": {"LAT": {"ACTIVE": true, "TYPE": "DECIMAL", "NULLABLE": true}}},
+      |  "TESTS": {"ACTIVE": true, "TYPE": "RECORD LIST", "NULLABLE": true,
+      |    "RECORD_TYPE": {"SCORE": {"ACTIVE": true, "TYPE": "INTEGER", "NULLABLE": true},
+      |      "SUB": {"ACTIVE": true, "TYPE": "RECORD LIST", "NULLABLE": true,
+      |        "RECORD_TYPE": {"X": {"ACTIVE": true, "TYPE": "TEXT", "NULLABLE": true}}}}}
+      |}}""".stripMargin)
+
+  test("V1-V4: typed view projects, casts, FK-extracts; filters chunk=0") {
+    val df = landing(
+      rec("2026-01-01 00:00:00", "WELL", "d1", 1, data =
+        """{"NAME":"alpha","DEPTH":12.5,"OPERATOR":{"DOCUMENT_ID":"co9"},
+          |"LOCATION":{"LAT":51.2},"TESTS":[{"SCORE":7}]}""".stripMargin.replaceAll("\n", "")),
+      rec("2026-01-01 00:00:00", "WELL", "d1", 1, chunk = 1,
+        data = """{"DOCUMENT_ID":"d1","TESTS":[{"SCORE":8}]}"""),
+      rec("2026-01-01 00:00:00", "OTHER", "x", 1, data = """{"NAME":"no"}"""))
+    val v = Views.typedView(Views.latest(df), "WELL", wellSchema("WELL"))
+    val rows = v.collect()
+    assert(rows.length == 1) // chunk=0 of type WELL only
+    val r = rows.head
+    assert(r.getAs[String]("DOCUMENT_ID") == "d1")
+    assert(r.getAs[String]("NAME") == "alpha")
+    assert(r.getAs[Double]("DEPTH") == 12.5)
+    assert(r.getAs[String]("OPERATOR") == "co9") // FK id projected
+    assert(r.getAs[Long]("_VERSION") == 1L)
+    // scalar view has no list/record columns (they get child views)
+    assert(!v.columns.contains("TESTS"))
+  }
+
+  test("V5: record child view reaches nested scalars at the same grain") {
+    val df = landing(
+      rec("2026-01-01 00:00:00", "WELL", "d1", 1,
+        data = """{"LOCATION":{"LAT":51.2}}"""))
+    val v = Views.recordView(Views.latest(df), "WELL", wellSchema("WELL"), Seq("LOCATION"))
+    val r = v.collect().head
+    assert(r.getAs[String]("DOCUMENT_ID") == "d1" && r.getAs[Double]("LAT") == 51.2)
+  }
+
+  test("V6: record-list flatten re-unions chunks and carries LISTITEM_ID") {
+    val df = landing(
+      rec("2026-01-01 00:00:00", "WELL", "d1", 1, data =
+        """{"NAME":"a","TESTS":[{"LISTITEM_ID":"i1","SCORE":1},{"LISTITEM_ID":"i2","SCORE":2}]}"""),
+      rec("2026-01-01 00:00:00", "WELL", "d1", 1, chunk = 1, data =
+        """{"DOCUMENT_ID":"d1","TESTS":[{"LISTITEM_ID":"i3","SCORE":3}]}"""))
+    val v = Views.recordListView(Views.latest(df), "WELL", wellSchema("WELL"), "TESTS")
+    val rows = v.collect()
+    assert(rows.length == 3) // chunks re-unioned
+    assert(rows.map(_.getAs[String]("LISTITEM_ID")).sorted.toSeq == Seq("i1", "i2", "i3"))
+    assert(rows.map(_.getAs[Long]("SCORE")).sum == 6L)
+    // list-in-list is not projected (reference refuses recursion here)
+    assert(!v.columns.contains("SUB"))
+  }
+
+  test("V7: registerAll registers top, record and list views; skips nested lists") {
+    val df = landing(
+      rec("2026-01-01 00:00:00", "WELL", "d1", 1,
+        data = """{"NAME":"a","LOCATION":{"LAT":1.0},"TESTS":[{"SCORE":1}]}"""))
+    val names = Views.registerAll(Views.latest(df), wellSchema)
+    assert(names.toSet == Set("WELL", "WELL_LOCATION", "WELL_TESTS"))
+    assert(spark.table("WELL_TESTS").count() == 1)
+  }
+
+  test("sync twice ≡ sync once through the latest view (at-least-once absorption)") {
+    import spark.implicits._
+    val bd1 = ts("2026-01-01 00:00:00")
+    val bd2 = ts("2026-01-02 00:00:00")
+    val line = """{"$TYPE":"W","DOCUMENT_ID":"d1","$VERSION":1,"NAME":"x"}"""
+    val once = Ingest.fromNdjsonLines(Seq(line).toDS(), bd1, 10)
+    val replay = Ingest.fromNdjsonLines(Seq(line).toDS(), bd2, 10)
+    val both = once.unionByName(replay)
+    assert(Views.latest(both).count() == Views.latest(once).count())
+  }
+}
