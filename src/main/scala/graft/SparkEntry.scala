@@ -8,12 +8,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("r01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * [EXT] LLM-data-pipeline surface (graft.llm). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++
+      graft.llm.TextAnalysis.queries ++
+      graft.llm.Dedup.queries ++
+      graft.llm.Similarity.queries ++
+      graft.llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql
+    Relational.oracleSql ++
+      graft.llm.TextAnalysis.oracleSql ++
+      graft.llm.Dedup.oracleSql ++
+      graft.llm.Similarity.oracleSql ++
+      graft.llm.Multimodal.oracleSql
 }

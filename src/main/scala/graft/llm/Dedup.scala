@@ -1,0 +1,261 @@
+package graft.llm
+
+import graft.queries.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Frag._
+
+/** [EXT] Deduplication operators over `documents`: exact (content-hash
+  * groupBy), MinHash+LSH banding, SimHash + hamming-ball join, and exact
+  * n-gram Jaccard via an inverted-index join.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - signatures (minhash/simhash) are per-row higher-order-function
+  *    transforms — zero shuffle, whole-stage codegen, no UDFs;
+  *  - candidate generation NEVER does an O(n²) cross join: MinHash
+  *    shuffles on (band_idx, band_hash), SimHash on 15-bit chunks
+  *    (pigeonhole: 4 chunks guarantee recall for hamming ≤ 3), Jaccard
+  *    on rare shingles (df-pruned inverted index). Each is an equi-join
+  *    Catalyst executes as a shuffled hash join on keys that are
+  *    uniformly hash-distributed — skew-resistant by construction;
+  *  - exact verification (jaccard / hamming) runs only on candidates.
+  */
+object Dedup {
+
+  private val Seeds = 16
+
+  /** doc_id + distinct 3-gram shingle set (the base for minhash/jaccard).
+    * The test corpus is one small parquet file = one input split, which
+    * would serialize the whole tokenize+hash pipeline onto a single
+    * core; repartition(defaultParallelism) right after the scan buys
+    * split-level parallelism for a few MB of shuffle. On a real
+    * many-split corpus the scan parallelizes by itself. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("doc_id", s"${sLet(sTokens, "tk", sShingles)} as shs")
+      .filter("size(shs) > 0")
+      .persist() // shared base of every dedup operator; a few MB of arrays
+
+  private def sMin(seed: Int) =
+    s"array_min(transform(hs, h -> ${sDerive("h", seed)})) as m$seed"
+  private def dMin(seed: Int) =
+    s"MIN(${dDerive("h", seed)}) AS m$seed"
+
+  /** Shared DuckDB CTE: per-doc shingle list. */
+  private val dShingled =
+    s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
+       |shd0 AS (SELECT doc_id, $dShingles AS shs FROM tkn),
+       |shd AS (SELECT * FROM shd0 WHERE len(shs) > 0)""".stripMargin
+
+  /** DuckDB minhash signature CTE (appended to dShingled): one md5 per
+    * shingle, then the 16 derived-seed minima. */
+  private val dSig =
+    s""", ex AS (SELECT doc_id, unnest(shs) AS sh FROM shd),
+       |ex2 AS (SELECT doc_id, ${dH("sh")} AS h FROM ex),
+       |sig AS (SELECT doc_id, ${(0 until Seeds).map(dMin).mkString(", ")} FROM ex2 GROUP BY doc_id)""".stripMargin
+
+  private def sBandHash(b: Int) =
+    sH(s"concat_ws(',', m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3})")
+  private def dBandHash(b: Int) =
+    dH(s"concat_ws(',', m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3})")
+
+  /** Spark minhash signature frame: doc_id, m0..m15. One md5 per
+    * exploded shingle, then 16 rotate-xor `min` aggregates in a single
+    * codegen'd aggregation (map-side partial agg, one shuffle on
+    * doc_id) — no interpreted higher-order functions in the hot path,
+    * and per-element cost independent of document size. */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val minima = (0 until Seeds).map(i =>
+      expr(s"min(${sDerive("h", i)})").as(s"m$i"))
+    shingled(s, dir)
+      .selectExpr("doc_id", "explode(shs) as sh")
+      .selectExpr("doc_id", s"${sH("sh")} as h")
+      .groupBy("doc_id")
+      .agg(minima.head, minima.tail: _*)
+  }
+
+  // (simhash assembled from 60 per-bit majority sums; see simhashed)
+
+  /** DuckDB simhash CTE: same majority vote via unnest + range join. */
+  private val dSimhash =
+    s"""$dShingled,
+       |ex AS (SELECT doc_id, unnest(shs) AS sh FROM shd),
+       |th AS (SELECT doc_id, ${dH("sh")} AS h FROM ex),
+       |bits AS (SELECT doc_id, b,
+       |           CASE WHEN 2*SUM((h >> b) & 1) > COUNT(*)
+       |                THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bv
+       |         FROM th, range(0, 60) r(b) GROUP BY doc_id, b),
+       |sh2 AS (SELECT doc_id, SUM(bv)::BIGINT AS simhash FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Spark simhash over shingles: explode the shingle hashes and take a
+    * per-bit majority vote as 60 codegen'd conditional sums in ONE
+    * aggregation (map-side partial agg, one shuffle on doc_id), then
+    * assemble the 60-bit word in a single projection. This is the
+    * shape that scales: no per-row megaloop, so a document with 10^6
+    * shingles costs the same per-element work as a small one. */
+  private def simhashed(s: SparkSession, dir: String): DataFrame = {
+    val bitSums = (0 until 60).map(b =>
+      expr(s"sum(cast((shiftright(h, $b) & 1) as bigint))").as(s"c$b"))
+    val word = (0 until 60).map(b =>
+      s"if(2 * c$b > n, shiftleft(cast(1 as bigint), $b), cast(0 as bigint))")
+      .mkString(" + ")
+    shingled(s, dir)
+      .selectExpr("doc_id", "explode(shs) as sh")
+      .selectExpr("doc_id", s"${sH("sh")} as h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+      .selectExpr("doc_id", s"$word as simhash")
+      .persist() // consumed by both sides of the hamming self-join
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: hash-groupBy on the normalized-content fingerprint;
+    // representative = min doc_id (one shuffle, map-side partial agg)
+    "x05_exact_dedup" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .selectExpr("doc_id", s"md5($sNorm) as fp")
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("rep_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("rep_id")
+    },
+
+    // MinHash signatures (16 seeds over 3-gram shingles)
+    "x06_minhash_sigs" -> { (s, dir) =>
+      signatures(s, dir).orderBy("doc_id")
+    },
+
+    // MinHash + LSH: 4 bands × 4 rows; candidates share a band bucket;
+    // exact jaccard ≥ 0.5 verified on candidates only (shingle arrays
+    // joined back just for the verification step)
+    "x07_lsh_neardup_pairs" -> { (s, dir) =>
+      val sig = signatures(s, dir)
+        .selectExpr("doc_id",
+          s"posexplode(array(${(0 until 4).map(sBandHash).mkString(", ")})) as (bi, bh)")
+        .persist() // both join sides read this
+      val a = sig.select(col("doc_id").as("doc_a"), col("bi"), col("bh"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("bi"), col("bh"))
+      val cand = a.join(b, Seq("bi", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val sh = shingled(s, dir)
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          sRound6("cast(size(array_intersect(sa, sb)) as double) / cast(size(array_union(sa, sb)) as double)") + " as jaccard")
+        .filter("jaccard >= 0.5")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash (64-bit, majority of shingle-hash bits) — pure map
+    "x08_simhash" -> { (s, dir) =>
+      simhashed(s, dir).orderBy("doc_id")
+    },
+
+    // SimHash near-dups: 4 × 15-bit chunk index — pigeonhole guarantees
+    // every pair with hamming ≤ 3 shares a chunk (exact recall), and
+    // 15-bit buckets stay selective even when simhashes cluster
+    // (narrow chunks collapse into huge buckets on homogeneous
+    // corpora — the quadratic blow-up this avoids)
+    "x09_simhash_neardups" -> { (s, dir) =>
+      val sh = simhashed(s, dir)
+        .selectExpr("doc_id", "simhash",
+          "posexplode(transform(sequence(0, 3), c -> (shiftright(simhash, 15*c) & 32767))) as (ci, chunk)")
+      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+        col("ci"), col("chunk"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+        col("ci"), col("chunk"))
+      a.join(b, Seq("ci", "chunk")).filter(col("doc_a") < col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "cast(bit_count(ha ^ hb) as bigint) as hamming")
+        .filter("hamming <= 3")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // exact n-gram Jaccard via a df-pruned inverted-index join:
+    // candidates must share a *rare* shingle (document frequency ≤ 64 —
+    // AllPairs-style stop-shingle pruning, which caps the per-key join
+    // fan-out at C(16,2) and kills the quadratic hot-key blow-up),
+    // then exact jaccard over the FULL shingle sets ≥ 0.5
+    "x10_jaccard_pairs" -> { (s, dir) =>
+      val sh = shingled(s, dir) // persisted: index + two array join sides
+      val ex = sh.selectExpr("doc_id", "explode(shs) as sh")
+      val rare = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 16).select("sh")
+      val rareEx = ex.join(rare, "sh")
+      // candidates must share ≥ 2 rare shingles (near-dup pairs share
+      // dozens; chance co-occurrences share 1) — the count filter runs
+      // on (id, id) pairs BEFORE any array payload is shuffled
+      val cand = rareEx.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(rareEx.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_rare"))
+        .filter(col("shared_rare") >= 2)
+        .select("doc_a", "doc_b")
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          sRound6("cast(size(array_intersect(sa, sb)) as double) / cast(size(array_union(sa, sb)) as double)") + " as jaccard")
+        .filter("jaccard >= 0.5")
+        .orderBy("doc_a", "doc_b")
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x05_exact_dedup" ->
+      s"""SELECT fp, MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+         |FROM (SELECT doc_id, md5($dNorm) AS fp FROM documents)
+         |GROUP BY fp ORDER BY rep_id""".stripMargin,
+    "x06_minhash_sigs" ->
+      s"""$dShingled $dSig
+         |SELECT doc_id, ${(0 until Seeds).map(i => s"m$i").mkString(", ")}
+         |FROM sig ORDER BY doc_id""".stripMargin,
+    "x07_lsh_neardup_pairs" ->
+      s"""$dShingled $dSig,
+         |bands AS (
+         |${(0 until 4).map(b => s"  SELECT doc_id, $b AS bi, ${dBandHash(b)} AS bh FROM sig")
+             .mkString("\n  UNION ALL\n")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.bi = b.bi AND a.bh = b.bh
+         |              AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    ${dRound6("CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE)")} AS jaccard
+         |  FROM cand JOIN shd x ON cand.doc_a = x.doc_id
+         |            JOIN shd y ON cand.doc_b = y.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "x08_simhash" ->
+      s"""$dSimhash
+         |SELECT doc_id, simhash FROM sh2 ORDER BY doc_id""".stripMargin,
+    "x09_simhash_neardups" ->
+      s"""$dSimhash,
+         |chunks AS (SELECT doc_id, simhash, c AS ci, (simhash >> (15*c)) & 32767 AS chunk
+         |           FROM sh2, range(0, 4) r(c)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.simhash AS ha, b.simhash AS hb
+         |         FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+         |              AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "x10_jaccard_pairs" ->
+      s"""$dShingled,
+         |ex AS (SELECT doc_id, unnest(shs) AS sh FROM shd),
+         |rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh) WHERE df <= 16),
+         |rex AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare ON ex.sh = rare.sh),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM rex a JOIN rex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    ${dRound6("CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE)")} AS jaccard
+         |  FROM cand JOIN shd x ON cand.doc_a = x.doc_id
+         |            JOIN shd y ON cand.doc_b = y.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

@@ -1,0 +1,100 @@
+package graft.llm
+
+import graft.queries.Tables.t
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, decoded/feature-extracted by a per-partition pipeline.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked DETERMINISTIC STAND-IN for a real decoder (it treats
+  * the payload bytes as the "decoded" sample stream). Everything around
+  * it — the binary column, the metadata struct, the typed Dataset +
+  * mapPartitions batch shape, the partition-parallel execution — is the
+  * real plumbing a codec would plug into: swap `decodeStub` for an
+  * actual JNI/Java decoder and nothing else changes.
+  *
+  * Scale notes: mapPartitions processes a whole input split per task
+  * (one decoder instance per partition, not per row, mirroring how an
+  * expensive codec or model handle should be amortized); the pipeline
+  * is a narrow map — no shuffle — so it scales with input splits. The
+  * feature outputs are plain integer/double facts about the payload
+  * bytes, so the DuckDB oracle can verify the whole path end-to-end
+  * from the source text.
+  */
+object Multimodal {
+
+  /** One multimodal row: payload + metadata (the "image"). */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
+
+  /** Extracted features. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      head_byte: Long,
+      checksum16: Long,
+      n_frames: Long,
+      frame_mean: Double)
+
+  /** STUB decoder: a real build would decode image/audio bytes here
+    * (e.g. via javax.imageio / a JNI codec). Deterministic stand-in:
+    * the payload bytes ARE the decoded samples. */
+  private def decodeStub(payload: Array[Byte]): Array[Byte] = payload
+
+  /** Per-partition feature extraction over decoded samples:
+    * byte stats, a 16-byte header checksum, and every-64th-byte "frame"
+    * sampling (the video-frame-sample pattern). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = decodeStub(r.payload)
+        val n = bytes.length
+        val head = if (n > 0) bytes(0) & 0xff else -1
+        var ck = 0L
+        var i = 0
+        while (i < math.min(16, n)) { ck += bytes(i) & 0xff; i += 1 }
+        var fSum = 0L; var fCnt = 0L; var j = 0
+        while (j < n) { fSum += bytes(j) & 0xff; fCnt += 1; j += 64 }
+        MediaFeatures(r.doc_id, n.toLong, head.toLong, ck, fCnt,
+          if (fCnt > 0) fSum.toDouble / fCnt.toDouble else 0.0)
+      }
+    }
+  }
+
+  /** documents.text → binary payload (stand-in for an image/audio blob
+    * column; the bytes are the UTF-8 encoding so the oracle can verify
+    * the full binary path). */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism) // one file ⇒ rebalance
+      .selectExpr("doc_id", "encode(text, 'UTF-8') as payload",
+        "'application/octet-stream' as mime")
+      .as[MediaRow]
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // binary decode → feature extraction via per-partition pipeline
+    "x15_media_features" -> { (s, dir) =>
+      extractFeatures(mediaTable(s, dir)).toDF().orderBy("doc_id")
+    },
+  )
+
+  // The oracle recomputes the same facts from the source text (ASCII
+  // corpus ⇒ 1 char = 1 byte; code points = byte values).
+  val oracleSql: Map[String, String] = Map(
+    "x15_media_features" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN strlen(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS BIGINT) AS head_byte,
+        |  CAST(list_sum(list_transform(range(1, least(16, strlen(text)) + 1),
+        |       i -> ascii(substring(text, i, 1)))) AS BIGINT) AS checksum16,
+        |  CAST(length(range(1, strlen(text) + 1, 64)) AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(range(1, strlen(text) + 1, 64),
+        |       i -> ascii(substring(text, i, 1)))) AS DOUBLE)
+        |    / CAST(length(range(1, strlen(text) + 1, 64)) AS BIGINT) AS frame_mean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,199 @@
+package graft.llm
+
+import graft.queries.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Frag._
+
+/** [EXT] Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k (the exactness baseline),
+  * sign-LSH (random-hyperplane) bucketed ANN (the scale path), LSH
+  * near-duplicate pair mining, and per-label centroid aggregation.
+  *
+  * Scale design:
+  *  - dot products / norms are per-row sequential folds over the 64
+  *    slots (codegen'd HOFs, no UDF, no shuffle);
+  *  - brute-force top-k broadcasts the tiny query set (broadcast
+  *    nested-loop join — each executor streams its share of the
+  *    corpus once); at 100 TB this is the pattern for "score corpus
+  *    against k probes";
+  *  - the ANN path buckets on 4 × 4-bit hyperplane-sign bands
+  *    (OR-amplified LSH): candidate generation is an equi-join on
+  *    (band_idx, band_value) — shuffle keyed on uniformly-distributed
+  *    buckets, never O(n²);
+  *  - hyperplanes are deterministic md5-derived ±1 literals (Frag
+  *    .planes) embedded in both the Spark plan and the DuckDB oracle;
+  *  - centroids: posexplode + (label, dim) groupBy with exact decimal
+  *    partial aggregation — the distributed vector-mean pattern.
+  */
+object Similarity {
+
+  private val QuerySet = "vec_id < 8"
+  private val TopK = 10
+
+  /** embeddings + per-row sum-of-squares (norm² — computed once).
+    * repartition: the test corpus is one parquet file = one input
+    * split; persist: every consumer reads this at least twice. */
+  private def withSq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("vec_id", "embedding", s"${sSumSq("embedding")} as sq")
+      .persist()
+
+  /** Exact cosine between two (embedding, sq) sides, 6-dp bit-exact. */
+  private val sCos: String =
+    sRound6(s"${sDot("ea", "eb")} / sqrt(sa * sb)")
+
+  private def bandsExpr =
+    s"array(${(0 until 4).map(b => sBand("embedding", b)).mkString(", ")})"
+
+  /** Spark frame: vec_id, embedding, sq, bi, bv (4 rows per vector).
+    * Persisted: the 16 projection folds are worth computing once, and
+    * both sides of the candidate self-join read this frame. */
+  private def withBands(s: SparkSession, dir: String): DataFrame =
+    withSq(s, dir)
+      .selectExpr("vec_id", "embedding", "sq", s"posexplode($bandsExpr) as (bi, bv)")
+      .persist()
+
+  /** DuckDB CTEs: sq per vec + 4-band signature rows. */
+  private val dSq =
+    s"WITH sq AS (SELECT vec_id, embedding, ${dSumSq("embedding")} AS sq FROM embeddings)"
+  private val dBands =
+    s""", bands AS (
+       |${(0 until 4).map(b =>
+           s"  SELECT vec_id, embedding, sq, $b AS bi, ${dBand("embedding", b)} AS bv FROM sq")
+           .mkString("\n  UNION ALL\n")})""".stripMargin
+  private val dCos: String =
+    dRound6(s"(${dDot("a.embedding", "b.embedding")}) / sqrt(a.sq * b.sq)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // brute-force cosine top-k: broadcast the probe set, stream the corpus
+    "x11_ann_topk" -> { (s, dir) =>
+      val corpus = withSq(s, dir)
+      val probes = corpus.filter(QuerySet)
+        .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+          col("sq").as("sa"))
+      val cands = corpus
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+          col("sq").as("sb"))
+      val scored = cands.crossJoin(broadcast(probes))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id", s"$sCos as cos_sim")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TopK)
+        .orderBy("query_id", "rk")
+    },
+
+    // ANN via sign-LSH: candidates share any 4-bit band, then exact
+    // cosine + top-k within candidates (approximate by design; the
+    // oracle runs the identical pipeline). Candidate IDs are deduped
+    // BEFORE the vectors are joined back, so the shuffle moves
+    // (query_id, neighbor_id) pairs — not embedding arrays.
+    "x12_ann_lsh_topk" -> { (s, dir) =>
+      val all = withBands(s, dir)
+      val sq = withSq(s, dir)
+      val cand = all.filter(QuerySet)
+        .select(col("vec_id").as("query_id"), col("bi"), col("bv"))
+        .join(all.select(col("vec_id").as("neighbor_id"), col("bi"), col("bv")),
+          Seq("bi", "bv"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct()
+      val scored = cand
+        .join(broadcast(sq.select(col("vec_id").as("query_id"),
+          col("embedding").as("ea"), col("sq").as("sa"))), "query_id")
+        .join(sq.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("eb"), col("sq").as("sb")), "neighbor_id")
+        .selectExpr("query_id", "neighbor_id", s"$sCos as cos_sim")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TopK)
+        .orderBy("query_id", "rk")
+    },
+
+    // embedding near-dup pairs: LSH-band candidates, cosine ≥ 0.4;
+    // same dedup-ids-then-join-vectors shape as x12
+    "x13_cosine_neardup" -> { (s, dir) =>
+      val all = withBands(s, dir)
+      val sq = withSq(s, dir)
+      val cand = all.select(col("vec_id").as("vec_a"), col("bi"), col("bv"))
+        .join(all.select(col("vec_id").as("vec_b"), col("bi"), col("bv")),
+          Seq("bi", "bv"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      cand
+        .join(sq.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          col("sq").as("sa")), "vec_a")
+        .join(sq.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          col("sq").as("sb")), "vec_b")
+        .selectExpr("vec_a", "vec_b", s"$sCos as cos_sim")
+        .filter("cos_sim >= 0.4")
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // per-label centroids: distributed vector mean via posexplode +
+    // exact decimal partial aggregation on (label, dim)
+    "x14_label_centroids" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .selectExpr("label", "posexplode(embedding) as (dim, v)")
+        .groupBy(col("label"), col("dim"))
+        .agg(
+          (sum(col("v").cast("double").cast(DecimalType(20, 8))).cast("double") /
+            count(lit(1)).cast("double")).as("centroid"),
+          count(lit(1)).as("n"))
+        .selectExpr("label", "cast(dim as bigint) as dim", "centroid", "n")
+        .orderBy("label", "dim")
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x11_ann_topk" ->
+      s"""$dSq,
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dCos AS cos_sim
+         |  FROM sq a JOIN sq b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked
+         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "x12_ann_lsh_topk" ->
+      s"""$dSq $dBands,
+         |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |         FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+         |              AND a.vec_id < 8 AND b.vec_id <> a.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $dCos AS cos_sim
+         |  FROM cand JOIN sq a ON cand.query_id = a.vec_id
+         |            JOIN sq b ON cand.neighbor_id = b.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked
+         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "x13_cosine_neardup" ->
+      s"""$dSq $dBands,
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+         |              AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos_sim FROM (
+         |  SELECT vec_a, vec_b, $dCos AS cos_sim
+         |  FROM cand JOIN sq a ON cand.vec_a = a.vec_id
+         |            JOIN sq b ON cand.vec_b = b.vec_id)
+         |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "x14_label_centroids" ->
+      """SELECT label, dim,
+        |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
+        |      FROM embeddings)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+  )
+}

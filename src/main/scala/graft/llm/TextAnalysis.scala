@@ -1,0 +1,135 @@
+package graft.llm
+
+import graft.queries.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import Frag._
+
+/** [EXT] Text-analysis operators over the `documents` table: token
+  * statistics, n-gram language ID, quality scoring, fingerprinting.
+  *
+  * All are narrow per-row transforms (higher-order functions on arrays,
+  * no UDFs) — whole-stage-codegen'd maps with zero shuffle except the
+  * final presentation sort, so they scale linearly with input splits at
+  * 100 TB. Aggregating variants shuffle once on the group key with
+  * map-side partial aggregation.
+  */
+object TextAnalysis {
+
+  /** documents scan; the test corpus is one parquet file = one input
+    * split, so rebalance to get split-level parallelism for the per-row
+    * analysis (no-op-cheap: a few MB of text). */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  private val langs = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "fr" -> Seq("le", "la", "les", "et", "une"),
+    "es" -> Seq("el", "los", "que", "y", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我"),
+  )
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** score_<lang> columns: occurrences of that language's marker tokens. */
+  private def sScores = langs.map { case (l, ws) =>
+    s"cast(size(filter(tk, x -> x in (${inList(ws)}))) as bigint) as score_$l"
+  }
+  private def dScores = langs.map { case (l, ws) =>
+    s"len(list_filter(tk, x -> x in (${inList(ws)}))) as score_$l"
+  }
+
+  /** argmax with fixed priority order (en > fr > es > de > zh) so ties
+    * resolve identically everywhere. */
+  private val predictCase: String = {
+    val names = langs.map(_._1)
+    val arms = names.init.zipWithIndex.map { case (l, i) =>
+      val geAll = names.drop(i + 1).map(o => s"score_$l >= score_$o").mkString(" and ")
+      s"when $geAll then '$l'"
+    }
+    s"case ${arms.mkString(" ")} else '${names.last}' end"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-document token statistics
+    "x01_token_stats" -> { (s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"$sTokens as tk")
+        .selectExpr(
+          "doc_id",
+          "cast(size(tk) as bigint) as n_tokens",
+          "cast(size(array_distinct(tk)) as bigint) as n_distinct",
+          "cast(length(concat_ws('', tk)) as bigint) as total_token_chars",
+          "cast(length(concat_ws('', tk)) as double) / cast(size(tk) as double) as avg_token_len")
+        .orderBy("doc_id")
+    },
+    // n-gram/stopword language ID with accuracy flag against the label
+    "x02_language_id" -> { (s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", "lang", s"$sTokens as tk")
+        .selectExpr(Seq("doc_id", "lang") ++ sScores: _*)
+        .selectExpr("*", s"$predictCase as predicted")
+        .selectExpr("doc_id", "lang", "score_en", "score_fr", "score_es",
+          "score_de", "score_zh", "predicted",
+          "predicted = lang as is_match")
+        .orderBy("doc_id")
+    },
+    // quality scoring: length/diversity ratios → filterable score
+    "x03_quality_score" -> { (s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", "cast(length(text) as bigint) as n_chars_raw",
+          s"$sTokens as tk")
+        .selectExpr("doc_id", "n_chars_raw",
+          "cast(size(tk) as bigint) as n_tokens",
+          "cast(size(array_distinct(tk)) as double) / cast(size(tk) as double) as distinct_ratio",
+          "least(cast(1 as double), cast(size(tk) as double) / cast(50 as double)) as length_score")
+        .selectExpr("doc_id", "n_chars_raw", "n_tokens",
+          sRound6("distinct_ratio") + " as distinct_ratio",
+          sRound6("length_score") + " as length_score",
+          sRound6("distinct_ratio * length_score") + " as quality",
+          sRound6("distinct_ratio * length_score") + " >= 0.2 as is_quality")
+        .orderBy("doc_id")
+    },
+    // document fingerprints: content hash of normalized text
+    "x04_fingerprint" -> { (s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id",
+          s"md5($sNorm) as fp",
+          s"${sH(sNorm)} as fp64")
+        .orderBy("doc_id")
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_token_stats" ->
+      s"""SELECT doc_id, len(tk) AS n_tokens,
+         |  len(list_distinct(tk)) AS n_distinct,
+         |  length(list_aggregate(tk, 'string_agg', '')) AS total_token_chars,
+         |  CAST(length(list_aggregate(tk, 'string_agg', '')) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS avg_token_len
+         |FROM (SELECT doc_id, $dTokens AS tk FROM documents) ORDER BY doc_id""".stripMargin,
+    "x02_language_id" ->
+      s"""SELECT doc_id, lang, score_en, score_fr, score_es, score_de, score_zh,
+         |  $predictCase AS predicted,
+         |  ($predictCase) = lang AS is_match
+         |FROM (SELECT doc_id, lang, ${dScores.mkString(", ")}
+         |      FROM (SELECT doc_id, lang, $dTokens AS tk FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "x03_quality_score" ->
+      s"""SELECT doc_id, n_chars_raw, n_tokens,
+         |  ${dRound6("distinct_ratio")} AS distinct_ratio,
+         |  ${dRound6("length_score")} AS length_score,
+         |  ${dRound6("distinct_ratio * length_score")} AS quality,
+         |  ${dRound6("distinct_ratio * length_score")} >= 0.2 AS is_quality
+         |FROM (SELECT doc_id, n_chars_raw, n_tokens,
+         |        CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+         |        least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(50 AS DOUBLE)) AS length_score
+         |      FROM (SELECT doc_id, length(text) AS n_chars_raw, len(tk) AS n_tokens,
+         |              len(list_distinct(tk)) AS n_distinct
+         |            FROM (SELECT doc_id, text, $dTokens AS tk FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
+    "x04_fingerprint" ->
+      s"""SELECT doc_id, md5($dNorm) AS fp, ${dH(dNorm)} AS fp64
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -210,6 +210,27 @@ object Relational {
           col("R").cast("double").as("qty_r"))
         .orderBy(col("l_linestatus"))
     },
+    // R1/R2 latest-version dedup pattern (SURVEY.md §2.4) applied to the
+    // events stream: argmax ts per user via one window shuffle
+    "r22_latest_events" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    },
+    // V6-style flatten applied to text: explode tokens → inverted-index
+    // term statistics (one shuffle on the token key)
+    "r23_top_tokens" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "explode(split(trim(lower(text)), '\\\\s+')) as token")
+        .groupBy(col("token"))
+        .agg(cnt.as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("token"))
+    },
     // rows-only (approximate — no exact oracle by construction)
     "r21_approx_distinct" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -336,6 +357,18 @@ object Relational {
         |  SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         |  FROM events) x
         |WHERE k % 10 = 0 ORDER BY event_id""".stripMargin,
+    "r22_latest_events" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) x
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "r23_top_tokens" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |      FROM documents) x
+        |GROUP BY token ORDER BY n DESC, token""".stripMargin,
     "r20_pivot_qty" ->
       """SELECT l_linestatus,
         |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(20,2)) END) AS DOUBLE) AS qty_a,
