@@ -42,9 +42,15 @@ object Similarity {
       .selectExpr("vec_id", "embedding", s"${sSumSq("embedding")} as sq")
       .persist()
 
-  /** Exact cosine between two (embedding, sq) sides, 6-dp bit-exact. */
-  private val sCos: String =
-    sRound6(s"${sDot("ea", "eb")} / sqrt(sa * sb)")
+  /** Exact cosine between two (embedding, sq) sides, 6-dp bit-exact.
+    * Uses the native codegen'd CosineF32 when graft.plans
+    * .GraftExtensions is installed (identical IEEE fold order), else
+    * the interpreted HOF form. */
+  private def sCosIn(s: SparkSession): String =
+    if (s.catalog.functionExists("cosine_f32"))
+      sRound6("cosine_f32(ea, eb)")
+    else
+      sRound6(s"${sDot("ea", "eb")} / sqrt(sa * sb)")
 
   private def bandsExpr =
     s"array(${(0 until 4).map(b => sBand("embedding", b)).mkString(", ")})"
@@ -81,7 +87,7 @@ object Similarity {
           col("sq").as("sb"))
       val scored = cands.crossJoin(broadcast(probes))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .selectExpr("query_id", "neighbor_id", s"$sCos as cos_sim")
+        .selectExpr("query_id", "neighbor_id", s"${sCosIn(s)} as cos_sim")
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
@@ -108,7 +114,7 @@ object Similarity {
           col("embedding").as("ea"), col("sq").as("sa"))), "query_id")
         .join(sq.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("eb"), col("sq").as("sb")), "neighbor_id")
-        .selectExpr("query_id", "neighbor_id", s"$sCos as cos_sim")
+        .selectExpr("query_id", "neighbor_id", s"${sCosIn(s)} as cos_sim")
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
@@ -131,7 +137,7 @@ object Similarity {
           col("sq").as("sa")), "vec_a")
         .join(sq.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
           col("sq").as("sb")), "vec_b")
-        .selectExpr("vec_a", "vec_b", s"$sCos as cos_sim")
+        .selectExpr("vec_a", "vec_b", s"${sCosIn(s)} as cos_sim")
         .filter("cos_sim >= 0.4")
         .orderBy("vec_a", "vec_b")
     },

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CosineF32Spec extends SparkSpec {
+
+  test("cosine_f32 is registered by GraftExtensions") {
+    assert(spark.catalog.functionExists("cosine_f32"))
+  }
+
+  test("native cosine_f32 is bit-equal to the interpreted HOF fold") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.0f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.1f, 0.2f, 0.3f)),
+      (Array(-0.7f, 0.0f, 0.31f), Array(0.11f, 0.5f, -0.9f)),
+    ).toDF("a", "b")
+    val hof =
+      """aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, t) -> acc + t)
+        | / sqrt(aggregate(zip_with(a, a, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, t) -> acc + t)
+        |      * aggregate(zip_with(b, b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, t) -> acc + t))""".stripMargin
+    val rows = df.selectExpr("cosine_f32(a, b) as native", s"$hof as hof").collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+  }
+
+  test("cosine_f32 null and identity behavior") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    assert(df.selectExpr("cosine_f32(a, b)").head.getDouble(0) == 1.0)
+    assert(df.selectExpr("cosine_f32(a, cast(null as array<float>))").head.isNullAt(0))
+  }
+}
