@@ -1,0 +1,76 @@
+package graft
+
+import graft.model.SchemaCodec
+import graft.pipeline.SyncPipeline
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** CLI entry point mirroring the reference's command surface
+  * (/root/reference/src/main.go:129-148): sync, push, clone,
+  * create_views, prune, version. (`gen`/`upgrade`/`config` are
+  * credential/self-update tooling, out of engine scope per SURVEY.md
+  * §2.6.)
+  *
+  * Usage:
+  *   graft.Main sync|push|clone|create_views|prune \
+  *     --source DIR --landing DIR --state DIR [--schema FILE] \
+  *     [--wait SECONDS] [--chunk-size N]
+  *
+  * `sync` loops every --wait seconds (reference default 600); `push` is
+  * one-shot; `clone` = forced full sync + create_views.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val cmd = args.head
+    if (cmd == "version") { println("graft 0.1.0"); return }
+    val opts = args.tail.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    def req(k: String): String = opts.getOrElse(k,
+      { System.err.println(s"missing --$k"); usage(); sys.exit(2) })
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(s"graft-$cmd")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pipeline = new SyncPipeline(spark,
+      sourceDir = opts.getOrElse("source", ""),
+      landingPath = req("landing"),
+      stateDir = opts.getOrElse("state", "."),
+      chunkSize = opts.getOrElse("chunk-size", "10000").toInt)
+    def schema() = SchemaCodec.parse(
+      Files.readString(Paths.get(req("schema"))))
+
+    cmd match {
+      case "push" =>
+        println(s"landed ${pipeline.syncOnce()} documents")
+      case "sync" =>
+        val wait = opts.getOrElse("wait", "600").toLong * 1000
+        while (true) { // reference loop: errors logged, loop continues
+          try println(s"landed ${pipeline.syncOnce()} documents")
+          catch { case e: Exception => System.err.println(s"sync failed: ${e.getMessage}") }
+          Thread.sleep(wait)
+        }
+      case "clone" =>
+        val n = pipeline.clone(schema())
+        println(s"cloned $n documents; views registered")
+      case "create_views" =>
+        pipeline.createViews(schema()).foreach(println)
+      case "prune" =>
+        pipeline.prune(); println("pruned")
+      case other =>
+        System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
+    }
+    spark.stop()
+  }
+
+  private def usage(): Unit = System.err.println(
+    "usage: graft.Main sync|push|clone|create_views|prune|version " +
+      "--source DIR --landing DIR --state DIR [--schema FILE] " +
+      "[--wait SECONDS] [--chunk-size N]")
+}

@@ -11,9 +11,13 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val explain = sys.env.contains("GRAFT_EXPLAIN")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      (1 to 2).foreach { i =>
+      if (explain) {
+        println(s"===== $n =====")
+        fn(spark, dir).explain("formatted")
+      } else (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         println(f"PROF $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")

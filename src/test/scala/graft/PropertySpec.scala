@@ -1,0 +1,79 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.ingest.{Ingest, LandingRecord}
+import graft.views.Views
+import java.sql.Timestamp
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck properties from SURVEY.md §5: chunk-split invariants,
+  * prune idempotency, replay absorption. */
+class PropertySpec extends SparkSpec {
+
+  /** Run a property (25 cases — Spark jobs per case) and fail the suite
+    * with the ScalaCheck counterexample report on falsification. */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), p)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+  private val mapper = new ObjectMapper()
+  private val bd = Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private def doc(id: String, arrLen: Int): String = {
+    val arr = (0 until arrLen).map(i => s"""{"N":$i}""").mkString(",")
+    s"""{"$$TYPE":"T","DOCUMENT_ID":"$id","$$VERSION":1,"XS":[$arr]}"""
+  }
+
+  test("chunk split: element conservation and chunk numbering for any length") {
+    check(Prop.forAll(Gen.choose(0, 95), Gen.choose(1, 10)) { (n, cs) =>
+      val rs = Ingest.parseLine(mapper, doc("d", n), bd, chunkSize = cs)
+      val expectSlices = if (n > cs) (n + cs - 1) / cs else 0
+      val slices = rs.tail.map(r => mapper.readTree(r.data).get("XS").size)
+      rs.head.chunk == 0 &&
+        rs.map(_.chunk) == (0 to expectSlices) &&
+        (if (expectSlices == 0) rs.size == 1 && mapper.readTree(rs.head.data).get("XS").size == n
+         else slices.sum == n && slices.forall(_ <= cs) && !mapper.readTree(rs.head.data).has("XS"))
+    })
+  }
+
+  test("prune is idempotent and keeps exactly one row per key") {
+    import spark.implicits._
+    val gen = Gen.listOfN(30, for {
+      id <- Gen.oneOf("a", "b", "c")
+      ver <- Gen.choose(1L, 3L)
+      day <- Gen.choose(1, 5)
+    } yield LandingRecord(Timestamp.valueOf(f"2026-01-$day%02d 00:00:00"),
+      "T", id, ver, 0, "au", bd, false, s"$id-$ver-$day"))
+    check(Prop.forAll(gen) { rs =>
+      rs.isEmpty || {
+        val df = spark.createDataset(rs).toDF()
+        val pruned = Views.prune(df)
+        val keys = rs.map(r => (r.`type`, r.id, r.version)).distinct.size
+        pruned.count() == keys && Views.prune(pruned).count() == keys
+      }
+    })
+  }
+
+  test("replays never change the latest view") {
+    import spark.implicits._
+    val gen = Gen.listOfN(20, for {
+      id <- Gen.oneOf("a", "b")
+      ver <- Gen.choose(1L, 4L)
+    } yield (id, ver))
+    check(Prop.forAll(gen) { docs =>
+      docs.isEmpty || {
+        val lines = docs.map { case (id, v) =>
+          s"""{"$$TYPE":"T","DOCUMENT_ID":"$id","$$VERSION":$v}"""
+        }
+        val once = Ingest.fromNdjsonLines(lines.toDS(), bd, 10)
+        val replay = Ingest.fromNdjsonLines(lines.toDS(),
+          Timestamp.valueOf("2026-01-02 00:00:00"), 10)
+        val l1 = Views.latest(once).select("type", "id", "version").collect().toSet
+        val l2 = Views.latest(once.unionByName(replay))
+          .select("type", "id", "version").collect().toSet
+        l1 == l2
+      }
+    })
+  }
+}
