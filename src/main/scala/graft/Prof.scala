@@ -9,7 +9,8 @@ object Prof {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions").getOrCreate()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.files.minPartitionNum", "4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val explain = sys.env.contains("GRAFT_EXPLAIN")
     names.foreach { n =>
