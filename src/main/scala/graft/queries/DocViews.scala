@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.model.SchemaCodec
+import graft.views.Views
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables.t
+
+/** Oracle-verified end-to-end exercises of the document-views engine
+  * (SURVEY.md §2.4–§2.5): a deterministic versioned landing table is
+  * synthesized from the `documents` test table, pushed through the real
+  * `Views.latest` / `typedView` / `recordListView` machinery, and the
+  * DuckDB oracle recomputes the *expected semantics* directly from
+  * `documents` — so replay dedup, version argmax, tombstone visibility,
+  * typed JSON projection, and chunk re-union on flatten are all checked
+  * by the driver's hash gate, not just unit tests. */
+object DocViews {
+
+  private val ts1 = "timestamp'2026-01-01 00:00:00'"
+  private val ts2 = "timestamp'2026-01-02 00:00:00'"
+
+  /** Landing rows: every doc lands as v1 TWICE (two batch dates —
+    * at-least-once replay), docs with id%10=0 land a v2 whose N_CHARS
+    * is shifted and which is tombstoned for id%20=0. */
+  private def landing(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+    def v1(batch: String) = base.selectExpr(
+      s"$batch as batch_date", "'DOC' as type", "cast(doc_id as string) as id",
+      "cast(1 as bigint) as version", "0 as chunk", "source as author",
+      s"$ts1 as date", "false as deleted",
+      "to_json(named_struct('LANG', lang, 'N_CHARS', n_chars)) as data")
+    val v2 = base.filter("doc_id % 10 = 0").selectExpr(
+      s"$ts2 as batch_date", "'DOC' as type", "cast(doc_id as string) as id",
+      "cast(2 as bigint) as version", "0 as chunk", "source as author",
+      s"$ts2 as date", "doc_id % 20 = 0 as deleted",
+      "to_json(named_struct('LANG', lang, 'N_CHARS', n_chars + 1000)) as data")
+    v1(ts1).unionByName(v1(ts2)).unionByName(v2)
+  }
+
+  private val docSchema = SchemaCodec.parse(
+    """{"DOC": {
+      |  "LANG": {"ACTIVE": true, "TYPE": "TEXT", "NULLABLE": true},
+      |  "N_CHARS": {"ACTIVE": true, "TYPE": "INTEGER", "NULLABLE": true}
+      |}}""".stripMargin)
+
+  private val listSchema = SchemaCodec.parse(
+    """{"DOC": {
+      |  "ITEMS": {"ACTIVE": true, "TYPE": "RECORD LIST", "NULLABLE": true,
+      |    "RECORD_TYPE": {"VAL": {"ACTIVE": true, "TYPE": "INTEGER", "NULLABLE": true}}}
+      |}}""".stripMargin)
+
+  /** Landing with a record list split across chunks: chunk 0 carries
+    * items A and B; docs with id%5=0 also land a chunk-1 slice carrying
+    * item C (the T2 chunk-split contract). */
+  private def listLanding(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+    val c0 = base.selectExpr(
+      s"$ts1 as batch_date", "'DOC' as type", "cast(doc_id as string) as id",
+      "cast(1 as bigint) as version", "0 as chunk", "source as author",
+      s"$ts1 as date", "false as deleted",
+      """to_json(named_struct('ITEMS', array(
+        |  named_struct('LISTITEM_ID', 'A', 'VAL', n_chars),
+        |  named_struct('LISTITEM_ID', 'B', 'VAL', n_chars * 2)))) as data""".stripMargin)
+    val c1 = base.filter("doc_id % 5 = 0").selectExpr(
+      s"$ts1 as batch_date", "'DOC' as type", "cast(doc_id as string) as id",
+      "cast(1 as bigint) as version", "1 as chunk", "source as author",
+      s"$ts1 as date", "false as deleted",
+      """to_json(named_struct('ITEMS', array(
+        |  named_struct('LISTITEM_ID', 'C', 'VAL', n_chars * 3)))) as data""".stripMargin)
+    c0.unionByName(c1)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // landing → R1 replay dedup → R2 version argmax → typed projection
+    "r24_document_latest_view" -> { (s, dir) =>
+      Views.typedView(Views.latest(landing(s, dir)), "DOC", docSchema("DOC"))
+        .orderBy("DOCUMENT_ID")
+    },
+    // landing → latest → record-list flatten with chunk re-union
+    "r25_record_list_flatten" -> { (s, dir) =>
+      Views.recordListView(Views.latest(listLanding(s, dir)), "DOC",
+        listSchema("DOC"), "ITEMS")
+        .orderBy("DOCUMENT_ID", "LISTITEM_ID")
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "r24_document_latest_view" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID,
+        |  lang AS LANG,
+        |  CAST(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS BIGINT) AS N_CHARS,
+        |  (doc_id % 20 = 0) AS _DELETED,
+        |  source AS _AUTHOR,
+        |  CAST(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS _VERSION,
+        |  CASE WHEN doc_id % 10 = 0 THEN TIMESTAMP '2026-01-02 00:00:00'
+        |       ELSE TIMESTAMP '2026-01-01 00:00:00' END AS _DATE
+        |FROM documents ORDER BY DOCUMENT_ID""".stripMargin,
+    "r25_record_list_flatten" ->
+      """SELECT DOCUMENT_ID, LISTITEM_ID, VAL FROM (
+        |  SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID, 'A' AS LISTITEM_ID,
+        |         CAST(n_chars AS BIGINT) AS VAL FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'B', CAST(n_chars * 2 AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'C', CAST(n_chars * 3 AS BIGINT)
+        |  FROM documents WHERE doc_id % 5 = 0) x
+        |ORDER BY DOCUMENT_ID, LISTITEM_ID""".stripMargin,
+  )
+}
