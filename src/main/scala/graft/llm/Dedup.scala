@@ -20,6 +20,13 @@ import Frag._
   *    Catalyst executes as a shuffled hash join on keys that are
   *    uniformly hash-distributed — skew-resistant by construction;
   *  - exact verification (jaccard / hamming) runs only on candidates.
+  *
+  * Algorithms follow the published designs: MinHash (Broder, "On the
+  * resemblance and containment of documents", 1997), LSH banding
+  * (Gionis/Indyk/Motwani, VLDB 1999; banding scheme as in Mining of
+  * Massive Datasets ch.3), SimHash (Charikar, STOC 2002) with the
+  * hamming-chunk index of Manku/Jain/Sarma (WWW 2007), and stop-shingle
+  * pruning in the spirit of AllPairs (Bayardo/Ma/Srikant, WWW 2007).
   */
 object Dedup {
 

@@ -27,6 +27,12 @@ import Frag._
   *    .planes) embedded in both the Spark plan and the DuckDB oracle;
   *  - centroids: posexplode + (label, dim) groupBy with exact decimal
   *    partial aggregation — the distributed vector-mean pattern.
+  *
+  * The sign-LSH scheme is random-hyperplane hashing (Charikar, STOC
+  * 2002) with OR-amplification across bands (Mining of Massive
+  * Datasets ch.3); the bucketed-ANN shape mirrors IVF-style inverted
+  * lists (Jégou et al., PAMI 2011) with LSH buckets as the coarse
+  * quantizer.
   */
 object Similarity {
 

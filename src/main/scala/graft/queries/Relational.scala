@@ -231,6 +231,26 @@ object Relational {
         .agg(cnt.as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n").desc, col("token"))
     },
+    // salted join over a pathologically skewed key (31 distinct tokens
+    // across every document): the per-token dimension is replicated
+    // ×16 with a salt column and the probe side keys on
+    // (token, doc_id%16), spreading each hot key over 16 reducers —
+    // the manual skew-mitigation pattern for when AQE's skew-join can't
+    // help (e.g. aggregation-after-join). Result is provably identical
+    // to the unsalted join, which is what the oracle computes.
+    "r26_salted_token_join" -> { (s, dir) =>
+      val Salts = 16
+      val tok = t(s, dir, "documents")
+        .selectExpr("doc_id", "explode(split(trim(lower(text)), '\\\\s+')) as token")
+      val dim = tok.groupBy("token").agg(cnt.as("tok_freq"))
+      val saltedDim = dim.selectExpr("token", "tok_freq",
+        s"explode(sequence(0, ${Salts - 1})) as salt")
+      tok.selectExpr("doc_id", "token", s"cast(doc_id % $Salts as int) as salt")
+        .join(saltedDim, Seq("token", "salt"))
+        .groupBy("doc_id")
+        .agg(sum(col("tok_freq")).as("popularity"), cnt.as("n_tokens"))
+        .orderBy("doc_id")
+    },
     // rows-only (approximate — no exact oracle by construction)
     "r21_approx_distinct" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -357,6 +377,14 @@ object Relational {
         |  SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         |  FROM events) x
         |WHERE k % 10 = 0 ORDER BY event_id""".stripMargin,
+    "r26_salted_token_join" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |            FROM documents),
+        |dim AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tok_freq FROM tok GROUP BY token)
+        |SELECT doc_id, CAST(SUM(tok_freq) AS BIGINT) AS popularity,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |FROM tok JOIN dim USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "r22_latest_events" ->
       """SELECT user_id, event_id, ts, event_type, value FROM (
         |  SELECT user_id, event_id, ts, event_type, value,
