@@ -91,6 +91,32 @@ object TextAnalysis {
           sRound6("distinct_ratio * length_score") + " >= 0.2 as is_quality")
         .orderBy("doc_id")
     },
+    // heavy hitters via the SpaceSaving sketch (plans.SpaceSavingTopK):
+    // bounded per-partition state instead of shuffling every distinct
+    // key; capacity 64 > the corpus vocabulary, so counts are exact and
+    // the oracle checks them. Falls back to groupBy+window top-k (same
+    // output) when GraftExtensions is not installed.
+    "x16_topk_tokens" -> { (s, dir) =>
+      val tok = docs(s, dir)
+        .selectExpr("explode(split(trim(lower(text)), '\\\\s+')) as token")
+      if (s.catalog.functionExists("topk_freq"))
+        tok.selectExpr("topk_freq(token, 10, 64) as tops")
+          .selectExpr("posexplode(tops) as (rank, t)")
+          .selectExpr("cast(rank as bigint) as rank", "t.item as token",
+            "t.cnt as n")
+          .orderBy("rank")
+      else {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        tok.groupBy("token").agg(count(lit(1)).as("n"))
+          .withColumn("rank",
+            (row_number().over(Window.orderBy(col("n").desc, col("token"))) - 1)
+              .cast("long"))
+          .filter(col("rank") < 10)
+          .select("rank", "token", "n")
+          .orderBy("rank")
+      }
+    },
     // document fingerprints: content hash of normalized text
     "x04_fingerprint" -> { (s, dir) =>
       docs(s, dir)
@@ -131,5 +157,13 @@ object TextAnalysis {
     "x04_fingerprint" ->
       s"""SELECT doc_id, md5($dNorm) AS fp, ${dH(dNorm)} AS fp64
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x16_topk_tokens" ->
+      s"""SELECT rank, token, n FROM (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS rank,
+         |         token, n
+         |  FROM (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM (SELECT unnest($dTokens) AS token FROM documents)
+         |        GROUP BY token)) x
+         |WHERE rank < 10 ORDER BY rank""".stripMargin,
   )
 }

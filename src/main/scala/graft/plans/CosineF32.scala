@@ -87,5 +87,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_f32"),
       new ExpressionInfo(classOf[CosineF32].getName, "cosine_f32"),
       (children: Seq[Expression]) => CosineF32(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_freq"),
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "topk_freq"),
+      (children: Seq[Expression]) => SpaceSavingTopK.create(children)))
   }
 }

@@ -231,6 +231,24 @@ object Relational {
         .agg(cnt.as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n").desc, col("token"))
     },
+    // full CUBE with grouping_id disambiguation (NULL group vs NULL key)
+    "r27_cube_volume" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"), cnt.as("n"),
+          dsum(col("l_extendedprice")).as("volume"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    },
+    // JSON-path extraction from the events props payload
+    "r28_json_path" -> { (s, dir) =>
+      t(s, dir, "events")
+        .selectExpr("event_id",
+          "get_json_object(props, '$.k') as k_str",
+          "cast(get_json_object(props, '$.k') as bigint) as k_num")
+        .filter("k_num % 7 = 0")
+        .orderBy("event_id")
+    },
     // salted join over a pathologically skewed key (31 distinct tokens
     // across every document): the per-token dimension is replicated
     // ×16 with a salt column and the probe side keys on
@@ -377,6 +395,19 @@ object Relational {
         |  SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         |  FROM events) x
         |WHERE k % 10 = 0 ORDER BY event_id""".stripMargin,
+    "r27_cube_volume" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS volume
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "r28_json_path" ->
+      """SELECT event_id, k_str, k_num FROM (
+        |  SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |  FROM events) x
+        |WHERE k_num % 7 = 0 ORDER BY event_id""".stripMargin,
     "r26_salted_token_join" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |            FROM documents),
