@@ -75,6 +75,12 @@ object Frag {
       .mkString(" + ")
   def dSumSq(a: String): String = dDot(a, a)
 
+  /** DuckDB chain: float array × double array (no cast on the right). */
+  def dDotF64(a: String, cv: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE)*$cv[$i]").mkString(" + ")
+  def dSumSq64(cv: String): String =
+    (1 to Dim).map(i => s"$cv[$i]*$cv[$i]").mkString(" + ")
+
   // ── minhash seed derivation ──
   // One md5 per shingle (the expensive part), then 16 cheap derived
   // hashes f_s(h) = rot60(h, r_s) XOR c_s — 60-bit-safe in both engines

@@ -58,6 +58,20 @@ object Similarity {
     else
       sRound6(s"${sDot("ea", "eb")} / sqrt(sa * sb)")
 
+  /** Per-label centroid vectors (clabel, cv: array<double>, csq): exact
+    * decimal means per dim, assembled in dim order — identical values
+    * in Spark and DuckDB, so centroid-based plans stay oracle-exact. */
+  private def centroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .selectExpr("label", "posexplode(embedding) as (dim, v)")
+      .groupBy("label", "dim")
+      .agg((sum(col("v").cast("double").cast(DecimalType(20, 8))).cast("double") /
+        count(lit(1)).cast("double")).as("c"))
+      .groupBy(col("label").as("clabel"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)").as("cv"))
+      .selectExpr("clabel", "cv",
+        "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x) as csq")
+
   private def bandsExpr =
     s"array(${(0 until 4).map(b => sBand("embedding", b)).mkString(", ")})"
 
@@ -148,6 +162,42 @@ object Similarity {
         .orderBy("vec_a", "vec_b")
     },
 
+    // IVF-style ANN: label centroids are the coarse quantizer (exact
+    // decimal means ⇒ identical across engines); every vector is
+    // assigned to its nearest centroid, probes search the 2 nearest
+    // inverted lists only, exact cosine + top-k within. The corpus-side
+    // work per probe is |2 lists|, not |corpus| — the IVF scale
+    // contract (Jégou et al.). Assignment ordering compares raw
+    // doubles, which are bit-identical by the fold contract.
+    "x17_ivf_topk" -> { (s, dir) =>
+      val cent = centroids(s, dir).persist()
+      val sq = withSq(s, dir)
+      val scored = sq.crossJoin(broadcast(cent))
+        .selectExpr("vec_id", "clabel",
+          s"aggregate(zip_with(embedding, cv, (x, w) -> cast(x as double) * w), cast(0 as double), (acc, t) -> acc + t) / sqrt(sq * csq) as cosc")
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("cosc").desc, col("clabel"))
+      val ranked = scored.withColumn("rn", row_number().over(wAssign)).persist()
+      val assign = ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("clabel"))
+      val probes = ranked.filter(col("vec_id") < 8 && col("rn") <= 2)
+        .select(col("vec_id").as("query_id"), col("clabel"))
+      val cand = probes.join(assign, "clabel")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct()
+      val scored2 = cand
+        .join(broadcast(sq.select(col("vec_id").as("query_id"),
+          col("embedding").as("ea"), col("sq").as("sa"))), "query_id")
+        .join(sq.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("eb"), col("sq").as("sb")), "neighbor_id")
+        .selectExpr("query_id", "neighbor_id", s"${sCosIn(s)} as cos_sim")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      scored2.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TopK)
+        .orderBy("query_id", "rk")
+    },
+
     // per-label centroids: distributed vector mean via posexplode +
     // exact decimal partial aggregation on (label, dim)
     "x14_label_centroids" -> { (s, dir) =>
@@ -200,6 +250,34 @@ object Similarity {
          |  FROM cand JOIN sq a ON cand.vec_a = a.vec_id
          |            JOIN sq b ON cand.vec_b = b.vec_id)
          |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "x17_ivf_topk" ->
+      s"""WITH sq AS (SELECT vec_id, embedding, ${dSumSq("embedding")} AS sq FROM embeddings),
+         |cd AS (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+         |       FROM embeddings),
+         |cm AS (SELECT label, dim,
+         |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+         |       FROM cd GROUP BY label, dim),
+         |cent0 AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cm GROUP BY label),
+         |cent AS (SELECT clabel, cv, ${dSumSq64("cv")} AS csq FROM cent0),
+         |scored AS (SELECT vec_id, clabel,
+         |             (${dDotF64("sq.embedding", "cv")}) / sqrt(sq * csq) AS cosc
+         |           FROM sq CROSS JOIN cent),
+         |ranked AS (SELECT vec_id, clabel,
+         |             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosc DESC, clabel) AS rn
+         |           FROM scored),
+         |assign AS (SELECT vec_id AS neighbor_id, clabel FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, clabel FROM ranked WHERE vec_id < 8 AND rn <= 2),
+         |cand AS (SELECT DISTINCT query_id, neighbor_id
+         |         FROM probes JOIN assign USING (clabel)
+         |         WHERE query_id <> neighbor_id),
+         |scored2 AS (SELECT query_id, neighbor_id, $dCos AS cos_sim
+         |            FROM cand JOIN sq a ON cand.query_id = a.vec_id
+         |                      JOIN sq b ON cand.neighbor_id = b.vec_id),
+         |ranked2 AS (SELECT query_id, neighbor_id, cos_sim,
+         |              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+         |            FROM scored2)
+         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked2
+         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
     "x14_label_centroids" ->
       """SELECT label, dim,
         |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid,
