@@ -231,6 +231,34 @@ object Relational {
         .agg(cnt.as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n").desc, col("token"))
     },
+    // date/interval arithmetic suite
+    "r29_date_arithmetic" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .selectExpr("o_orderkey",
+          "timestampadd(DAY, 30, o_orderdate) as ship_deadline",
+          "cast(datediff(o_orderdate, DATE '1990-01-01') as bigint) as days_since_1990",
+          "cast(quarter(o_orderdate) as bigint) as q",
+          "cast(weekofyear(o_orderdate) as bigint) as iso_week",
+          "cast(dayofweek(o_orderdate) - 1 as bigint) as dow_sun0",
+          "cast(last_day(o_orderdate) as timestamp) as month_end")
+        .orderBy("o_orderkey")
+    },
+    // per-group ordered collection folded to scalars (collect_set /
+    // array_join — one shuffle with partial aggregation)
+    "r30_customer_year_profile" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .selectExpr("o_custkey", "cast(year(o_orderdate) as bigint) as y",
+          "o_totalprice")
+        .groupBy("o_custkey")
+        .agg(
+          expr("array_join(sort_array(collect_set(y)), ',')").as("years_csv"),
+          countDistinct(col("y")).as("n_years"),
+          min(col("y")).as("first_year"),
+          max(col("y")).as("last_year"),
+          dsum(col("o_totalprice")).as("lifetime_value"))
+        .orderBy("o_custkey")
+    },
     // full CUBE with grouping_id disambiguation (NULL group vs NULL key)
     "r27_cube_volume" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -395,6 +423,25 @@ object Relational {
         |  SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         |  FROM events) x
         |WHERE k % 10 = 0 ORDER BY event_id""".stripMargin,
+    "r29_date_arithmetic" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS ship_deadline,
+        |  CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) AS days_since_1990,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
+        |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+        |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""".stripMargin,
+    "r30_customer_year_profile" ->
+      """WITH oy AS (SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS y, o_totalprice
+        |            FROM orders)
+        |SELECT o_custkey,
+        |  (SELECT string_agg(y, ',' ORDER BY y)
+        |   FROM (SELECT DISTINCT y FROM oy i WHERE i.o_custkey = oy.o_custkey) d) AS years_csv,
+        |  CAST(COUNT(DISTINCT y) AS BIGINT) AS n_years,
+        |  MIN(y) AS first_year, MAX(y) AS last_year,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS lifetime_value
+        |FROM oy GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "r27_cube_volume" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
