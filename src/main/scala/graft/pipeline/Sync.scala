@@ -87,6 +87,33 @@ final class SyncPipeline(
     total
   }
 
+  /** One sync run against any paged source (e.g. HttpDocumentSource):
+    * identical page/land/persist-cursor loop as the file flow, with the
+    * page's NDJSON lines parallelized for the distributed parse. */
+  def syncFrom(source: PagedSource, force: Boolean = false): Long = {
+    var cursor = state.read(force)
+    var total = 0L
+    var more = true
+    val batchDate = new Timestamp(System.currentTimeMillis())
+    while (more) {
+      val page = source.fetchPage(cursor)
+      if (page.lines.nonEmpty) {
+        import spark.implicits._
+        val df = Ingest.fromNdjsonLines(
+          spark.createDataset(page.lines).repartition(
+            spark.sparkContext.defaultParallelism),
+          batchDate, chunkSize)
+        val n = df.count()
+        if (n > 0) Ingest.appendBatch(df, landingPath)
+        total += n
+      }
+      cursor = page.cursor
+      state.write(cursor)
+      more = page.truncated && page.lines.nonEmpty
+    }
+    total
+  }
+
   /** create_views (§3.2): register the R1/R2 + typed view catalog over
     * the current landing store. */
   def createViews(schema: RootSchema): Seq[String] = {
