@@ -198,6 +198,25 @@ object Similarity {
         .orderBy("query_id", "rk")
     },
 
+    // symmetric int8 quantization (the storage-shrink step before
+    // shipping embeddings to training): per-vector scale = max|v|/127,
+    // q_i = round(v_i/scale) — per-row map, no shuffle. max is
+    // order-insensitive so the scale is engine-exact; quantized values
+    // are summarized as exact integer facts.
+    "x18_embedding_quantize" -> { (s, dir) =>
+      withSq(s, dir)
+        .selectExpr("vec_id",
+          "array_max(transform(embedding, x -> abs(cast(x as double)))) / cast(127 as double) as scale",
+          "embedding")
+        .selectExpr("vec_id",
+          sRound6("scale") + " as scale_r",
+          "transform(embedding, x -> cast(round(cast(x as double) / scale) as bigint)) as q")
+        .selectExpr("vec_id", "scale_r",
+          "aggregate(q, cast(0 as bigint), (acc, x) -> acc + x) as q_sum",
+          "array_min(q) as q_min", "array_max(q) as q_max")
+        .orderBy("vec_id")
+    },
+
     // per-label centroids: distributed vector mean via posexplode +
     // exact decimal partial aggregation on (label, dim)
     "x14_label_centroids" -> { (s, dir) =>
@@ -278,6 +297,17 @@ object Similarity {
          |            FROM scored2)
          |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked2
          |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "x18_embedding_quantize" ->
+      s"""WITH s1 AS (SELECT vec_id, embedding,
+         |              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / CAST(127 AS DOUBLE) AS scale
+         |            FROM embeddings),
+         |q1 AS (SELECT vec_id, scale,
+         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS q
+         |       FROM s1)
+         |SELECT vec_id, ${dRound6("scale")} AS scale_r,
+         |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+         |  list_min(q) AS q_min, list_max(q) AS q_max
+         |FROM q1 ORDER BY vec_id""".stripMargin,
     "x14_label_centroids" ->
       """SELECT label, dim,
         |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid,

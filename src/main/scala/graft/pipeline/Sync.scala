@@ -148,6 +148,26 @@ final class SyncPipeline(
     Files.move(Paths.get(staging), target)
   }
 
+  /** Compaction: rewrite the landing store into ~`targetFileMB`-sized
+    * files per type partition (small-file mitigation for the append-only
+    * store — the OPTIMIZE analogue; at cluster scale run per partition
+    * on a schedule). Preserves all rows; combine with prune() for
+    * physical dedup. */
+  def compact(targetFileMB: Int = 128): Unit = {
+    val landing = spark.read.schema(graft.ingest.Landing.schema)
+      .parquet(landingPath)
+    val bytes = Files.walk(Paths.get(landingPath)).iterator.asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(Files.size).sum
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
+    val staging = landingPath.stripSuffix("/") + ".compacted"
+    landing.repartition(nFiles).write.mode("overwrite")
+      .partitionBy("type").parquet(staging)
+    val target = Paths.get(landingPath)
+    deleteRecursive(target)
+    Files.move(Paths.get(staging), target)
+  }
+
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())

@@ -58,4 +58,20 @@ class PipelineSpec extends SparkSpec {
     val pruned = spark.read.schema(graft.ingest.Landing.schema).parquet(land)
     assert(pruned.count() == 1) // only the newest batch copy remains
   }
+
+  test("compact rewrites the store without losing rows") {
+    val src = tmp("src3"); val land = tmp("land3") + "/landing"; val state = tmp("st3")
+    writeNdjson(src, "f001.ndjson",
+      """{"$TYPE":"W","DOCUMENT_ID":"a","$VERSION":1,"N":"a1"}""",
+      """{"$TYPE":"X","DOCUMENT_ID":"b","$VERSION":1,"N":"b1"}""")
+    val p = new SyncPipeline(spark, src, land, state)
+    p.syncOnce()
+    writeNdjson(src, "f002.ndjson",
+      """{"$TYPE":"W","DOCUMENT_ID":"c","$VERSION":1,"N":"c1"}""")
+    p.syncOnce() // second append ⇒ more small files
+    p.compact(targetFileMB = 128)
+    val after = spark.read.schema(graft.ingest.Landing.schema).parquet(land)
+    assert(after.count() == 3)
+    assert(after.select("type").distinct().count() == 2)
+  }
 }

@@ -47,6 +47,34 @@ class StreamingSpec extends SparkSpec {
       (ts("2026-01-01 10:00:00"), "view", 1L, 8.0)))
   }
 
+  test("watermark drops events later than the threshold in streaming mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = Streaming.windowedEventStats(
+      mem.toDS().toDF("ts", "event_type", "value"),
+      watermark = "10 minutes", windowLen = "1 hour")
+      .writeStream.format("memory").queryName("wstats")
+      .outputMode("append").start()
+    // advance event time to 12:00 ⇒ watermark 11:50 ⇒ the 10:00 window closes
+    mem.addData((ts("2026-01-01 10:05:00"), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((ts("2026-01-01 12:00:00"), "click", 2.0))
+    q.processAllAvailable()
+    // this event is far behind the watermark — must be dropped
+    mem.addData((ts("2026-01-01 10:10:00"), "click", 100.0))
+    q.processAllAvailable()
+    mem.addData((ts("2026-01-01 14:00:00"), "click", 4.0)) // close 12:00 window
+    q.processAllAvailable()
+    val out = spark.table("wstats").collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[Long]("n"),
+        r.getAs[Double]("total_value"))).toSet
+    assert(out.contains((ts("2026-01-01 10:00:00"), 1L, 1.0))) // late 100.0 NOT counted
+    assert(out.contains((ts("2026-01-01 12:00:00"), 1L, 2.0)))
+    q.stop()
+  }
+
   test("sessionize splits on the inactivity gap and carries state across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
