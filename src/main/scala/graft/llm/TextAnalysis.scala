@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.queries.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import Frag._
 
 /** [EXT] Text-analysis operators over the `documents` table: token
@@ -117,6 +118,33 @@ object TextAnalysis {
           .orderBy("rank")
       }
     },
+    // deterministic train/val/test split: hash the stable doc_id (never
+    // random() — reproducible across runs, machines, and engines) into
+    // 80/10/10; per-split-per-lang counts verify the assignment
+    "x19_train_test_split" -> { (s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", "lang",
+          s"${sH("concat('split:', doc_id)")} % 100 as bucket")
+        .selectExpr("doc_id", "lang",
+          "case when bucket < 80 then 'train' when bucket < 90 then 'val' else 'test' end as split")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("split", "lang")
+    },
+    // per-class downsampling: cap each lang at 50 docs, keeping the
+    // hash-order prefix (deterministic, no global sort — the window
+    // ranks within each class partition only)
+    "x20_class_downsample" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(col("h"), col("doc_id"))
+      docs(s, dir)
+        .selectExpr("doc_id", "lang", s"${sH("concat('ds:', doc_id)")} as h")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+        .orderBy("lang", "rk")
+    },
     // document fingerprints: content hash of normalized text
     "x04_fingerprint" -> { (s, dir) =>
       docs(s, dir)
@@ -157,6 +185,19 @@ object TextAnalysis {
     "x04_fingerprint" ->
       s"""SELECT doc_id, md5($dNorm) AS fp, ${dH(dNorm)} AS fp64
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x19_train_test_split" ->
+      s"""SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS min_id FROM (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, lang, ${dH("concat('split:', doc_id)")} % 100 AS b
+         |        FROM documents)) x
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "x20_class_downsample" ->
+      s"""SELECT doc_id, lang, rk FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk
+         |  FROM (SELECT doc_id, lang, ${dH("concat('ds:', doc_id)")} AS h FROM documents)) x
+         |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
     "x16_topk_tokens" ->
       s"""SELECT rank, token, n FROM (
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) AS rank,

@@ -231,6 +231,19 @@ object Relational {
         .agg(cnt.as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n").desc, col("token"))
     },
+    // the SQL front door: the same engine drives spark.sql text over
+    // registered views (what a SQL-first user of the library sees)
+    "r31_sql_interface" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS volume
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
     // date/interval arithmetic suite
     "r29_date_arithmetic" -> { (s, dir) =>
       t(s, dir, "orders")
@@ -423,6 +436,13 @@ object Relational {
         |  SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         |  FROM events) x
         |WHERE k % 10 = 0 ORDER BY event_id""".stripMargin,
+    "r31_sql_interface" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS volume
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "r29_date_arithmetic" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS ship_deadline,
