@@ -11,8 +11,9 @@ import Frag._
   * n-gram Jaccard via an inverted-index join.
   *
   * Scale design (the part that matters at 100 TB):
-  *  - signatures (minhash/simhash) are per-row higher-order-function
-  *    transforms — zero shuffle, whole-stage codegen, no UDFs;
+  *  - signatures (minhash/simhash) are explode + codegen'd keyed
+  *    aggregations (map-side partial agg, no interpreted HOFs in the
+  *    hot path, per-element cost independent of document size);
   *  - candidate generation NEVER does an O(n²) cross join: MinHash
   *    shuffles on (band_idx, band_hash), SimHash on 15-bit chunks
   *    (pigeonhole: 4 chunks guarantee recall for hamming ≤ 3), Jaccard
@@ -184,6 +185,32 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // train→test contamination scan (decontamination, as in GPT-3 /
+    // The Pile dataset reports): a test document is contaminated when
+    // it shares any 8-gram with the train split. Split assignment uses
+    // the same stable hash as x19; the overlap check is an
+    // inverted-index semi-join on 8-grams — never a pairwise compare.
+    "x21_contamination" -> { (s, dir) =>
+      val grams = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("doc_id",
+          s"${sH("concat('split:', doc_id)")} % 100 as bucket",
+          s"${sLet(sTokens, "tk", sGrams8)} as gs")
+      val train = grams.filter("bucket < 80")
+        .selectExpr("explode(gs) as g").distinct()
+      val testEx = grams.filter("bucket >= 90")
+        .selectExpr("doc_id", "explode(gs) as g")
+      val shared = testEx.join(train, "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_shared"))
+      grams.filter("bucket >= 90").select("doc_id")
+        .join(shared, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "coalesce(n_shared, cast(0 as bigint)) as n_shared",
+          "coalesce(n_shared, cast(0 as bigint)) > 0 as contaminated")
+        .orderBy("doc_id")
+    },
+
     // exact n-gram Jaccard via a df-pruned inverted-index join:
     // candidates must share a *rare* shingle (document frequency ≤ 64 —
     // AllPairs-style stop-shingle pruning, which caps the per-key join
@@ -250,6 +277,18 @@ object Dedup {
          |              AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "x21_contamination" ->
+      s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
+         |g0 AS (SELECT doc_id, ${dH("concat('split:', doc_id)")} % 100 AS bucket,
+         |         $dGrams8 AS gs FROM tkn),
+         |train AS (SELECT DISTINCT unnest(gs) AS g FROM g0 WHERE bucket < 80),
+         |testex AS (SELECT doc_id, unnest(gs) AS g FROM g0 WHERE bucket >= 90),
+         |shared AS (SELECT doc_id, CAST(COUNT(DISTINCT testex.g) AS BIGINT) AS n_shared
+         |           FROM testex JOIN train USING (g) GROUP BY doc_id)
+         |SELECT g0.doc_id, CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+         |  COALESCE(n_shared, 0) > 0 AS contaminated
+         |FROM g0 LEFT JOIN shared ON g0.doc_id = shared.doc_id
+         |WHERE bucket >= 90 ORDER BY g0.doc_id""".stripMargin,
     "x10_jaccard_pairs" ->
       s"""$dShingled,
          |ex AS (SELECT doc_id, unnest(shs) AS sh FROM shd),

@@ -52,6 +52,17 @@ object Frag {
   def sLet(bind: String, v: String, body: String): String =
     s"element_at(transform(array($bind), $v -> $body), 1)"
 
+  /** Distinct 8-gram shingles from a token-array column named `tk`
+    * (contamination scans use long n-grams for precision). */
+  val sGrams8: String =
+    """case when size(tk) >= 8
+      |  then array_distinct(transform(sequence(1, size(tk)-7),
+      |    i -> concat_ws(' ', slice(tk, i, 8))))
+      |  else cast(array() as array<string>) end""".stripMargin
+  val dGrams8: String =
+    """list_distinct(list_transform(range(1, greatest(len(tk)-7,0)+1),
+      |  i -> array_to_string(tk[i:i+7], ' ')))""".stripMargin
+
   /** Whitespace-normalized text (for fingerprints). */
   val sNorm = """regexp_replace(trim(lower(text)), '\\s+', ' ')"""
   val dNorm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
