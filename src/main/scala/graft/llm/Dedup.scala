@@ -2,7 +2,6 @@ package graft.llm
 
 import graft.queries.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Frag._
 
@@ -46,8 +45,6 @@ object Dedup {
       .filter("size(shs) > 0")
       .persist() // shared base of every dedup operator; a few MB of arrays
 
-  private def sMin(seed: Int) =
-    s"array_min(transform(hs, h -> ${sDerive("h", seed)})) as m$seed"
   private def dMin(seed: Int) =
     s"MIN(${dDerive("h", seed)}) AS m$seed"
 

@@ -2,7 +2,6 @@ package graft.llm
 
 import graft.queries.Tables.t
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** [EXT] Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted by a per-partition pipeline.

@@ -65,6 +65,38 @@ object Streaming {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  // ── incremental latest-version view (streaming R2) ──
+
+  final case class DocVersion(docType: String, id: String, version: Long,
+      batchDate: Timestamp, deleted: Boolean)
+  final case class LatestDoc(docType: String, id: String, version: Long,
+      deleted: Boolean)
+
+  /** The R2 `_LATEST` view maintained incrementally over a landing
+    * stream: one state record per (type, id) holding the argmax
+    * version; each micro-batch emits the keys whose latest changed
+    * (OutputMode.Update). Replays of already-seen versions never emit
+    * (same at-least-once absorption as the batch window dedup, but
+    * without rescanning history — the streaming-materialized-view
+    * pattern the reference's recompute-on-read views can't do). */
+  def latestState(docs: Dataset[DocVersion]): Dataset[LatestDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(d => (d.docType, d.id))
+      .mapGroupsWithState[LatestDoc, Option[LatestDoc]](
+        GroupStateTimeout.NoTimeout) {
+        case ((docType, id), batch, state) =>
+          val incoming = batch.maxBy(d => (d.version, d.batchDate.getTime))
+          val prev = state.getOption
+          if (prev.forall(_.version < incoming.version)) {
+            val next = LatestDoc(docType, id, incoming.version, incoming.deleted)
+            state.update(next)
+            Some(next)
+          } else None
+      }
+      .flatMap(_.iterator)
+  }
+
   // ── sessionization (arbitrary state) ──
 
   final case class Evt(user_id: Long, ts: Timestamp, value: Double)

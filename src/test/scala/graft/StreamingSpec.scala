@@ -100,6 +100,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("latestState maintains the R2 view incrementally; replays never emit") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming.{DocVersion, LatestDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocVersion]
+    val q = Streaming.latestState(mem.toDS())
+      .writeStream.format("memory").queryName("latest_docs")
+      .outputMode("update").start()
+    mem.addData(DocVersion("W", "a", 1, ts("2026-01-01 00:00:00"), false))
+    q.processAllAvailable()
+    assert(spark.table("latest_docs").as[LatestDoc].collect().toSeq ==
+      Seq(LatestDoc("W", "a", 1, false)))
+    // v2 arrives + v1 replay: exactly one update row (v2), replay absorbed
+    mem.addData(
+      DocVersion("W", "a", 2, ts("2026-01-02 00:00:00"), true),
+      DocVersion("W", "a", 1, ts("2026-01-02 00:00:00"), false))
+    q.processAllAvailable()
+    val rows = spark.table("latest_docs").as[LatestDoc].collect()
+    assert(rows.count(_.version == 2L) == 1)
+    assert(rows.length == 2) // initial v1 emit + the v2 update, nothing else
+    // pure replay of v1 ⇒ no new emission
+    mem.addData(DocVersion("W", "a", 1, ts("2026-01-03 00:00:00"), false))
+    q.processAllAvailable()
+    assert(spark.table("latest_docs").count() == 2)
+    q.stop()
+  }
+
   test("finalSessions closes open sessions in batch mode") {
     import spark.implicits._
     val evts = Seq(
