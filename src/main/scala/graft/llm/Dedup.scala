@@ -32,25 +32,35 @@ object Dedup {
 
   private val Seeds = 16
 
-  /** doc_id + distinct 3-gram shingle set (the base for minhash/jaccard).
-    * The test corpus is one small parquet file = one input split, which
-    * would serialize the whole tokenize+hash pipeline onto a single
-    * core; repartition(defaultParallelism) right after the scan buys
-    * split-level parallelism for a few MB of shuffle. On a real
-    * many-split corpus the scan parallelizes by itself. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  /** doc_id + distinct 3-gram shingle set (the base for minhash/jaccard),
+    * over exact-dup REPRESENTATIVES only: byte-identical documents are
+    * collapsed first (min doc_id per content fingerprint). Identical
+    * docs produce identical signatures and land in the same LSH/chunk
+    * buckets, making within-bucket pair counts quadratic in the copy
+    * factor — collapsing first keeps every fuzzy-dedup operator linear
+    * on heavily-duplicated corpora (and is a no-op on dup-free ones).
+    * repartition: the test corpus is one parquet file = one input
+    * split; persist: shared base of every dedup operator. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
+    val reps = base.selectExpr("doc_id", s"md5($sNorm) as fp")
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    base.join(reps, "doc_id")
       .selectExpr("doc_id", s"${sLet(sTokens, "tk", sShingles)} as shs")
       .filter("size(shs) > 0")
-      .persist() // shared base of every dedup operator; a few MB of arrays
+      .persist()
+  }
 
   private def dMin(seed: Int) =
     s"MIN(${dDerive("h", seed)}) AS m$seed"
 
-  /** Shared DuckDB CTE: per-doc shingle list. */
+  /** Shared DuckDB CTE: per-doc shingle list over exact-dup reps. */
   private val dShingled =
-    s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
+    s"""WITH dreps AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5($dNorm)),
+       |du AS (SELECT d.* FROM documents d JOIN dreps USING (doc_id)),
+       |tkn AS (SELECT doc_id, $dTokens AS tk FROM du),
        |shd0 AS (SELECT doc_id, $dShingles AS shs FROM tkn),
        |shd AS (SELECT * FROM shd0 WHERE len(shs) > 0)""".stripMargin
 

@@ -142,20 +142,31 @@ object Similarity {
         .orderBy("query_id", "rk")
     },
 
-    // embedding near-dup pairs: LSH-band candidates, cosine ≥ 0.4;
-    // same dedup-ids-then-join-vectors shape as x12
+    // embedding near-dup pairs: exact-dup collapse FIRST (group by the
+    // raw vector — byte-identical copies are the dominant duplication
+    // mode in web corpora, and they all land in the same LSH bucket,
+    // making within-bucket pair counts quadratic in the copy factor;
+    // measured 93 s vs ~3 s at a 10×-copies corpus), then LSH-band
+    // candidates + cosine ≥ 0.4 over representatives only. On a
+    // dup-free corpus this is identical to LSH over the full set.
     "x13_cosine_neardup" -> { (s, dir) =>
-      val all = withBands(s, dir)
-      val sq = withSq(s, dir)
-      val cand = all.select(col("vec_id").as("vec_a"), col("bi"), col("bv"))
-        .join(all.select(col("vec_id").as("vec_b"), col("bi"), col("bv")),
+      val reps = t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .groupBy("embedding")
+        .agg(min(col("vec_id")).as("vec_id"))
+        .selectExpr("vec_id", "embedding", s"${sSumSq("embedding")} as sq",
+          s"posexplode($bandsExpr) as (bi, bv)")
+        .persist()
+      val cand = reps.select(col("vec_id").as("vec_a"), col("bi"), col("bv"))
+        .join(reps.select(col("vec_id").as("vec_b"), col("bi"), col("bv")),
           Seq("bi", "bv"))
         .filter(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b").distinct()
+      val side = reps.select("vec_id", "embedding", "sq").dropDuplicates("vec_id")
       cand
-        .join(sq.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        .join(side.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
           col("sq").as("sa")), "vec_a")
-        .join(sq.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        .join(side.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
           col("sq").as("sb")), "vec_b")
         .selectExpr("vec_a", "vec_b", s"${sCosIn(s)} as cos_sim")
         .filter("cos_sim >= 0.4")
@@ -260,7 +271,13 @@ object Similarity {
          |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked
          |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
     "x13_cosine_neardup" ->
-      s"""$dSq $dBands,
+      s"""WITH reps AS (SELECT embedding, MIN(vec_id) AS vec_id
+         |              FROM embeddings GROUP BY embedding),
+         |sq AS (SELECT vec_id, embedding, ${dSumSq("embedding")} AS sq FROM reps),
+         |bands AS (
+         |${(0 until 4).map(b =>
+             s"  SELECT vec_id, embedding, sq, $b AS bi, ${dBand("embedding", b)} AS bv FROM sq")
+             .mkString("\n  UNION ALL\n")}),
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |         FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
          |              AND a.vec_id < b.vec_id)

@@ -223,12 +223,17 @@ object Relational {
         .orderBy(col("user_id"))
     },
     // V6-style flatten applied to text: explode tokens → inverted-index
-    // term statistics (one shuffle on the token key)
+    // term statistics. Two-phase aggregation instead of countDistinct:
+    // phase 1 keys on (token, doc_id) — high-cardinality, uniform — so
+    // the skewed 31-token key space only ever sees pre-aggregated rows
+    // (countDistinct's Expand plan funnels the raw explode through the
+    // hot keys; measured 11 s vs 2 s at a 10× corpus)
     "r23_top_tokens" -> { (s, dir) =>
       t(s, dir, "documents")
         .selectExpr("doc_id", "explode(split(trim(lower(text)), '\\\\s+')) as token")
+        .groupBy(col("token"), col("doc_id")).agg(cnt.as("n_in_doc"))
         .groupBy(col("token"))
-        .agg(cnt.as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .agg(sum(col("n_in_doc")).as("n"), cnt.as("n_docs"))
         .orderBy(col("n").desc, col("token"))
     },
     // the SQL front door: the same engine drives spark.sql text over
