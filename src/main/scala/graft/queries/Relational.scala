@@ -236,6 +236,31 @@ object Relational {
         .agg(sum(col("n_in_doc")).as("n"), cnt.as("n_docs"))
         .orderBy(col("n").desc, col("token"))
     },
+    // explicit window frame: 4-row moving average per user (decimal
+    // accumulation inside the frame for cross-engine exactness)
+    "r32_moving_average" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-3, 0)
+      t(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .withColumn("ma4",
+          (sum(col("value").cast(DecimalType(20, 2))).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double")))
+        .select(col("user_id"), col("event_id"), col("value"), col("ma4"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    // lag/lead: inter-event gap seconds and next event type per user
+    "r33_event_gaps" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("gap_us",
+          expr("unix_micros(ts) - unix_micros(prev_ts)"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("gap_us"), col("next_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
     // the SQL front door: the same engine drives spark.sql text over
     // registered views (what a SQL-first user of the library sees)
     "r31_sql_interface" -> { (s, dir) =>
@@ -441,6 +466,19 @@ object Relational {
         |  SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         |  FROM events) x
         |WHERE k % 10 = 0 ORDER BY event_id""".stripMargin,
+    "r32_moving_average" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,2)))
+        |         OVER (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma4
+        |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+    "r33_event_gaps" ->
+      """SELECT user_id, event_id,
+        |  CAST(epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id)) AS BIGINT) AS gap_us,
+        |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
     "r31_sql_interface" ->
       """SELECT c_mktsegment,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
