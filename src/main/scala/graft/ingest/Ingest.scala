@@ -130,9 +130,19 @@ object Ingest {
 
   /** Append a batch to the landing store (K1/K4 analogue: the columnar
     * write IS the bulk load). Partitioned by type so per-type views prune
-    * files at scan time. */
-  def appendBatch(df: DataFrame, landingPath: String): Unit =
-    df.write.mode("append").partitionBy("type").parquet(landingPath)
+    * files at scan time. `format` covers the Spark-native columnar/row
+    * stores (parquet default; orc for ORC-standardized estates; json
+    * for an interchange-friendly landing log). */
+  def appendBatch(df: DataFrame, landingPath: String,
+      format: String = "parquet"): Unit =
+    df.write.mode("append").partitionBy("type").format(format)
+      .save(landingPath)
+
+  /** Read the landing store back with the canonical schema (required:
+    * schema-on-read keeps json/csv stores type-exact). */
+  def readLanding(spark: SparkSession, landingPath: String,
+      format: String = "parquet"): DataFrame =
+    spark.read.schema(Landing.schema).format(format).load(landingPath)
 
   /** K3-style idempotent write: drop exact landing-key duplicates within
     * the batch before append (replays across batches are absorbed by the

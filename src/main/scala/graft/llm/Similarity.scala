@@ -75,12 +75,19 @@ object Similarity {
   private def bandsExpr =
     s"array(${(0 until 4).map(b => sBand("embedding", b)).mkString(", ")})"
 
+  /** Band-values expression: fused native SignBandsF32 when the
+    * extension is installed (one vector pass for all 16 planes), else
+    * the 16-fold HOF form — identical values either way. */
+  private def bandsIn(s: SparkSession): String =
+    if (s.catalog.functionExists("sign_bands_f32")) "sign_bands_f32(embedding)"
+    else bandsExpr
+
   /** Spark frame: vec_id, embedding, sq, bi, bv (4 rows per vector).
     * Persisted: the 16 projection folds are worth computing once, and
     * both sides of the candidate self-join read this frame. */
   private def withBands(s: SparkSession, dir: String): DataFrame =
     withSq(s, dir)
-      .selectExpr("vec_id", "embedding", "sq", s"posexplode($bandsExpr) as (bi, bv)")
+      .selectExpr("vec_id", "embedding", "sq", s"posexplode(${bandsIn(s)}) as (bi, bv)")
       .persist()
 
   /** DuckDB CTEs: sq per vec + 4-band signature rows. */
@@ -155,7 +162,7 @@ object Similarity {
         .groupBy("embedding")
         .agg(min(col("vec_id")).as("vec_id"))
         .selectExpr("vec_id", "embedding", s"${sSumSq("embedding")} as sq",
-          s"posexplode($bandsExpr) as (bi, bv)")
+          s"posexplode(${bandsIn(s)}) as (bi, bv)")
         .persist()
       val cand = reps.select(col("vec_id").as("vec_a"), col("bi"), col("bv"))
         .join(reps.select(col("vec_id").as("vec_b"), col("bi"), col("bv")),

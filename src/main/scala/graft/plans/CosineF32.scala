@@ -91,5 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("topk_freq"),
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "topk_freq"),
       (children: Seq[Expression]) => SpaceSavingTopK.create(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("sign_bands_f32"),
+      new ExpressionInfo(classOf[SignBandsF32].getName, "sign_bands_f32"),
+      (children: Seq[Expression]) =>
+        SignBandsF32(children.head, graft.llm.Frag.planes)))
   }
 }

@@ -27,6 +27,19 @@ class CosineF32Spec extends SparkSpec {
     }
   }
 
+  test("sign_bands_f32 matches the composable HOF band expressions") {
+    import spark.implicits._
+    import graft.llm.Frag
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val hof = s"array(${(0 until 4).map(b => Frag.sBand("embedding", b)).mkString(", ")})"
+    val rows = df.selectExpr("sign_bands_f32(embedding) as native", s"$hof as hof")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+    }
+  }
+
   test("cosine_f32 null and identity behavior") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")

@@ -48,6 +48,22 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.parseLine(mapper, "", bd, 10).isEmpty)
   }
 
+  test("landing store round-trips through parquet, orc and json formats") {
+    import spark.implicits._
+    val df = Ingest.fromNdjsonLines(Seq(doc("a", 2), doc("b", 1)).toDS(), bd, 10)
+    Seq("parquet", "orc", "json").foreach { fmt =>
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft-landing-$fmt").toString + "/store"
+      Ingest.appendBatch(df, path, fmt)
+      val back = Ingest.readLanding(spark, path, fmt)
+      assert(back.count() == 2, fmt)
+      val a = back.filter("id = 'a'").collect().head
+      assert(a.getAs[java.sql.Timestamp]("batch_date") == bd, fmt)
+      assert(a.getAs[Long]("version") == 3L, fmt)
+      assert(a.getAs[String]("data").contains("\"NAME\""), fmt)
+    }
+  }
+
   test("distributed NDJSON parse preserves all chunks and skips bad lines") {
     import spark.implicits._
     val lines = Seq(doc("a", 25), doc("b", 3), "garbage").toDS()
