@@ -72,13 +72,16 @@ object DocViews {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // landing → R1 replay dedup → R2 version argmax → typed projection
+    // (latest frame persisted: the final sort's range-partition sampling
+    // pass would otherwise re-execute the whole synth+dedup pipeline)
     "r24_document_latest_view" -> { (s, dir) =>
-      Views.typedView(Views.latest(landing(s, dir)), "DOC", docSchema("DOC"))
+      Views.typedView(Views.latest(landing(s, dir)).persist(), "DOC",
+        docSchema("DOC"))
         .orderBy("DOCUMENT_ID")
     },
     // landing → latest → record-list flatten with chunk re-union
     "r25_record_list_flatten" -> { (s, dir) =>
-      Views.recordListView(Views.latest(listLanding(s, dir)), "DOC",
+      Views.recordListView(Views.latest(listLanding(s, dir)).persist(), "DOC",
         listSchema("DOC"), "ITEMS")
         .orderBy("DOCUMENT_ID", "LISTITEM_ID")
     },
