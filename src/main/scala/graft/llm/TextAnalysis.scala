@@ -145,6 +145,21 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
         .orderBy("lang", "rk")
     },
+    // PII scan + redaction (the compliance pass every training-data
+    // pipeline runs): the corpus is synthetic, so emails/phones are
+    // injected deterministically from existing fields, then detected
+    // and masked — the oracle verifies detection counts and the exact
+    // redacted text. Narrow per-row regex map, no shuffle.
+    "x22_pii_redaction" -> { (s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id",
+          "concat(substring(text, 1, 40), ' contact ', source, '@example.com or +1-555-', lpad(cast(doc_id % 10000 as string), 4, '0')) as text2")
+        .selectExpr("doc_id",
+          "cast(size(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+', 0)) as bigint) as n_emails",
+          "cast(size(regexp_extract_all(text2, '\\\\+1-[0-9]{3}-[0-9]{4}', 0)) as bigint) as n_phones",
+          "regexp_replace(regexp_replace(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>'), '\\\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>') as redacted")
+        .orderBy("doc_id")
+    },
     // document fingerprints: content hash of normalized text
     "x04_fingerprint" -> { (s, dir) =>
       docs(s, dir)
@@ -185,6 +200,15 @@ object TextAnalysis {
     "x04_fingerprint" ->
       s"""SELECT doc_id, md5($dNorm) AS fp, ${dH(dNorm)} AS fp64
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x22_pii_redaction" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'), '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM (SELECT doc_id,
+        |        concat(substring(text, 1, 40), ' contact ', source, '@example.com or +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text2
+        |      FROM documents) x
+        |ORDER BY doc_id""".stripMargin,
     "x19_train_test_split" ->
       s"""SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS min_id FROM (
          |  SELECT doc_id, lang,
