@@ -221,13 +221,13 @@ object Dedup {
     // exact n-gram Jaccard via a df-pruned inverted-index join:
     // candidates must share a *rare* shingle (document frequency ≤ 64 —
     // AllPairs-style stop-shingle pruning, which caps the per-key join
-    // fan-out at C(16,2) and kills the quadratic hot-key blow-up),
+    // fan-out at C(8,2) and kills the quadratic hot-key blow-up),
     // then exact jaccard over the FULL shingle sets ≥ 0.5
     "x10_jaccard_pairs" -> { (s, dir) =>
       val sh = shingled(s, dir) // persisted: index + two array join sides
       val ex = sh.selectExpr("doc_id", "explode(shs) as sh")
       val rare = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 16).select("sh")
+        .filter(col("df") <= 8).select("sh")
       val rareEx = ex.join(rare, "sh")
       // candidates must share ≥ 2 rare shingles (near-dup pairs share
       // dozens; chance co-occurrences share 1) — the count filter runs
@@ -299,7 +299,7 @@ object Dedup {
     "x10_jaccard_pairs" ->
       s"""$dShingled,
          |ex AS (SELECT doc_id, unnest(shs) AS sh FROM shd),
-         |rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh) WHERE df <= 16),
+         |rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh) WHERE df <= 8),
          |rex AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare ON ex.sh = rare.sh),
          |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM rex a JOIN rex b ON a.sh = b.sh AND a.doc_id < b.doc_id
