@@ -47,8 +47,13 @@ object Dedup {
     val reps = base.selectExpr("doc_id", s"md5($sNorm) as fp")
       .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
+    // fused native shingler when GraftExtensions is installed; the
+    // composable HOF chain otherwise (identical output, oracle-checked)
+    val shingleExpr =
+      if (s.catalog.functionExists("shingles3")) "shingles3(text)"
+      else sLet(sTokens, "tk", sShingles)
     base.join(reps, "doc_id")
-      .selectExpr("doc_id", s"${sLet(sTokens, "tk", sShingles)} as shs")
+      .selectExpr("doc_id", s"$shingleExpr as shs")
       .filter("size(shs) > 0")
       .persist()
   }

@@ -40,6 +40,21 @@ class CosineF32Spec extends SparkSpec {
     }
   }
 
+  test("shingles3 matches the composable tokenize+shingle+distinct chain") {
+    import graft.llm.Frag
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val hof = Frag.sLet(Frag.sTokens, "tk", Frag.sShingles)
+    val rows = df.selectExpr("shingles3(text) as native", s"$hof as hof").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    // edge cases: empty, short, multi-space
+    import spark.implicits._
+    val edge = Seq("", "one two", "a  b\tc   d", "  x y z  ").toDF("text")
+    val er = edge.selectExpr("shingles3(text) as native", s"$hof as hof").collect()
+    er.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("cosine_f32 null and identity behavior") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
