@@ -116,18 +116,27 @@ object Dedup {
     * shape that scales: no per-row megaloop, so a document with 10^6
     * shingles costs the same per-element work as a small one. */
   private def simhashed(s: SparkSession, dir: String): DataFrame = {
-    val bitSums = (0 until 60).map(b =>
-      expr(s"sum(cast((shiftright(h, $b) & 1) as bigint))").as(s"c$b"))
-    val word = (0 until 60).map(b =>
-      s"if(2 * c$b > n, shiftleft(cast(1 as bigint), $b), cast(0 as bigint))")
-      .mkString(" + ")
-    shingled(s, dir)
-      .selectExpr("doc_id", "explode(shs) as sh")
-      .selectExpr("doc_id", s"${sH("sh")} as h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-      .selectExpr("doc_id", s"$word as simhash")
-      .persist() // consumed by both sides of the hamming self-join
+    if (s.catalog.functionExists("simhash60"))
+      // fused native form: narrow map, no shuffle until the chunk join
+      shingled(s, dir)
+        .selectExpr("doc_id", "simhash60(shs) as simhash")
+        .persist()
+    else {
+      // composable fallback: explode + 60 per-bit majority sums in one
+      // codegen'd aggregation (map-side partial agg, shuffle on doc_id)
+      val bitSums = (0 until 60).map(b =>
+        expr(s"sum(cast((shiftright(h, $b) & 1) as bigint))").as(s"c$b"))
+      val word = (0 until 60).map(b =>
+        s"if(2 * c$b > n, shiftleft(cast(1 as bigint), $b), cast(0 as bigint))")
+        .mkString(" + ")
+      shingled(s, dir)
+        .selectExpr("doc_id", "explode(shs) as sh")
+        .selectExpr("doc_id", s"${sH("sh")} as h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), bitSums: _*)
+        .selectExpr("doc_id", s"$word as simhash")
+        .persist() // consumed by both sides of the hamming self-join
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

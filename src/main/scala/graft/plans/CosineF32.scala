@@ -92,6 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "topk_freq"),
       (children: Seq[Expression]) => SpaceSavingTopK.create(children)))
     ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
+      (children: Seq[Expression]) => Simhash60(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
       (children: Seq[Expression]) => Shingles3(children.head)))

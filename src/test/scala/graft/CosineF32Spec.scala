@@ -55,6 +55,28 @@ class CosineF32Spec extends SparkSpec {
     er.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("simhash60 matches the explode+majority-sum composable form") {
+    import graft.llm.Frag
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+      .selectExpr("doc_id", "shingles3(text) as shs")
+      .filter("size(shs) > 0")
+    val word = (0 until 60).map(b =>
+      s"if(2 * c$b > n, shiftleft(cast(1 as bigint), $b), cast(0 as bigint))").mkString(" + ")
+    val sums = (0 until 60).map(b =>
+      s"sum(cast((shiftright(h, $b) & 1) as bigint)) as c$b").mkString(", ")
+    df.selectExpr("doc_id", "explode(shs) as sh")
+      .selectExpr("doc_id", s"${Frag.sH("sh")} as h")
+      .createOrReplaceTempView("sh_ex")
+    val hof = spark.sql(
+      s"SELECT doc_id, $word as simhash FROM (SELECT doc_id, count(1) as n, $sums FROM sh_ex GROUP BY doc_id) x")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = df.selectExpr("doc_id", "simhash60(shs) as simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == hof)
+    assert(native.nonEmpty)
+  }
+
   test("cosine_f32 null and identity behavior") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
