@@ -86,15 +86,26 @@ object Dedup {
     * codegen'd aggregation (map-side partial agg, one shuffle on
     * doc_id) — no interpreted higher-order functions in the hot path,
     * and per-element cost independent of document size. */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val minima = (0 until Seeds).map(i =>
-      expr(s"min(${sDerive("h", i)})").as(s"m$i"))
-    shingled(s, dir)
-      .selectExpr("doc_id", "explode(shs) as sh")
-      .selectExpr("doc_id", s"${sH("sh")} as h")
-      .groupBy("doc_id")
-      .agg(minima.head, minima.tail: _*)
-  }
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    if (s.catalog.functionExists("minhash16")) {
+      // fused native form: one md5 per shingle, 16 minima in registers,
+      // no shuffle. The persist boundary stops projection collapse from
+      // inlining (and so re-evaluating) minhash16 into all 16 columns.
+      shingled(s, dir)
+        .selectExpr("doc_id", "minhash16(shs) as ms")
+        .persist()
+        .selectExpr("doc_id" +:
+          (0 until Seeds).map(i => s"element_at(ms, ${i + 1}) as m$i"): _*)
+    } else {
+      // composable fallback: explode + 16 codegen'd min aggregates
+      val minima = (0 until Seeds).map(i =>
+        expr(s"min(${sDerive("h", i)})").as(s"m$i"))
+      shingled(s, dir)
+        .selectExpr("doc_id", "explode(shs) as sh")
+        .selectExpr("doc_id", s"${sH("sh")} as h")
+        .groupBy("doc_id")
+        .agg(minima.head, minima.tail: _*)
+    }
 
   // (simhash assembled from 60 per-bit majority sums; see simhashed)
 

@@ -92,6 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "topk_freq"),
       (children: Seq[Expression]) => SpaceSavingTopK.create(children)))
     ext.injectFunction((
+      new FunctionIdentifier("minhash16"),
+      new ExpressionInfo(classOf[Minhash16].getName, "minhash16"),
+      (children: Seq[Expression]) => Minhash16(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
       (children: Seq[Expression]) => Simhash60(children.head)))
