@@ -236,6 +236,15 @@ object Relational {
         .agg(sum(col("n_in_doc")).as("n"), cnt.as("n_docs"))
         .orderBy(col("n").desc, col("token"))
     },
+    // correlated scalar subquery (Catalyst decorrelates it into a
+    // join-aggregate): customers spending > 2× their segment's average.
+    // Exact decimal arithmetic end-to-end so the correlated average is
+    // engine-independent.
+    "r34_scalar_subquery" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("v_orders2")
+      t(s, dir, "customer").createOrReplaceTempView("v_customer2")
+      s.sql(Relational.r34Sql("v_orders2", "v_customer2"))
+    },
     // explicit window frame: 4-row moving average per user (decimal
     // accumulation inside the frame for cross-engine exactness)
     "r32_moving_average" -> { (s, dir) =>
@@ -349,6 +358,19 @@ object Relational {
             .as("price_p50_p95"))
     },
   )
+
+  /** One SQL text drives both engines (only the table names differ). */
+  def r34Sql(orders: String, customer: String): String =
+    s"""WITH cust AS (
+       |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS spend
+       |  FROM $orders GROUP BY o_custkey),
+       |j AS (SELECT c_custkey, c_mktsegment, spend
+       |      FROM $customer JOIN cust ON c_custkey = o_custkey)
+       |SELECT c_custkey, c_mktsegment, spend FROM j a
+       |WHERE spend > 2 * (
+       |  SELECT CAST(SUM(CAST(spend AS DECIMAL(20,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |  FROM j b WHERE b.c_mktsegment = a.c_mktsegment)
+       |ORDER BY c_custkey""".stripMargin
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)"
 
@@ -466,6 +488,7 @@ object Relational {
         |  SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
         |  FROM events) x
         |WHERE k % 10 = 0 ORDER BY event_id""".stripMargin,
+    "r34_scalar_subquery" -> r34Sql("orders", "customer"),
     "r32_moving_average" ->
       """SELECT user_id, event_id, value,
         |  CAST(SUM(CAST(value AS DECIMAL(20,2)))
