@@ -244,7 +244,7 @@ object Dedup {
     },
 
     // exact n-gram Jaccard via a df-pruned inverted-index join:
-    // candidates must share a *rare* shingle (document frequency ≤ 64 —
+    // candidates must share a *rare* shingle (document frequency ≤ 8 —
     // AllPairs-style stop-shingle pruning, which caps the per-key join
     // fan-out at C(8,2) and kills the quadratic hot-key blow-up),
     // then exact jaccard over the FULL shingle sets ≥ 0.5

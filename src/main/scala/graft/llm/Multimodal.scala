@@ -82,18 +82,22 @@ object Multimodal {
   )
 
   // The oracle recomputes the same facts from the source text (ASCII
-  // corpus ⇒ 1 char = 1 byte; code points = byte values).
+  // corpus ⇒ 1 char = 1 byte; code points = byte values). Empty-text rows
+  // are guarded: DuckDB's list_sum over an empty range is NULL and the
+  // frame_mean division would be NULL/0, but the Spark plan emits 0 /
+  // 0.0 — COALESCE + CASE keep the parity contract on arbitrary corpora.
   val oracleSql: Map[String, String] = Map(
     "x15_media_features" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  CAST(CASE WHEN strlen(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS BIGINT) AS head_byte,
-        |  CAST(list_sum(list_transform(range(1, least(16, strlen(text)) + 1),
-        |       i -> ascii(substring(text, i, 1)))) AS BIGINT) AS checksum16,
+        |  COALESCE(CAST(list_sum(list_transform(range(1, least(16, strlen(text)) + 1),
+        |       i -> ascii(substring(text, i, 1)))) AS BIGINT), 0) AS checksum16,
         |  CAST(length(range(1, strlen(text) + 1, 64)) AS BIGINT) AS n_frames,
-        |  CAST(list_sum(list_transform(range(1, strlen(text) + 1, 64),
-        |       i -> ascii(substring(text, i, 1)))) AS DOUBLE)
-        |    / CAST(length(range(1, strlen(text) + 1, 64)) AS BIGINT) AS frame_mean
+        |  CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+        |    CAST(list_sum(list_transform(range(1, strlen(text) + 1, 64),
+        |         i -> ascii(substring(text, i, 1)))) AS DOUBLE)
+        |      / CAST(length(range(1, strlen(text) + 1, 64)) AS BIGINT) END AS frame_mean
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

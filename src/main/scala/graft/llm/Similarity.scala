@@ -228,7 +228,9 @@ object Similarity {
           "embedding")
         .selectExpr("vec_id",
           sRound6("scale") + " as scale_r",
-          "transform(embedding, x -> cast(round(cast(x as double) / scale) as bigint)) as q")
+          // scale=0 (all-zero vector) guard: x/0 is NaN, whose bigint cast
+          // is engine-defined (Spark → 0, DuckDB → error) — pin q to 0
+          "transform(embedding, x -> cast(case when scale = 0 then 0 else round(cast(x as double) / scale) end as bigint)) as q")
         .selectExpr("vec_id", "scale_r",
           "aggregate(q, cast(0 as bigint), (acc, x) -> acc + x) as q_sum",
           "array_min(q) as q_min", "array_max(q) as q_max")
@@ -326,7 +328,7 @@ object Similarity {
          |              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / CAST(127 AS DOUBLE) AS scale
          |            FROM embeddings),
          |q1 AS (SELECT vec_id, scale,
-         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS q
+         |         list_transform(embedding, x -> CAST(CASE WHEN scale = 0 THEN 0 ELSE round(CAST(x AS DOUBLE) / scale) END AS BIGINT)) AS q
          |       FROM s1)
          |SELECT vec_id, ${dRound6("scale")} AS scale_r,
          |  CAST(list_sum(q) AS BIGINT) AS q_sum,

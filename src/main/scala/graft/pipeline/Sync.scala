@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths, Path}
 import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Incremental sync orchestration (SURVEY.md §2.6, §3.1/§3.3).
   *
@@ -40,9 +41,13 @@ final class SyncState(stateDir: String) {
   * slot in behind the same pager interface). */
 final class FileDocumentSource(dir: String, pageFiles: Int = 10) {
   def fetchPage(since: String): SyncPage = {
-    val all = Files.list(Paths.get(dir)).iterator.asScala
-      .filter(p => p.getFileName.toString.endsWith(".ndjson"))
-      .toVector.sortBy(_.getFileName.toString)
+    // Using closes the directory stream — the sync loop runs forever, so
+    // an unclosed Files.list leaks a directory handle per poll
+    val all = Using.resource(Files.list(Paths.get(dir))) { st =>
+      st.iterator.asScala
+        .filter(p => p.getFileName.toString.endsWith(".ndjson"))
+        .toVector
+    }.sortBy(_.getFileName.toString)
       .filter(_.getFileName.toString > since)
     val page = all.take(pageFiles)
     SyncPage(page,
@@ -73,12 +78,16 @@ final class SyncPipeline(
       val page = source.fetchPage(cursor)
       if (page.files.isEmpty) more = false
       else {
+        // persist: count + append would otherwise each re-run the full
+        // NDJSON parse + chunk split
         val df = Ingest.fromNdjsonLines(
           spark.read.textFile(page.files.map(_.toString): _*),
-          batchDate, chunkSize)
-        val n = df.count()
-        if (n > 0) Ingest.appendBatch(df, landingPath)
-        total += n
+          batchDate, chunkSize).persist()
+        try {
+          val n = df.count()
+          if (n > 0) Ingest.appendBatch(df, landingPath)
+          total += n
+        } finally df.unpersist()
         cursor = page.cursor
         state.write(cursor)
         more = page.truncated
@@ -102,10 +111,12 @@ final class SyncPipeline(
         val df = Ingest.fromNdjsonLines(
           spark.createDataset(page.lines).repartition(
             spark.sparkContext.defaultParallelism),
-          batchDate, chunkSize)
-        val n = df.count()
-        if (n > 0) Ingest.appendBatch(df, landingPath)
-        total += n
+          batchDate, chunkSize).persist()
+        try {
+          val n = df.count()
+          if (n > 0) Ingest.appendBatch(df, landingPath)
+          total += n
+        } finally df.unpersist()
       }
       cursor = page.cursor
       state.write(cursor)
@@ -156,9 +167,11 @@ final class SyncPipeline(
   def compact(targetFileMB: Int = 128): Unit = {
     val landing = spark.read.schema(graft.ingest.Landing.schema)
       .parquet(landingPath)
-    val bytes = Files.walk(Paths.get(landingPath)).iterator.asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(Files.size).sum
+    val bytes = Using.resource(Files.walk(Paths.get(landingPath))) { st =>
+      st.iterator.asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(Files.size).sum
+    }
     val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
     val staging = landingPath.stripSuffix("/") + ".compacted"
     landing.repartition(nFiles).write.mode("overwrite")
@@ -170,7 +183,9 @@ final class SyncPipeline(
 
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator.asScala.foreach(Files.delete)
+      Using.resource(Files.walk(p)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator.asScala.foreach(Files.delete)
+      }
     }
 }

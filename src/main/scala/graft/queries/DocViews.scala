@@ -51,11 +51,16 @@ object DocViews {
 
   /** Landing with a record list split across chunks: chunk 0 carries
     * items A and B; docs with id%5=0 also land a chunk-1 slice carrying
-    * item C (the T2 chunk-split contract). */
+    * item C (the T2 chunk-split contract). Docs with id%7=0 additionally
+    * RE-LAND the same version at ts2 with chunk 0 only (a re-chunked
+    * replay): per R1's (TYPE,ID,VERSION) grouped-max semantics the whole
+    * older batch dies with it — including its chunk-1 slice — so item C
+    * must vanish for id%35=0 docs. This is the regression surface for
+    * the stale-chunk-leak bug. */
   private def listLanding(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
-    val c0 = base.selectExpr(
-      s"$ts1 as batch_date", "'DOC' as type", "cast(doc_id as string) as id",
+    def c0(batch: String, pred: String) = base.filter(pred).selectExpr(
+      s"$batch as batch_date", "'DOC' as type", "cast(doc_id as string) as id",
       "cast(1 as bigint) as version", "0 as chunk", "source as author",
       s"$ts1 as date", "false as deleted",
       """to_json(named_struct('ITEMS', array(
@@ -67,7 +72,7 @@ object DocViews {
       s"$ts1 as date", "false as deleted",
       """to_json(named_struct('ITEMS', array(
         |  named_struct('LISTITEM_ID', 'C', 'VAL', n_chars * 3)))) as data""".stripMargin)
-    c0.unionByName(c1)
+    c0(ts1, "true").unionByName(c1).unionByName(c0(ts2, "doc_id % 7 = 0"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -106,7 +111,7 @@ object DocViews {
         |  SELECT CAST(doc_id AS VARCHAR), 'B', CAST(n_chars * 2 AS BIGINT) FROM documents
         |  UNION ALL
         |  SELECT CAST(doc_id AS VARCHAR), 'C', CAST(n_chars * 3 AS BIGINT)
-        |  FROM documents WHERE doc_id % 5 = 0) x
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0) x
         |ORDER BY DOCUMENT_ID, LISTITEM_ID""".stripMargin,
   )
 }

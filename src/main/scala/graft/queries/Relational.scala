@@ -351,11 +351,16 @@ object Relational {
     },
     // rows-only (approximate — no exact oracle by construction)
     "r21_approx_distinct" -> { (s, dir) =>
+      // scalar columns only: the driver's rows-only compare sorts the
+      // result in pandas, which cannot sort array cells
       t(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-            .as("price_p50_p95"))
+            .as("__p"))
+        .select(col("approx_parts"), col("approx_orders"),
+          element_at(col("__p"), 1).as("price_p50"),
+          element_at(col("__p"), 2).as("price_p95"))
     },
   )
 

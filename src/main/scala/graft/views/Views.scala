@@ -14,22 +14,24 @@ import org.apache.spark.sql.types._
   */
 object Views {
 
-  /** R1 — `_LATEST_ALL_VERSIONS`: per (type,id,version,chunk) keep the
-    * most recent batch_date copy (absorbs at-least-once replays).
-    * Reference forms: tuple-IN (snowflake.go:264-273) or self-join
-    * (sqlserver.go:213-226); here a single window dedup — one shuffle on
-    * the document key, no self-join / double scan.
+  /** R1 — `_LATEST_ALL_VERSIONS`: per (type,id,version) keep every chunk
+    * of the single most recent BATCH_DATE copy (absorbs at-least-once
+    * replays). Reference forms: tuple-IN on the grouped max
+    * (snowflake.go:264-273) or self-join (sqlserver.go:213-226); here a
+    * single unordered window max — one shuffle on the document key, no
+    * self-join / double scan, and no per-partition sort (a row_number
+    * would need one).
     *
-    * Note: the reference groups by (TYPE,ID,VERSION) only, but a replayed
-    * batch re-lands every chunk, so including chunk in the partition key
-    * preserves each chunk's latest copy — same result set on chunked
-    * docs, and it protects re-chunked replays.
+    * The partition key is deliberately (type,id,version) WITHOUT chunk: a
+    * replayed batch re-lands the whole document, so only that batch's
+    * chunk set must survive. If a version is re-landed with fewer chunks
+    * (e.g. chunk-size config changed), the older batch's higher-numbered
+    * chunks are dropped rather than leaking into list flattens.
     */
   def latestAllVersions(landing: DataFrame): DataFrame = {
-    val w = Window.partitionBy("type", "id", "version", "chunk")
-      .orderBy(col("batch_date").desc)
-    landing.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val w = Window.partitionBy("type", "id", "version")
+    landing.withColumn("__maxb", max(col("batch_date")).over(w))
+      .filter(col("batch_date") === col("__maxb")).drop("__maxb")
   }
 
   /** R2 — `_LATEST`: of those, keep only the max version per (type,id)
@@ -50,12 +52,11 @@ object Views {
   def prune(landing: DataFrame): DataFrame = latestAllVersions(landing)
 
   /** Rows R4 would delete (for parity testing: anti-join form,
-    * snowflake.go:87-94). */
+    * snowflake.go:87-94) — the exact complement of [[latestAllVersions]]. */
   def pruneDeletes(landing: DataFrame): DataFrame = {
-    val w = Window.partitionBy("type", "id", "version", "chunk")
-      .orderBy(col("batch_date").desc)
-    landing.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1).drop("__rn")
+    val w = Window.partitionBy("type", "id", "version")
+    landing.withColumn("__maxb", max(col("batch_date")).over(w))
+      .filter(col("batch_date") =!= col("__maxb")).drop("__maxb")
   }
 
   // ─── Typed per-document-type views (V1–V6) ───

@@ -18,7 +18,7 @@ class ViewsSpec extends SparkSpec {
     spark.createDataset(rs).toDF()
   }
 
-  test("R1 latestAllVersions keeps one copy per (type,id,version,chunk), newest batch") {
+  test("R1 latestAllVersions keeps all chunks of the newest batch per (type,id,version)") {
     val df = landing(
       rec("2026-01-01 00:00:00", "W", "d1", 1, data = "old"),
       rec("2026-01-02 00:00:00", "W", "d1", 1, data = "new"), // replay of v1
@@ -28,6 +28,22 @@ class ViewsSpec extends SparkSpec {
     assert(out.length == 3)
     val v1 = out.find(r => r.getAs[String]("id") == "d1" && r.getAs[Long]("version") == 1L).get
     assert(v1.getAs[String]("data") == "new")
+  }
+
+  test("R1 drops stale chunks when a version is replayed with fewer chunks") {
+    // v1 lands at ts1 split into chunks 0..2; a re-chunked replay at ts2
+    // lands the same version as chunks 0..1 only. The whole older batch —
+    // including its chunk 2 — must die (snowflake.go CREATE VIEW
+    // _LATEST_ALL_VERSIONS groups by TYPE,ID,VERSION, not per chunk).
+    val df = landing(
+      rec("2026-01-01 00:00:00", "W", "d1", 1, chunk = 0, data = "old0"),
+      rec("2026-01-01 00:00:00", "W", "d1", 1, chunk = 1, data = "old1"),
+      rec("2026-01-01 00:00:00", "W", "d1", 1, chunk = 2, data = "old2"),
+      rec("2026-01-02 00:00:00", "W", "d1", 1, chunk = 0, data = "new0"),
+      rec("2026-01-02 00:00:00", "W", "d1", 1, chunk = 1, data = "new1"))
+    val out = Views.latestAllVersions(df).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("data")).sorted.toSeq == Seq("new0", "new1"))
   }
 
   test("R2 latest keeps only the argmax version per (type,id); tombstones visible") {
