@@ -6,13 +6,20 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.files.minPartitionNum", "4").getOrCreate()
+      .config("spark.sql.files.minPartitionNum", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val explain = sys.env.contains("GRAFT_EXPLAIN")
+    // JIT-warm the same query shapes on the tiny SF first, so the timed
+    // runs measure data work, not first-use codegen compilation
+    sys.env.get("GRAFT_WARM").foreach { wdir =>
+      names.foreach(n => SparkEntry.queries(n)(spark, wdir).count())
+      spark.catalog.clearCache()
+    }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       if (explain) {

@@ -209,11 +209,13 @@ object Dedup {
         col("ci"), col("chunk"))
       val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
         col("ci"), col("chunk"))
+      // hamming test runs inside the join stage (cheap bit math per
+      // candidate row) so only true near-dups reach the dedup shuffle
       a.join(b, Seq("ci", "chunk")).filter(col("doc_a") < col("doc_b"))
+        .filter("bit_count(ha ^ hb) <= 3")
         .dropDuplicates("doc_a", "doc_b")
         .selectExpr("doc_a", "doc_b",
           "cast(bit_count(ha ^ hb) as bigint) as hamming")
-        .filter("hamming <= 3")
         .orderBy("doc_a", "doc_b")
     },
 
@@ -251,15 +253,21 @@ object Dedup {
     "x10_jaccard_pairs" -> { (s, dir) =>
       val sh = shingled(s, dir) // persisted: index + two array join sides
       val ex = sh.selectExpr("doc_id", "explode(shs) as sh")
-      val rare = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 8).select("sh")
-      val rareEx = ex.join(rare, "sh")
-      // candidates must share ≥ 2 rare shingles (near-dup pairs share
-      // dozens; chance co-occurrences share 1) — the count filter runs
-      // on (id, id) pairs BEFORE any array payload is shuffled
-      val cand = rareEx.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(rareEx.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      // ONE shuffle builds the inverted index with its posting lists;
+      // rare buckets (≤ 8 postings — AllPairs-style stop-shingle pruning)
+      // expand to ordered pairs locally, ≤ C(8,2)=28 per bucket, so the
+      // quadratic hot-key blow-up is structurally impossible and no
+      // self-join ever shuffles the postings twice
+      val pairs = ex.groupBy("sh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 8))
+        .selectExpr("posexplode(ids) as (i, doc_a)", "ids")
+        .selectExpr("doc_a", "explode(slice(ids, i + 2, size(ids))) as doc_b")
         .filter(col("doc_a") < col("doc_b"))
+      // candidates must share ≥ 2 rare shingles (near-dup pairs share
+      // dozens; chance co-occurrences share 1) — counted on bare (id,id)
+      // pairs before any array payload moves
+      val cand = pairs
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_rare"))
         .filter(col("shared_rare") >= 2)
         .select("doc_a", "doc_b")
