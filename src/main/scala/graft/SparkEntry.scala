@@ -11,7 +11,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * [EXT] LLM-data-pipeline surface (graft.llm). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ DocViews.queries ++
+    Relational.queries ++ TimeSeries.queries ++ DocViews.queries ++
       graft.llm.TextAnalysis.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
@@ -20,7 +20,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ DocViews.oracleSql ++
+    Relational.oracleSql ++ TimeSeries.oracleSql ++ DocViews.oracleSql ++
       graft.llm.TextAnalysis.oracleSql ++
       graft.llm.Dedup.oracleSql ++
       graft.llm.Similarity.oracleSql ++

@@ -150,6 +150,26 @@ object Dedup {
     }
   }
 
+  /** x09's pair graph: simhash reps whose hamming distance ≤ 3, found
+    * via the 4 × 15-bit pigeonhole chunk index (exact recall for the
+    * ≤ 3 radius). Shared by x09 (pair listing) and x24 (clustering). */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhashed(s, dir)
+      .selectExpr("doc_id", "simhash",
+        "posexplode(transform(sequence(0, 3), c -> (shiftright(simhash, 15*c) & 32767))) as (ci, chunk)")
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+      col("ci"), col("chunk"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+      col("ci"), col("chunk"))
+    // hamming test runs inside the join stage (cheap bit math per
+    // candidate row) so only true near-dups reach the dedup shuffle
+    a.join(b, Seq("ci", "chunk")).filter(col("doc_a") < col("doc_b"))
+      .filter("bit_count(ha ^ hb) <= 3")
+      .dropDuplicates("doc_a", "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "cast(bit_count(ha ^ hb) as bigint) as hamming")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: hash-groupBy on the normalized-content fingerprint;
@@ -202,21 +222,47 @@ object Dedup {
     // (narrow chunks collapse into huge buckets on homogeneous
     // corpora — the quadratic blow-up this avoids)
     "x09_simhash_neardups" -> { (s, dir) =>
-      val sh = simhashed(s, dir)
-        .selectExpr("doc_id", "simhash",
-          "posexplode(transform(sequence(0, 3), c -> (shiftright(simhash, 15*c) & 32767))) as (ci, chunk)")
-      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
-        col("ci"), col("chunk"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
-        col("ci"), col("chunk"))
-      // hamming test runs inside the join stage (cheap bit math per
-      // candidate row) so only true near-dups reach the dedup shuffle
-      a.join(b, Seq("ci", "chunk")).filter(col("doc_a") < col("doc_b"))
-        .filter("bit_count(ha ^ hb) <= 3")
-        .dropDuplicates("doc_a", "doc_b")
-        .selectExpr("doc_a", "doc_b",
-          "cast(bit_count(ha ^ hb) as bigint) as hamming")
-        .orderBy("doc_a", "doc_b")
+      simhashPairs(s, dir).orderBy("doc_a", "doc_b")
+    },
+
+    // near-dup CLUSTERS: connected components over the x09 pair graph —
+    // the step that turns pairwise matches into "keep one per group".
+    // Distributed min-label propagation: each round every node adopts
+    // the smallest label among itself and its neighbors; rounds are
+    // whole-graph joins (no driver-side graph state, only the converged
+    // flag crosses to the driver), so the algorithm is
+    // partition-parallel at any scale. Rounds = graph diameter; the
+    // large-star/small-star variant (Kiveris et al.) would make it
+    // log(diameter) — unnecessary for near-dup components, which are
+    // tiny and dense by construction. Cluster id = min doc_id in the
+    // component; the DuckDB oracle recomputes components via a
+    // recursive-CTE transitive closure — a completely different
+    // algorithm, so agreement is a strong check.
+    "x24_dedup_clusters" -> { (s, dir) =>
+      val pairs = simhashPairs(s, dir).select("doc_a", "doc_b").persist()
+      val edges = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst").persist()
+      var labels = edges.select(col("src").as("doc")).distinct()
+        .withColumn("lbl", col("doc")).persist()
+      var converged = false
+      while (!converged) {
+        val prop = edges.join(labels.withColumnRenamed("doc", "src"), "src")
+          .groupBy(col("dst").as("doc")).agg(min(col("lbl")).as("nlbl"))
+        val next = labels.join(prop, Seq("doc"), "left")
+          .selectExpr("doc", "least(lbl, coalesce(nlbl, lbl)) as lbl")
+          .persist()
+        converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
+          .filter(col("lbl") < col("old")).isEmpty
+        labels.unpersist()
+        labels = next
+      }
+      val sizes = labels.groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
     },
 
     // train→test contamination scan (decontamination, as in GPT-3 /
@@ -343,5 +389,31 @@ object Dedup {
          |  FROM cand JOIN shd x ON cand.doc_a = x.doc_id
          |            JOIN shd y ON cand.doc_b = y.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // components via recursive-CTE transitive closure + min — a
+    // different algorithm than the Spark label-propagation loop, so
+    // agreement is a genuine cross-check (closure is fine here: near-dup
+    // components are tiny; the Spark side is the one built for scale)
+    "x24_dedup_clusters" ->
+      s"""${dSimhash.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |chunks AS (SELECT doc_id, simhash, c AS ci, (simhash >> (15*c)) & 32767 AS chunk
+         |           FROM sh2, range(0, 4) r(c)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+         |               AND a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+         |  WHERE r.src <> e.dst),
+         |labels AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |          FROM labels GROUP BY cluster_id)
+         |SELECT doc_id, l.cluster_id, cluster_size
+         |FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -168,6 +168,33 @@ object TextAnalysis {
           s"${sH(sNorm)} as fp64")
         .orderBy("doc_id")
     },
+    // TF-IDF top terms per document: tf from one explode+groupBy, df
+    // from a second aggregation over the SAME (doc,token) frame (no
+    // re-tokenize), corpus size broadcast as a 1-row cross join. The
+    // tfidf double is identical across engines because tf, df, N are
+    // integers: both sides compute tf * ln(N/df) from the same exact
+    // operands. Two shuffles total (doc-token counts, token df) + the
+    // ranking window — at 100 TB the df frame is vocabulary-sized,
+    // which is why it, not the corpus, feeds the join.
+    "x23_tfidf_topterms" -> { (s, dir) =>
+      val tf = docs(s, dir)
+        .selectExpr("doc_id", s"explode($sTokens) as token")
+        .filter(col("token") =!= "")
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .persist()
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      tf.join(df, "token").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          expr("cast(tf as double) * ln(cast(n_docs as double) / cast(df as double))"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .selectExpr("doc_id", "rk", "token", "tf", "df",
+          sRound6("tfidf") + " as tfidf_r")
+        .orderBy("doc_id", "rk")
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -230,5 +257,19 @@ object TextAnalysis {
          |        FROM (SELECT unnest($dTokens) AS token FROM documents)
          |        GROUP BY token)) x
          |WHERE rank < 10 ORDER BY rank""".stripMargin,
+    "x23_tfidf_topterms" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($dTokens) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY doc_id, token),
+         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |         CAST(tf.tf AS DOUBLE) * ln(n_docs / CAST(df.df AS DOUBLE)) AS tfidf
+         |       FROM tf JOIN df USING (token), n)
+         |SELECT doc_id, rk, token, tf, df, ${dRound6("tfidf")} AS tfidf_r FROM (
+         |  SELECT sc.*, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, token) AS BIGINT) AS rk FROM sc) x
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
   )
 }

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Time-series / reshaping operators the reference's warehouses provide
+  * natively but Spark lacks as single primitives (SURVEY.md §2.7):
+  * as-of join, range join, batch sessionization, quantile binning,
+  * unpivot, per-group argmax. Each is expressed in its *scalable* Spark
+  * form — union+window instead of a per-row subquery for as-of, a
+  * bucket-banded equi-join instead of an inequality join for range — and
+  * each has a DuckDB oracle twin (which CAN use the native ASOF / theta
+  * join, making the oracle a genuine cross-implementation check).
+  */
+object TimeSeries {
+
+  private final val TenMinUs = 600000000L // 10 min in microseconds
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // AS-OF JOIN (attribution): for each purchase, the user's latest
+    // view at-or-before it. Spark-first shape: tag+union both streams,
+    // one window pass carries the last view forward — a single shuffle
+    // on (user_id), no per-row subquery, no range blow-up; this is how
+    // an as-of join stays linear at 100 TB. The tag orders a view at
+    // the exact purchase timestamp BEFORE the purchase (inclusive
+    // match), mirroring ASOF's >= semantics.
+    "r35_asof_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("tm"), lit(0).as("tag"),
+          col("ts").as("vts"), lit(null).cast("long").as("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("tm"), lit(1).as("tag"),
+          lit(null).cast("timestamp").as("vts"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("tm"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purchases)
+        .withColumn("last_view_ts", last(col("vts"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .selectExpr("event_id", "user_id", "tm as ts", "last_view_ts",
+          """case when last_view_ts is null then cast(-1 as bigint)
+            |  else unix_micros(tm) - unix_micros(last_view_ts) end as gap_us""".stripMargin)
+        .orderBy("event_id")
+    },
+
+    // RANGE JOIN (windowed enrichment): per purchase, count + sum the
+    // view/click activity in the strict 10-minute window before it.
+    // Spark-first shape: band the time axis into 10-minute buckets and
+    // equi-join on (user_id, bucket) with the probe exploded to its two
+    // candidate buckets — the inequality predicate then filters a
+    // bounded candidate set instead of driving a cross product. A prior
+    // event lives in exactly one bucket, so no pair can match twice.
+    "r36_range_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val prior = e.filter(col("event_type").isin("view", "click"))
+        .selectExpr("user_id", "unix_micros(ts) as pus", "value as pval",
+          s"unix_micros(ts) div $TenMinUs as b")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .selectExpr("event_id", "user_id", "ts", "unix_micros(ts) as us")
+      val probes = purchases
+        .selectExpr("event_id", "user_id", "us",
+          s"explode(array(us div $TenMinUs - 1, us div $TenMinUs)) as b")
+      val matched = probes.join(prior, Seq("user_id", "b"))
+        .filter(col("pus") < col("us") && col("pus") >= col("us") - TenMinUs)
+        .groupBy("event_id")
+        .agg(cnt.as("n_prior"), dsum(col("pval")).as("val_prior"))
+      purchases.select("event_id", "user_id", "ts")
+        .join(matched, Seq("event_id"), "left")
+        .selectExpr("event_id", "user_id", "ts",
+          "coalesce(n_prior, cast(0 as bigint)) as n_prior",
+          "coalesce(val_prior, cast(0.0 as double)) as val_prior")
+        .orderBy("event_id")
+    },
+
+    // BATCH SESSIONIZATION: 30-minute inactivity gap splits sessions
+    // (the batch twin of streaming/Streaming.sessionize). Two window
+    // passes over one (user_id) shuffle: lag marks session starts,
+    // a running sum numbers them; then one aggregation per session.
+    "r37_sessionize" -> { (s, dir) =>
+      val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(byTime))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            expr("unix_micros(ts)") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(cnt.as("n_events"),
+          min(expr("unix_micros(ts)")).as("start_us"),
+          max(expr("unix_micros(ts)")).as("end_us"),
+          dsum(col("value")).as("total_value"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // QUANTILE BINNING: decile summary of order totals. NTILE over a
+    // global order requires a single-partition sort — acceptable here
+    // because the exactness gate demands exact bin edges; the 100 TB
+    // variant broadcasts approx_percentile boundaries and assigns bins
+    // map-side (documented trade, same downstream aggregation).
+    "r38_price_deciles" -> { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(cnt.as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("decile")
+    },
+
+    // UNPIVOT/MELT: wide per-flag metrics to long (metric, value) rows —
+    // Spark's native unpivot (Dataset.unpivot), one narrow map, no
+    // shuffle beyond the feeding aggregation.
+    "r39_unpivot_metrics" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_discount"), 4).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    },
+
+    // PER-GROUP ARGMAX (mode): each user's most frequent event type,
+    // ties broken lexicographically. groupBy + ranking window — the
+    // count aggregation is map-side partial, the window shuffles only
+    // the (user, type, n) aggregate rows.
+    "r40_user_top_event" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("event_type"))
+      t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(cnt.as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("user_id", "event_type", "n")
+        .orderBy("user_id")
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // DuckDB's native ASOF JOIN — a different algorithm than the Spark
+    // union+window plan, so agreement is a real cross-check.
+    "r35_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts,
+        |  CASE WHEN v.ts IS NULL THEN CAST(-1 AS BIGINT)
+        |       ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS gap_us
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY event_id""".stripMargin,
+    "r36_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |pri AS (SELECT user_id, ts AS pts, value AS pval FROM events
+        |        WHERE event_type IN ('view', 'click')),
+        |m AS (SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_prior,
+        |        CAST(SUM(CAST(pval AS DECIMAL(20,2))) AS DOUBLE) AS val_prior
+        |      FROM p JOIN pri ON p.user_id = pri.user_id
+        |        AND epoch_us(pts) < epoch_us(p.ts)
+        |        AND epoch_us(pts) >= epoch_us(p.ts) - 600000000
+        |      GROUP BY p.event_id)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  COALESCE(n_prior, 0) AS n_prior, COALESCE(val_prior, 0.0) AS val_prior
+        |FROM p LEFT JOIN m ON p.event_id = m.event_id
+        |ORDER BY p.event_id""".stripMargin,
+    "r37_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN LAG(ts, 1) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts, value,
+        |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "r38_price_deciles" ->
+      """SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+        |FROM (SELECT o_totalprice,
+        |        CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+        |      FROM orders)
+        |GROUP BY decile ORDER BY decile""".stripMargin,
+    "r39_unpivot_metrics" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM agg
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_disc', sum_disc FROM agg)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "r40_user_top_event" ->
+      """SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY COUNT(*) DESC, event_type) AS rk
+        |  FROM events GROUP BY user_id, event_type)
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+  )
+}
