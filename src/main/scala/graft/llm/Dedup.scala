@@ -239,23 +239,30 @@ object Dedup {
     // recursive-CTE transitive closure — a completely different
     // algorithm, so agreement is a strong check.
     "x24_dedup_clusters" -> { (s, dir) =>
-      val pairs = simhashPairs(s, dir).select("doc_a", "doc_b").persist()
+      val pairs = simhashPairs(s, dir).select("doc_a", "doc_b")
       val edges = pairs
         .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst").persist()
+        .toDF("src", "dst")
+        // localCheckpoint (eager) truncates lineage so each loop round
+        // plans against materialized partitions, not the whole simhash
+        // pipeline — without it Catalyst re-analyzes a plan that grows
+        // with every iteration and the loop goes quadratic in rounds
+        .localCheckpoint()
       var labels = edges.select(col("src").as("doc")).distinct()
-        .withColumn("lbl", col("doc")).persist()
+        .withColumn("lbl", col("doc")).localCheckpoint()
       var converged = false
       while (!converged) {
         val prop = edges.join(labels.withColumnRenamed("doc", "src"), "src")
           .groupBy(col("dst").as("doc")).agg(min(col("lbl")).as("nlbl"))
+        // the improvement flag rides along in the same pass, so the
+        // convergence probe is a filter over the checkpointed result —
+        // one distributed job per round, one boolean to the driver
         val next = labels.join(prop, Seq("doc"), "left")
-          .selectExpr("doc", "least(lbl, coalesce(nlbl, lbl)) as lbl")
-          .persist()
-        converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
-          .filter(col("lbl") < col("old")).isEmpty
-        labels.unpersist()
-        labels = next
+          .selectExpr("doc", "least(lbl, coalesce(nlbl, lbl)) as lbl",
+            "coalesce(nlbl, lbl) < lbl as improved")
+          .localCheckpoint()
+        converged = next.filter(col("improved")).isEmpty
+        labels = next.drop("improved")
       }
       val sizes = labels.groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))
