@@ -168,6 +168,26 @@ object TextAnalysis {
           s"${sH(sNorm)} as fp64")
         .orderBy("doc_id")
     },
+    // SEQUENCE PACKING (the pretraining batch-assembly op): concatenate
+    // the token stream in doc_id order and chop into fixed 256-token
+    // sequences; a doc belongs to the sequence where its first token
+    // lands. Packed per language partition — the realistic sharding —
+    // so the cumulative-sum window is partitioned, not global, and the
+    // op stays distributed at corpus scale. One shuffle on lang.
+    "x25_sequence_packing" -> { (s, dir) =>
+      val run = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir)
+        .selectExpr("doc_id", "lang", s"cast(size($sTokens) as bigint) as n_tok")
+        .withColumn("start", sum(col("n_tok")).over(run) - col("n_tok"))
+        .withColumn("seq_id", expr("start div 256"))
+        .groupBy("lang", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "seq_id")
+    },
     // TF-IDF top terms per document: tf from one explode+groupBy, df
     // from a second aggregation over the SAME (doc,token) frame (no
     // re-tokenize), corpus size broadcast as a 1-row cross join. The
@@ -271,5 +291,18 @@ object TextAnalysis {
          |  SELECT sc.*, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
          |    ORDER BY tfidf DESC, token) AS BIGINT) AS rk FROM sc) x
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "x25_sequence_packing" ->
+      s"""WITH tk AS (SELECT doc_id, lang, CAST(len($dTokens) AS BIGINT) AS n_tok
+         |            FROM documents),
+         |c AS (SELECT doc_id, lang, n_tok,
+         |        CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start
+         |      FROM tk)
+         |SELECT lang, start // 256 AS seq_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY lang, seq_id
+         |ORDER BY lang, seq_id""".stripMargin,
   )
 }

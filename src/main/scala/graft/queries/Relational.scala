@@ -350,6 +350,23 @@ object Relational {
         .orderBy("doc_id")
     },
     // rows-only (approximate — no exact oracle by construction)
+    // exact per-group percentiles with SQL-standard percentile_disc
+    // semantics, hand-rolled (row ceil(p*n) of the value-ordered group)
+    // so both engines pick the same physical row — built-in quantile
+    // functions differ in index conventions across engines. Partitioned
+    // ranking window: scales with groups.
+    "r42_group_percentiles" -> { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", cnt.over(Window.partitionBy("c_mktsegment")))
+        .selectExpr("c_mktsegment", "c_acctbal", "rn", "n",
+          "explode(array(0.25d, 0.5d, 0.75d)) as p")
+        .filter(col("rn") === ceil(col("p") * col("n")))
+        .select(col("c_mktsegment"), col("p"), col("c_acctbal").as("pval"))
+        .orderBy("c_mktsegment", "p")
+    },
     "r21_approx_distinct" -> { (s, dir) =>
       // scalar columns only: the driver's rows-only compare sorts the
       // result in pandas, which cannot sort array cells
@@ -572,5 +589,14 @@ object Relational {
         |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(20,2)) END) AS DOUBLE) AS qty_n,
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(20,2)) END) AS DOUBLE) AS qty_r
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r42_group_percentiles" ->
+      """SELECT c_mktsegment, p, c_acctbal AS pval FROM (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+        |  FROM customer) x, (SELECT unnest([0.25, 0.5, 0.75]) AS p) ps
+        |WHERE rn = CAST(ceil(p * n) AS BIGINT)
+        |ORDER BY c_mktsegment, p""".stripMargin,
   )
 }

@@ -128,6 +128,22 @@ object TimeSeries {
         .orderBy("l_returnflag", "metric")
     },
 
+    // RANGE-frame window: per event, activity in the trailing 10-minute
+    // interval — a true RANGE (value-based) frame over the numeric
+    // microsecond axis, not a ROWS frame; one (user_id) shuffle.
+    "r41_range_window" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-TenMinUs, 0)
+      t(s, dir, "events")
+        .selectExpr("user_id", "event_id", "value", "unix_micros(ts) as us")
+        .withColumn("n_win", cnt.over(w))
+        .withColumn("val_win",
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+            .over(w).cast("double"))
+        .select("user_id", "event_id", "n_win", "val_win")
+        .orderBy("user_id", "event_id")
+    },
+
     // PER-GROUP ARGMAX (mode): each user's most frequent event type,
     // ties broken lexicographically. groupBy + ranking window — the
     // count aggregation is map-side partial, the window shuffles only
@@ -146,6 +162,14 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "r41_range_window" ->
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,2))) OVER w AS DOUBLE) AS val_win
+        |FROM (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     // DuckDB's native ASOF JOIN — a different algorithm than the Spark
     // union+window plan, so agreement is a real cross-check.
     "r35_asof_join" ->
