@@ -58,4 +58,22 @@ class DupCorpusSpec extends SparkSpec {
     assert(duped == unique)
     assert(duped.nonEmpty)
   }
+
+  test("x10 jaccard pairs stay at the representative level on the duped corpus") {
+    val unique = SparkEntry.queries("x10_jaccard_pairs")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val duped = SparkEntry.queries("x10_jaccard_pairs")(spark, dupDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(duped == unique)
+    assert(duped.nonEmpty)
+  }
+
+  test("x24 clusters are identical on the duped corpus (rep-level graph)") {
+    val unique = SparkEntry.queries("x24_dedup_clusters")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val duped = SparkEntry.queries("x24_dedup_clusters")(spark, dupDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(duped == unique)
+    assert(duped.nonEmpty)
+  }
 }
