@@ -168,6 +168,28 @@ object TextAnalysis {
           s"${sH(sNorm)} as fp64")
         .orderBy("doc_id")
     },
+    // REPETITION SCORE (Gopher-rules-style quality signal): fraction of
+    // duplicated 2-grams and the top 2-gram's share, per document —
+    // high values flag boilerplate/spam for filtering. One explode +
+    // two stacked aggregations (map-side partial both times), then a
+    // join back so zero-gram docs (< 2 tokens) surface with 0.0.
+    "x26_repetition_score" -> { (s, dir) =>
+      val g2 = "transform(sequence(1, size(tk)-1), i -> concat(element_at(tk,i), ' ', element_at(tk,i+1)))"
+      val grams = docs(s, dir)
+        .selectExpr("doc_id",
+          s"${sLet(sTokens, "tk", s"case when size(tk) >= 2 then $g2 else cast(array() as array<string>) end")} as gs")
+      val stats = grams
+        .selectExpr("doc_id", "explode(gs) as g")
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n2"), count(lit(1)).as("d2"), max(col("c")).as("m2"))
+      grams.select("doc_id").join(stats, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "coalesce(n2, cast(0 as bigint)) as n2",
+          sRound6("case when n2 > 0 then cast(n2 - d2 as double) / cast(n2 as double) else 0.0d end") + " as dup_ratio",
+          sRound6("case when n2 > 0 then cast(m2 as double) / cast(n2 as double) else 0.0d end") + " as top_ratio")
+        .orderBy("doc_id")
+    },
     // SEQUENCE PACKING (the pretraining batch-assembly op): concatenate
     // the token stream in doc_id order and chop into fixed 256-token
     // sequences; a doc belongs to the sequence where its first token
@@ -291,6 +313,22 @@ object TextAnalysis {
          |  SELECT sc.*, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
          |    ORDER BY tfidf DESC, token) AS BIGINT) AS rk FROM sc) x
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "x26_repetition_score" ->
+      s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |          i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS gs
+         |      FROM tkn),
+         |cts AS (SELECT doc_id, g2, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM (SELECT doc_id, unnest(gs) AS g2 FROM g) GROUP BY doc_id, g2),
+         |st AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+         |         CAST(COUNT(*) AS BIGINT) AS d2, MAX(c) AS m2
+         |       FROM cts GROUP BY doc_id)
+         |SELECT g.doc_id, COALESCE(n2, 0) AS n2,
+         |  ${dRound6("CASE WHEN n2 > 0 THEN CAST(n2 - d2 AS DOUBLE) / CAST(n2 AS DOUBLE) ELSE 0.0 END")} AS dup_ratio,
+         |  ${dRound6("CASE WHEN n2 > 0 THEN CAST(m2 AS DOUBLE) / CAST(n2 AS DOUBLE) ELSE 0.0 END")} AS top_ratio
+         |FROM g LEFT JOIN st ON g.doc_id = st.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
     "x25_sequence_packing" ->
       s"""WITH tk AS (SELECT doc_id, lang, CAST(len($dTokens) AS BIGINT) AS n_tok
          |            FROM documents),

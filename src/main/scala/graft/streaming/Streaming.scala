@@ -65,6 +65,24 @@ object Streaming {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming replay dedup — the streaming twin of the R1 batch
+    * window: at-least-once re-deliveries of the same document
+    * (type,id,version,chunk) inside the watermark horizon are dropped
+    * before they reach the landing sink, so downstream consumers see
+    * each landed row once. State is bounded by the watermark (keys are
+    * evicted once `event time < watermark`), which is what lets the
+    * operator run forever — an unbounded dropDuplicates would grow
+    * state with the full key history. Replays that arrive LATER than
+    * the horizon still land and are absorbed by the batch R1 view:
+    * defense in depth, same contract as the reference's PK +
+    * view-layer dedup pair. */
+  def dedupWithinWatermark(
+      landing: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    landing
+      .withWatermark("date", watermark)
+      .dropDuplicatesWithinWatermark("type", "id", "version", "chunk")
+
   // ── incremental latest-version view (streaming R2) ──
 
   final case class DocVersion(docType: String, id: String, version: Long,

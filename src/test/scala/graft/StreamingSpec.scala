@@ -47,6 +47,31 @@ class StreamingSpec extends SparkSpec {
       (ts("2026-01-01 10:00:00"), "view", 1L, 8.0)))
   }
 
+  test("dedupWithinWatermark drops replayed landings; state stays watermark-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (date, type, id, version, chunk, data)
+    val mem = MemoryStream[(Timestamp, String, String, Long, Int, String)]
+    val q = Streaming.dedupWithinWatermark(
+      mem.toDS().toDF("date", "type", "id", "version", "chunk", "data"),
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2026-01-01 10:00:00"), "W", "a", 1L, 0, "a1"),
+      (ts("2026-01-01 10:00:00"), "W", "a", 1L, 0, "a1"), // same-batch replay
+      (ts("2026-01-01 10:00:00"), "W", "b", 1L, 0, "b1"))
+    q.processAllAvailable()
+    mem.addData((ts("2026-01-01 10:20:00"), "W", "a", 1L, 0, "a1")) // replay within horizon
+    mem.addData((ts("2026-01-01 10:20:00"), "W", "a", 2L, 0, "a2")) // new version passes
+    q.processAllAvailable()
+    val out = spark.table("deduped").collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[Long]("version")))
+    assert(out.sorted.toSeq == Seq(("a", 1L), ("a", 2L), ("b", 1L)))
+    q.stop()
+  }
+
   test("watermark drops events later than the threshold in streaming mode") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
