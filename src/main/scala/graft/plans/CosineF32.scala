@@ -108,5 +108,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SignBandsF32].getName, "sign_bands_f32"),
       (children: Seq[Expression]) =>
         SignBandsF32(children.head, graft.llm.Frag.planes)))
+    // whole-operator extension: two-phase top-k-per-key (partial heaps
+    // before the exchange — see graft.plans.TopKPerKey)
+    ext.injectPlannerStrategy(_ => TopKPerKey.TopKStrategy)
   }
 }

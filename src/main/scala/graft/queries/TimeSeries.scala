@@ -144,6 +144,20 @@ object TimeSeries {
         .orderBy("user_id", "event_id")
     },
 
+    // NATIVE TOP-K PER KEY: the custom two-phase physical operator
+    // (graft.plans.TopKPerKey — partial bounded heaps before the
+    // exchange, so the shuffle carries ≤ k × keys × partitions rows
+    // instead of the corpus). Same output as the window form, which is
+    // the automatic fallback when the extension is absent.
+    "r43_topk_per_key" -> { (s, dir) =>
+      graft.plans.TopKPerKey.topKDesc(
+        t(s, dir, "events").select("event_type", "event_id", "user_id", "value"),
+        keyCols = Seq("event_type"), orderCol = "value",
+        tiebreakCols = Seq("event_id"), k = 10)
+        .select("event_type", "rk", "event_id", "user_id", "value")
+        .orderBy("event_type", "rk")
+    },
+
     // PER-GROUP ARGMAX (mode): each user's most frequent event type,
     // ties broken lexicographically. groupBy + ranking window — the
     // count aggregation is map-side partial, the window shuffles only
@@ -234,6 +248,13 @@ object TimeSeries {
         |  UNION ALL
         |  SELECT l_returnflag, 'sum_disc', sum_disc FROM agg)
         |ORDER BY l_returnflag, metric""".stripMargin,
+    "r43_topk_per_key" ->
+      """SELECT event_type, rk, event_id, user_id, value FROM (
+        |  SELECT event_type, event_id, user_id, value,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS BIGINT) AS rk
+        |  FROM events)
+        |WHERE rk <= 10 ORDER BY event_type, rk""".stripMargin,
     "r40_user_top_event" ->
       """SELECT user_id, event_type, n FROM (
         |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -1,0 +1,51 @@
+package graft
+
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The native two-phase top-k operator must agree row-for-row with the
+  * stock window formulation (its fallback), including ties and groups
+  * smaller than k, and must plan as Partial/FinalTopK. */
+class TopKPerKeySpec extends SparkSpec {
+
+  private def windowForm(df: org.apache.spark.sql.DataFrame, key: String,
+      ord: String, tie: String, k: Int) = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ord).desc, col(tie).asc)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  test("native top-k equals the window form on real data") {
+    val events = graft.queries.Tables.t(spark, sf001, "events")
+      .selectExpr("event_type", "event_id", "value")
+    val native = TopKPerKey.topKDesc(events, Seq("event_type"), "value",
+      Seq("event_id"), 5).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(1))).toSet
+    val window = windowForm(events, "event_type", "value", "event_id", 5)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(1))).toSet
+    assert(native == window)
+    assert(native.size == 25) // 5 types × k=5
+  }
+
+  test("ties break on the tiebreaker; small groups return all rows") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), // all tied
+      ("b", 4L, 1.0)                                      // group smaller than k
+    ).toDF("key", "id", "v")
+    val out = TopKPerKey.topKDesc(df, Seq("key"), "v", Seq("id"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(1))).toSet
+    assert(out == Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 4L)))
+  }
+
+  test("plans as PartialTopK + FinalTopK with the exchange between them") {
+    val events = graft.queries.Tables.t(spark, sf001, "events")
+      .selectExpr("event_type", "event_id", "value")
+    val plan = TopKPerKey.topKDesc(events, Seq("event_type"), "value",
+      Seq("event_id"), 5).queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
+      s"native operator not planned:\n$plan")
+    assert(!plan.contains("Window"), "fell back to the window form")
+  }
+}
