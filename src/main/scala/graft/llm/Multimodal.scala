@@ -79,6 +79,24 @@ object Multimodal {
     "x15_media_features" -> { (s, dir) =>
       extractFeatures(mediaTable(s, dir)).toDF().orderBy("doc_id")
     },
+    // TILING (the image-patch / video-frame-slice pattern): each payload
+    // is cut into fixed 32-byte tiles addressed by index; per-tile
+    // fingerprints are computed in the same narrow map — one row per
+    // tile via posexplode, no shuffle until the presentation sort. This
+    // is the plumbing shape of patch-based vision preprocessing: swap
+    // md5-of-slice for a real patch encoder and the plan is unchanged.
+    // Corpus is ASCII, so the oracle recomputes tiles from the text.
+    "x27_tile_fingerprints" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter("length(text) > 0")
+        .selectExpr("doc_id",
+          "posexplode(transform(sequence(0, cast(ceil(length(text) / 32.0d) as int) - 1), i -> substring(text, i * 32 + 1, 32))) as (tile_idx, tile)")
+        .selectExpr("doc_id", "cast(tile_idx as bigint) as tile_idx",
+          "cast(length(tile) as bigint) as tile_bytes", "md5(tile) as tile_md5")
+        .orderBy("doc_id", "tile_idx")
+    },
   )
 
   // The oracle recomputes the same facts from the source text (ASCII
@@ -99,5 +117,12 @@ object Multimodal {
         |         i -> ascii(substring(text, i, 1)))) AS DOUBLE)
         |      / CAST(length(range(1, strlen(text) + 1, 64)) AS BIGINT) END AS frame_mean
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x27_tile_fingerprints" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS tile_idx,
+        |  CAST(strlen(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS BIGINT) AS tile_bytes,
+        |  md5(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS tile_md5
+        |FROM (SELECT doc_id, text, unnest(range(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT))) AS i
+        |      FROM documents WHERE strlen(text) > 0)
+        |ORDER BY doc_id, tile_idx""".stripMargin,
   )
 }

@@ -116,6 +116,28 @@ class ViewsSpec extends SparkSpec {
     assert(!v.columns.contains("TESTS"))
   }
 
+  test("schema evolution: a field added to the fetched schema projects NULL for old documents") {
+    // The reference re-fetches the schema each run and regenerates the
+    // views; documents landed before a field existed simply lack the
+    // key. The Spark typed view must behave the same: from_json yields
+    // NULL for the missing path — no reparse, no error, old and new
+    // rows coexist in one view.
+    val evolved = SchemaCodec.parse(
+      """{"WELL": {
+        |  "NAME": {"ACTIVE": true, "TYPE": "TEXT", "NULLABLE": true},
+        |  "RIG_COUNT": {"ACTIVE": true, "TYPE": "INTEGER", "NULLABLE": true}
+        |}}""".stripMargin)
+    val df = landing(
+      rec("2026-01-01 00:00:00", "WELL", "old", 1, data = """{"NAME":"a"}"""),
+      rec("2026-01-02 00:00:00", "WELL", "new", 1,
+        data = """{"NAME":"b","RIG_COUNT":3}"""))
+    val v = Views.typedView(Views.latest(df), "WELL", evolved("WELL")).collect()
+    val oldRow = v.find(_.getAs[String]("DOCUMENT_ID") == "old").get
+    val newRow = v.find(_.getAs[String]("DOCUMENT_ID") == "new").get
+    assert(oldRow.isNullAt(oldRow.fieldIndex("RIG_COUNT")))
+    assert(newRow.getAs[Long]("RIG_COUNT") == 3L)
+  }
+
   test("V5: record child view reaches nested scalars at the same grain") {
     val df = landing(
       rec("2026-01-01 00:00:00", "WELL", "d1", 1,
