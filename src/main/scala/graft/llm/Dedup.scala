@@ -272,6 +272,24 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // EDIT-DISTANCE VERIFICATION of the simhash candidates: exact
+    // Levenshtein over normalized text, the precision pass after the
+    // recall-oriented LSH. Distance runs only on the candidate pairs
+    // (never pairwise over the corpus) with the text payload joined in
+    // for survivors only — the verify-after-candidates discipline that
+    // keeps fuzzy dedup linear.
+    "x29_edit_distance" -> { (s, dir) =>
+      val pairs = simhashPairs(s, dir).select("doc_a", "doc_b")
+      val norm = t(s, dir, "documents").selectExpr("doc_id", s"$sNorm as nt")
+      pairs
+        .join(norm.select(col("doc_id").as("doc_a"), col("nt").as("ta")), "doc_a")
+        .join(norm.select(col("doc_id").as("doc_b"), col("nt").as("tb")), "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "cast(levenshtein(ta, tb) as bigint) as edit_dist",
+          sRound6("1.0d - cast(levenshtein(ta, tb) as double) / cast(greatest(length(ta), length(tb), 1) as double)") + " as edit_sim")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // train→test contamination scan (decontamination, as in GPT-3 /
     // The Pile dataset reports): a test document is contaminated when
     // it shares any 8-gram with the train split. Split assignment uses
@@ -396,6 +414,21 @@ object Dedup {
          |  FROM cand JOIN shd x ON cand.doc_a = x.doc_id
          |            JOIN shd y ON cand.doc_b = y.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "x29_edit_distance" ->
+      s"""$dSimhash,
+         |chunks AS (SELECT doc_id, simhash, c AS ci, (simhash >> (15*c)) & 32767 AS chunk
+         |           FROM sh2, range(0, 4) r(c)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+         |               AND a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |nrm AS (SELECT doc_id, $dNorm AS nt FROM documents)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(x.nt, y.nt) AS BIGINT) AS edit_dist,
+         |  ${dRound6("1.0 - CAST(levenshtein(x.nt, y.nt) AS DOUBLE) / CAST(greatest(strlen(x.nt), strlen(y.nt), 1) AS DOUBLE)")} AS edit_sim
+         |FROM pairs JOIN nrm x ON pairs.doc_a = x.doc_id
+         |           JOIN nrm y ON pairs.doc_b = y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // components via recursive-CTE transitive closure + min — a
     // different algorithm than the Spark label-propagation loop, so
     // agreement is a genuine cross-check (closure is fine here: near-dup

@@ -168,6 +168,23 @@ object TextAnalysis {
           s"${sH(sNorm)} as fp64")
         .orderBy("doc_id")
     },
+    // BPE-ISH TOKEN COUNTING: the whitespace count (x01) undercounts
+    // what a subword tokenizer sees; this splits on the GPT-2-style
+    // class boundaries instead — alpha runs, digit runs, and single
+    // non-alnum marks — giving the standard pre-tokenization count.
+    // Pure per-row regex map, no shuffle.
+    "x28_bpe_token_count" -> { (s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id",
+          "cast(size(regexp_extract_all(lower(text), '[a-z]+', 0)) as bigint) as n_alpha",
+          "cast(size(regexp_extract_all(lower(text), '[0-9]+', 0)) as bigint) as n_digit",
+          "cast(size(regexp_extract_all(lower(text), '[^a-z0-9\\\\s]', 0)) as bigint) as n_mark",
+          s"cast(size(filter($sTokens, x -> x != '')) as bigint) as n_ws")
+        .selectExpr("doc_id", "n_alpha", "n_digit", "n_mark",
+          "n_alpha + n_digit + n_mark as n_bpeish", "n_ws",
+          sRound6("case when n_ws > 0 then cast(n_alpha + n_digit + n_mark as double) / cast(n_ws as double) else 0.0d end") + " as expansion")
+        .orderBy("doc_id")
+    },
     // REPETITION SCORE (Gopher-rules-style quality signal): fraction of
     // duplicated 2-grams and the top 2-gram's share, per document —
     // high values flag boilerplate/spam for filtering. One explode +
@@ -313,6 +330,18 @@ object TextAnalysis {
          |  SELECT sc.*, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
          |    ORDER BY tfidf DESC, token) AS BIGINT) AS rk FROM sc) x
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "x28_bpe_token_count" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha,
+         |    CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_digit,
+         |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT) AS n_mark,
+         |    CAST(len(list_filter($dTokens, x -> x <> '')) AS BIGINT) AS n_ws
+         |  FROM documents)
+         |SELECT doc_id, n_alpha, n_digit, n_mark,
+         |  n_alpha + n_digit + n_mark AS n_bpeish, n_ws,
+         |  ${dRound6("CASE WHEN n_ws > 0 THEN CAST(n_alpha + n_digit + n_mark AS DOUBLE) / CAST(n_ws AS DOUBLE) ELSE 0.0 END")} AS expansion
+         |FROM c ORDER BY doc_id""".stripMargin,
     "x26_repetition_score" ->
       s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
          |g AS (SELECT doc_id,

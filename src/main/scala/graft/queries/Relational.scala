@@ -350,6 +350,22 @@ object Relational {
         .orderBy("doc_id")
     },
     // rows-only (approximate — no exact oracle by construction)
+    // FULL OUTER join of two aggregates with disjoint-but-overlapping
+    // key ranges — both sides keep unmatched keys (the one outer-join
+    // variant the rest of the surface doesn't exercise). Aggregates are
+    // tiny post-shuffle; the join is effectively broadcastable, and the
+    // COALESCE presentation is the standard reconciliation-report shape.
+    "r44_full_outer" -> { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_nationkey") < 15)
+        .groupBy(col("c_nationkey").as("nk")).agg(cnt.as("n_cust"))
+      val sup = t(s, dir, "supplier").filter(col("s_nationkey") > 9)
+        .groupBy(col("s_nationkey").as("nk")).agg(cnt.as("n_supp"))
+      c.join(sup, Seq("nk"), "full_outer")
+        .selectExpr("nk",
+          "coalesce(n_cust, cast(0 as bigint)) as n_cust",
+          "coalesce(n_supp, cast(0 as bigint)) as n_supp")
+        .orderBy("nk")
+    },
     // exact per-group percentiles with SQL-standard percentile_disc
     // semantics, hand-rolled (row ceil(p*n) of the value-ordered group)
     // so both engines pick the same physical row — built-in quantile
@@ -589,6 +605,16 @@ object Relational {
         |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(20,2)) END) AS DOUBLE) AS qty_n,
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(20,2)) END) AS DOUBLE) AS qty_r
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r44_full_outer" ->
+      """SELECT COALESCE(c.nk, s.nk) AS nk,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |      FROM customer WHERE c_nationkey < 15 GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+        |      FROM supplier WHERE s_nationkey > 9 GROUP BY 1) s
+        |  ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin,
     "r42_group_percentiles" ->
       """SELECT c_mktsegment, p, c_acctbal AS pval FROM (
         |  SELECT c_mktsegment, c_acctbal,
