@@ -168,6 +168,31 @@ object TextAnalysis {
           s"${sH(sNorm)} as fp64")
         .orderBy("doc_id")
     },
+    // LM-QUALITY PROXY (CCNet-style perplexity filtering, with a
+    // corpus unigram model standing in for the external KenLM): each
+    // doc scores mean -ln p(token) under corpus unigram frequencies —
+    // high "surprise" flags gibberish, low flags boilerplate. The
+    // unigram table is corpus-derived (one aggregation) and broadcast
+    // back against the token stream; at 100 TB the table is
+    // vocabulary-sized, exactly the thing you broadcast. Integer
+    // counts into ln ⇒ bit-identical across engines (proven by x23).
+    "x30_unigram_logprob" -> { (s, dir) =>
+      val toks = docs(s, dir)
+        .selectExpr("doc_id", s"explode($sTokens) as token")
+        .filter(col("token") =!= "")
+        .persist()
+      val uni = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(uni, "token").crossJoin(broadcast(total))
+        .withColumn("nll",
+          expr("-ln(cast(tf as double) / cast(n_total as double))"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          (sum(col("nll").cast(org.apache.spark.sql.types.DecimalType(24, 12)))
+            .cast("double") / count(lit(1)).cast("double")).as("mean_nll0"))
+        .selectExpr("doc_id", "n_tok", sRound6("mean_nll0") + " as mean_nll")
+        .orderBy("doc_id")
+    },
     // BPE-ISH TOKEN COUNTING: the whitespace count (x01) undercounts
     // what a subword tokenizer sees; this splits on the GPT-2-style
     // class boundaries instead — alpha runs, digit runs, and single
@@ -330,6 +355,16 @@ object TextAnalysis {
          |  SELECT sc.*, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
          |    ORDER BY tfidf DESC, token) AS BIGINT) AS rk FROM sc) x
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "x30_unigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($dTokens) AS token FROM documents),
+         |t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         |uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM t2 GROUP BY token),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t2),
+         |sc AS (SELECT doc_id, -ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE)) AS nll
+         |       FROM t2 JOIN uni USING (token), tot)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  ${dRound6("CAST(SUM(CAST(nll AS DECIMAL(24,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS mean_nll
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x28_bpe_token_count" ->
       s"""WITH c AS (
          |  SELECT doc_id,
