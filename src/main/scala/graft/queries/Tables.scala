@@ -8,12 +8,15 @@ import org.apache.spark.sql.types.DecimalType
 object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read nanos as long and truncate to micros (same
-      // truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP).
+      // events.parquet may carry TIMESTAMP(NANOS), which Spark's
+      // vectorized reader rejects; read nanos as long and truncate to
+      // micros (the truncation DuckDB applies casting TIMESTAMP_NS →
+      // TIMESTAMP). Corpora with plain micros timestamps read as-is.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Order-independent exact double sum: accumulate in decimal (exact,
