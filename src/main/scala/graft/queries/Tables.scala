@@ -6,7 +6,19 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Shared helpers for the oracle-verified query surface. */
 object Tables {
+
+  // Per-session table catalog: re-resolving the same parquet table for
+  // every query re-lists the directory and re-reads footers — a pure
+  // per-query constant. Memoizing the DataFrame (immutable plan) is
+  // exactly what a catalog does. Keyed by session too: specs and the
+  // driver may use different sessions.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def t(s: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((s, dir, name), { case (s, dir, name) => load(s, dir, name) })
+
+  private def load(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.parquet may carry TIMESTAMP(NANOS), which Spark's
       // vectorized reader rejects; read nanos as long and truncate to

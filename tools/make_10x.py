@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Build the 10x scale-slope corpus used by SCALE.md §4b: every sf0.1
+table duplicated x10 with shifted keys (documents/embeddings get shifted
+ids — the realistic exact-duplication regime; relational tables get
+shifted PK/FK chains so join/group cardinalities scale too; events get
+shifted users so session/window key counts scale).
+
+Usage: python3 tools/make_10x.py [src_sfdir] [out_dir]
+Then:  SPARK_GRAFT_SF_DIR=<out_dir> sbt "runMain graft.Bench"
+"""
+import duckdb, os, sys
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1x10"
+os.makedirs(out, exist_ok=True)
+con = duckdb.connect()
+
+def cnt(t):
+    return con.execute(f"select count(*) from '{src}/{t}.parquet'").fetchone()[0]
+
+n_doc, n_emb, n_ord = cnt("documents"), cnt("embeddings"), cnt("orders")
+n_ev = cnt("events")
+n_u = con.execute(f"select max(user_id)+1 from '{src}/events.parquet'").fetchone()[0]
+
+con.execute(f"""COPY (SELECT doc_id + i*{n_doc} AS doc_id, text, lang, source, n_chars
+  FROM '{src}/documents.parquet', range(0,10) r(i))
+  TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+con.execute(f"""COPY (SELECT vec_id + i*{n_emb} AS vec_id, embedding, label
+  FROM '{src}/embeddings.parquet', range(0,10) r(i))
+  TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+con.execute(f"""COPY (SELECT event_id + i*{n_ev} AS event_id, ts,
+    user_id + i*{n_u} AS user_id, event_type, value, props
+  FROM '{src}/events.parquet', range(0,10) r(i))
+  TO '{out}/events.parquet' (FORMAT PARQUET)""")
+
+shifts = {
+    "orders":   {"o_orderkey": f"o_orderkey + i*{n_ord}", "o_custkey": "o_custkey + i*200000"},
+    "lineitem": {"l_orderkey": f"l_orderkey + i*{n_ord}"},
+    "customer": {"c_custkey": "c_custkey + i*200000"},
+    "supplier": {"s_suppkey": f"s_suppkey + i*{cnt('supplier')}"},
+    "part":     {"p_partkey": f"p_partkey + i*{cnt('part')}"},
+}
+for t, shift in shifts.items():
+    cols = [c[0] for c in con.execute(f"describe select * from '{src}/{t}.parquet'").fetchall()]
+    sel = ", ".join(f"{shift.get(c, c)} AS {c}" for c in cols)
+    con.execute(f"COPY (SELECT {sel} FROM '{src}/{t}.parquet', range(0,10) r(i)) "
+                f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+for t in ["region", "nation"]:
+    con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+print("built", sorted(os.listdir(out)))
