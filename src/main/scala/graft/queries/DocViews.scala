@@ -84,6 +84,15 @@ object DocViews {
         docSchema("DOC"))
         .orderBy("DOCUMENT_ID")
     },
+    // same pipeline through the VariantType path (parse_json +
+    // variant_get — Spark 4's native analogue of the Snowflake VARIANT
+    // column the reference actually lands into); same oracle as r24,
+    // so the binary-variant encode/extract round-trip is hash-checked
+    "r45_variant_latest_view" -> { (s, dir) =>
+      Views.variantView(Views.latest(landing(s, dir)).persist(), "DOC",
+        docSchema("DOC"))
+        .orderBy("DOCUMENT_ID")
+    },
     // landing → latest → record-list flatten with chunk re-union
     "r25_record_list_flatten" -> { (s, dir) =>
       Views.recordListView(Views.latest(listLanding(s, dir)).persist(), "DOC",
@@ -94,6 +103,16 @@ object DocViews {
 
   val oracleSql: Map[String, String] = Map(
     "r24_document_latest_view" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID,
+        |  lang AS LANG,
+        |  CAST(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS BIGINT) AS N_CHARS,
+        |  (doc_id % 20 = 0) AS _DELETED,
+        |  source AS _AUTHOR,
+        |  CAST(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS _VERSION,
+        |  CASE WHEN doc_id % 10 = 0 THEN TIMESTAMP '2026-01-02 00:00:00'
+        |       ELSE TIMESTAMP '2026-01-01 00:00:00' END AS _DATE
+        |FROM documents ORDER BY DOCUMENT_ID""".stripMargin,
+    "r45_variant_latest_view" ->
       """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID,
         |  lang AS LANG,
         |  CAST(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS BIGINT) AS N_CHARS,

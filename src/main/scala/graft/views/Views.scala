@@ -89,6 +89,33 @@ object Views {
     base.select(cols: _*)
   }
 
+  /** Variant-native variant of V1+V2+V3: the reference's landing column
+    * IS Snowflake VARIANT (snowflake.go:55), and Spark 4 has the native
+    * equivalent — `parse_json` → `VariantType` → `variant_get` path
+    * extraction. Semantically identical output to [[typedView]] (the
+    * spec asserts it); the trade is schema-on-read flexibility (one
+    * binary-encoded variant column; fields projected at query time,
+    * shredding-friendly) vs the StructType parse (full-schema decode,
+    * Catalyst pruning of struct fields). Both are single narrow maps. */
+  def variantView(latestDf: DataFrame, docType: String, ds: DocumentSchema): DataFrame = {
+    val base = latestDf
+      .filter(col("type") === docType && col("chunk") === 0)
+      .withColumn("__v", expr("parse_json(data)"))
+    def vGet(name: String, fm: FieldMetadata): Option[Column] = fm.fieldType match {
+      case "DOCUMENT" =>
+        Some(expr(s"variant_get(__v, '$$.$name.DOCUMENT_ID', 'string')").as(name))
+      case _ =>
+        SchemaMapper.scalarType(fm).map(dt =>
+          expr(s"variant_get(__v, '$$.$name', '${dt.sql}')").as(name))
+    }
+    val cols =
+      col("id").as("DOCUMENT_ID") +:
+      (ds.fields.flatMap { case (n, fm) => vGet(n, fm) } ++
+        Seq(col("deleted").as("_DELETED"), col("author").as("_AUTHOR"),
+          col("version").as("_VERSION"), col("date").as("_DATE")))
+    base.select(cols: _*)
+  }
+
   /** V5 — nested RECORD child view: same row grain, deeper path. `path`
     * is the field chain from the root, e.g. Seq("LOCATION"). */
   def recordView(latestDf: DataFrame, docType: String, root: DocumentSchema,

@@ -116,6 +116,21 @@ class ViewsSpec extends SparkSpec {
     assert(!v.columns.contains("TESTS"))
   }
 
+  test("variant-native view (parse_json + variant_get) matches the StructType view") {
+    val df = landing(
+      rec("2026-01-01 00:00:00", "WELL", "d1", 1, data =
+        """{"NAME":"alpha","DEPTH":12.5,"OPERATOR":{"DOCUMENT_ID":"co9"},
+          |"LOCATION":{"LAT":51.2},"TESTS":[{"SCORE":7}]}""".stripMargin.replaceAll("\n", "")),
+      rec("2026-01-02 00:00:00", "WELL", "d2", 1, data = """{"DEPTH":3.25}"""))
+    val latest = Views.latest(df)
+    val struct = Views.typedView(latest, "WELL", wellSchema("WELL"))
+    val variant = Views.variantView(latest, "WELL", wellSchema("WELL"))
+    assert(variant.columns.toSeq == struct.columns.toSeq)
+    val s = struct.orderBy("DOCUMENT_ID").collect().map(_.toSeq).toSeq
+    val v = variant.orderBy("DOCUMENT_ID").collect().map(_.toSeq).toSeq
+    assert(v == s)
+  }
+
   test("schema evolution: a field added to the fetched schema projects NULL for old documents") {
     // The reference re-fetches the schema each run and regenerates the
     // views; documents landed before a field existed simply lack the
