@@ -65,6 +65,28 @@ object Streaming {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-stream interval join (the streaming twin of r36's banded
+    * range join): each purchase joins the same user's views from the
+    * preceding `windowDur`. Both sides are watermarked, and the join
+    * condition bounds event-time distance, so Spark can evict buffered
+    * state on BOTH sides once the watermark passes — the requirement
+    * for an unbounded run. Output: one row per (purchase, matching
+    * view); left outer keeps unmatched purchases (emitted only after
+    * the watermark proves no match can arrive). */
+  def purchaseViewJoin(
+      purchases: DataFrame, // (p_user, p_ts, p_id)
+      views: DataFrame,     // (v_user, v_ts)
+      watermark: String = "10 minutes",
+      windowDur: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("p_ts", watermark)
+    val v = views.withWatermark("v_ts", watermark)
+    p.join(v,
+      expr(s"""p_user = v_user AND
+              |v_ts < p_ts AND
+              |v_ts >= p_ts - interval $windowDur""".stripMargin),
+      "leftOuter")
+  }
+
   /** Streaming replay dedup — the streaming twin of the R1 batch
     * window: at-least-once re-deliveries of the same document
     * (type,id,version,chunk) inside the watermark horizon are dropped

@@ -72,6 +72,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join matches views in the window; outer row after watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Timestamp, Long)] // user, ts, purchase id
+    val vMem = MemoryStream[(Long, Timestamp)]       // user, ts
+    val q = Streaming.purchaseViewJoin(
+      pMem.toDS().toDF("p_user", "p_ts", "p_id"),
+      vMem.toDS().toDF("v_user", "v_ts"))
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    vMem.addData((7L, ts("2026-01-01 10:05:00")))       // in window for p1
+    vMem.addData((7L, ts("2026-01-01 09:30:00")))       // too old for p1
+    pMem.addData((7L, ts("2026-01-01 10:10:00"), 1L))   // purchase p1
+    pMem.addData((8L, ts("2026-01-01 10:10:00"), 2L))   // no views at all
+    q.processAllAvailable()
+    // advance both watermarks far past the join window so p2's no-match
+    // outer row can be emitted
+    vMem.addData((99L, ts("2026-01-01 12:00:00")))
+    pMem.addData((99L, ts("2026-01-01 12:00:00"), 9L))
+    q.processAllAvailable()
+    val out = spark.table("ssjoin").collect()
+      .map(r => (r.getAs[Long]("p_id"),
+        Option(r.getAs[Timestamp]("v_ts")).map(_.toString).orNull))
+    assert(out.contains((1L, "2026-01-01 10:05:00.0"))) // matched in-window view
+    assert(!out.contains((1L, "2026-01-01 09:30:00.0"))) // stale view not joined
+    assert(out.contains((2L, null))) // outer row emitted post-watermark
+    q.stop()
+  }
+
   test("watermark drops events later than the threshold in streaming mode") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
