@@ -39,6 +39,31 @@ class TopKPerKeySpec extends SparkSpec {
     assert(out == Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 4L)))
   }
 
+  test("property: native ≡ window form on random data, keys, and k") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      k <- Gen.choose(1, 5)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.oneOf("a", "b", "c", "d")
+        v <- Gen.choose(0, 9).map(_.toDouble) // coarse values force ties
+      } yield (key, v))
+    } yield (rows.zipWithIndex.map { case ((key, v), i) => (key, i.toLong, v) }, k)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20),
+      Prop.forAll(gen) { case (rows, k) =>
+        rows.isEmpty || {
+          val df = rows.toDF("key", "id", "v")
+          val native = TopKPerKey.topKDesc(df, Seq("key"), "v", Seq("id"), k)
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+          val win = windowForm(df, "key", "v", "id", k)
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+          native == win
+        }
+      })
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
   test("plans as PartialTopK + FinalTopK with the exchange between them") {
     val events = graft.queries.Tables.t(spark, sf001, "events")
       .selectExpr("event_type", "event_id", "value")
