@@ -168,6 +168,28 @@ object TextAnalysis {
           s"${sH(sNorm)} as fp64")
         .orderBy("doc_id")
     },
+    // DOMAIN MIXING (the data-mixology step): given target mixture
+    // weights over sources (uniform here — embedded identically in both
+    // engines), compute each source's sampling rate so the mixed corpus
+    // hits the target at the size set by its binding constraint
+    // (min over sources of available/target — no source oversampled
+    // past 1.0). One tiny aggregation + broadcast arithmetic; the
+    // per-document sampling itself would reuse x19's stable hash.
+    "x31_domain_mixing" -> { (s, dir) =>
+      val counts = docs(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_avail"))
+      val total = counts.agg(count(lit(1)).as("n_sources"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("target_w", expr("cast(1 as double) / cast(n_sources as double)"))
+        .withColumn("mix_total_if_binding", expr("cast(n_avail as double) / target_w"))
+        .withColumn("mix_total",
+          min(col("mix_total_if_binding")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1))))
+        .selectExpr("source", "n_avail", sRound6("target_w") + " as target_w",
+          sRound6("target_w * mix_total / cast(n_avail as double)") + " as sample_rate",
+          "cast(floor(target_w * mix_total) as bigint) as n_sampled")
+        .orderBy("source")
+    },
     // LM-QUALITY PROXY (CCNet-style perplexity filtering, with a
     // corpus unigram model standing in for the external KenLM): each
     // doc scores mean -ln p(token) under corpus unigram frequencies —
@@ -355,6 +377,19 @@ object TextAnalysis {
          |  SELECT sc.*, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
          |    ORDER BY tfidf DESC, token) AS BIGINT) AS rk FROM sc) x
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "x31_domain_mixing" ->
+      s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_avail
+         |           FROM documents GROUP BY source),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM c),
+         |m AS (SELECT c.source, c.n_avail,
+         |        CAST(1 AS DOUBLE) / CAST(n_sources AS DOUBLE) AS target_w,
+         |        CAST(n_avail AS DOUBLE) / (CAST(1 AS DOUBLE) / CAST(n_sources AS DOUBLE)) AS mtb
+         |      FROM c, t),
+         |m2 AS (SELECT m.*, MIN(mtb) OVER () AS mix_total FROM m)
+         |SELECT source, n_avail, ${dRound6("target_w")} AS target_w,
+         |  ${dRound6("target_w * mix_total / CAST(n_avail AS DOUBLE)")} AS sample_rate,
+         |  CAST(floor(target_w * mix_total) AS BIGINT) AS n_sampled
+         |FROM m2 ORDER BY source""".stripMargin,
     "x30_unigram_logprob" ->
       s"""WITH toks AS (SELECT doc_id, unnest($dTokens) AS token FROM documents),
          |t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
