@@ -67,7 +67,12 @@ object TopKPerKey {
 
   /** Map-side pruning: keeps at most k rows per key per partition —
     * every row it drops is beaten by ≥ k same-key rows in the same
-    * partition, so the global top k per key is untouched. */
+    * partition, so the global top k per key is untouched. Memory is
+    * capped: at most `graft.topk.maxPartialKeys` heaps per partition
+    * (default 131072); rows for keys beyond the cap pass through
+    * UNPRUNED — still correct (FinalTopKExec ranks and cuts), just
+    * without the shuffle saving for the overflow keys. Partial pruning
+    * is an optimization, never a correctness dependency. */
   final case class PartialTopKExec(
       keys: Seq[Attribute],
       order: Seq[SortOrder],
@@ -83,6 +88,7 @@ object TopKPerKey {
       val keyExprs = keys
       val sortOrder = order
       val limit = k
+      val maxKeys = conf.getConfString("graft.topk.maxPartialKeys", "131072").toInt
       child.execute().mapPartitions({ iter =>
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
         val ord = RowOrdering.create(sortOrder, childOutput)
@@ -90,23 +96,40 @@ object TopKPerKey {
         // bounded top-k replacement
         val worstFirst = ord.reverse
         val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-        iter.foreach { row =>
-          val key = keyProj(row)
-          var heap = heaps.get(key)
-          if (heap == null) {
-            heap = new java.util.PriorityQueue[UnsafeRow](limit, worstFirst)
-            heaps.put(key.copy(), heap)
-          }
+        def offer(heap: java.util.PriorityQueue[UnsafeRow], row: InternalRow): Unit =
           if (heap.size < limit) {
             heap.add(row.asInstanceOf[UnsafeRow].copy())
           } else if (ord.compare(row, heap.peek()) < 0) {
             heap.poll()
             heap.add(row.asInstanceOf[UnsafeRow].copy())
           }
+        // overflow rows stream straight out; retained heaps drain after
+        // the input is exhausted (lazy ++ suffix)
+        val passThrough = iter.flatMap { row =>
+          val key = keyProj(row)
+          val heap = heaps.get(key)
+          if (heap != null) { offer(heap, row); Iterator.empty }
+          else if (heaps.size < maxKeys) {
+            val h = new java.util.PriorityQueue[UnsafeRow](limit, worstFirst)
+            heaps.put(key.copy(), h)
+            offer(h, row)
+            Iterator.empty
+          } else Iterator.single(row.asInstanceOf[UnsafeRow].copy(): InternalRow)
         }
-        val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
-        heaps.values.forEach(h => h.forEach(r => out += r))
-        out.iterator
+        val drained = new Iterator[InternalRow] {
+          private var inner: Iterator[InternalRow] = null
+          private def it = {
+            if (inner == null) {
+              val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+              heaps.values.forEach(h => h.forEach(r => buf += r))
+              inner = buf.iterator
+            }
+            inner
+          }
+          def hasNext = it.hasNext
+          def next() = it.next()
+        }
+        passThrough ++ drained
       }, preservesPartitioning = true)
     }
   }

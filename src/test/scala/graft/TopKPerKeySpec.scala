@@ -64,6 +64,20 @@ class TopKPerKeySpec extends SparkSpec {
     assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
   }
 
+  test("partial-key cap overflow degrades to pass-through, output unchanged") {
+    import spark.implicits._
+    spark.conf.set("graft.topk.maxPartialKeys", "1") // force overflow
+    try {
+      val df = Seq(
+        ("a", 1L, 3.0), ("b", 2L, 5.0), ("c", 3L, 7.0),
+        ("a", 4L, 9.0), ("b", 5L, 1.0), ("c", 6L, 2.0)
+      ).toDF("key", "id", "v").repartition(2)
+      val out = TopKPerKey.topKDesc(df, Seq("key"), "v", Seq("id"), 1)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(out == Set(("a", 4L), ("b", 2L), ("c", 3L)))
+    } finally spark.conf.set("graft.topk.maxPartialKeys", "131072")
+  }
+
   test("plans as PartialTopK + FinalTopK with the exchange between them") {
     val events = graft.queries.Tables.t(spark, sf001, "events")
       .selectExpr("event_type", "event_id", "value")
