@@ -46,23 +46,41 @@ object Main {
     def schema() = SchemaCodec.parse(
       Files.readString(Paths.get(req("schema"))))
 
+    // --url switches ingestion to the reference's HTTP sync protocol
+    // (BASIC auth, limit/since pagination, X-Sync-* headers); without
+    // it the file-based NDJSON source is used.
+    def httpSource = opts.get("url").map(url =>
+      new graft.pipeline.HttpDocumentSource(url,
+        user = opts.getOrElse("user", ""),
+        password = opts.getOrElse("password", ""),
+        limit = opts.getOrElse("limit", "10000").toInt,
+        includeCalcs = opts.contains("calcs")))
+    def landOnce(force: Boolean = false): Long = httpSource match {
+      case Some(src) => pipeline.syncFrom(src, force)
+      case None      => pipeline.syncOnce(force)
+    }
+
     cmd match {
       case "push" =>
-        println(s"landed ${pipeline.syncOnce()} documents")
+        println(s"landed ${landOnce()} documents")
       case "sync" =>
         val wait = opts.getOrElse("wait", "600").toLong * 1000
         while (true) { // reference loop: errors logged, loop continues
-          try println(s"landed ${pipeline.syncOnce()} documents")
+          try println(s"landed ${landOnce()} documents")
           catch { case e: Exception => System.err.println(s"sync failed: ${e.getMessage}") }
           Thread.sleep(wait)
         }
       case "clone" =>
-        val n = pipeline.clone(schema())
+        val n = landOnce(force = true)
+        pipeline.createViews(schema())
         println(s"cloned $n documents; views registered")
       case "create_views" =>
         pipeline.createViews(schema()).foreach(println)
       case "prune" =>
         pipeline.prune(); println("pruned")
+      case "compact" =>
+        pipeline.compact(opts.getOrElse("target-file-mb", "128").toInt)
+        println("compacted")
       case other =>
         System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     }
@@ -70,7 +88,8 @@ object Main {
   }
 
   private def usage(): Unit = System.err.println(
-    "usage: graft.Main sync|push|clone|create_views|prune|version " +
-      "--source DIR --landing DIR --state DIR [--schema FILE] " +
-      "[--wait SECONDS] [--chunk-size N]")
+    "usage: graft.Main sync|push|clone|create_views|prune|compact|version " +
+      "--source DIR | --url URL [--user U --password P --limit N] " +
+      "--landing DIR --state DIR [--schema FILE] " +
+      "[--wait SECONDS] [--chunk-size N] [--target-file-mb N]")
 }
