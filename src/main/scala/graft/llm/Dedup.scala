@@ -170,6 +170,37 @@ object Dedup {
         "cast(bit_count(ha ^ hb) as bigint) as hamming")
   }
 
+  /** Connected components over [[simhashPairs]] as (doc, lbl) — lbl =
+    * min doc_id in the component; only docs in ≥ 1 pair appear.
+    * Distributed min-label propagation; eager localCheckpoint per round
+    * truncates lineage so each round plans against materialized
+    * partitions (without it Catalyst re-analyzes a plan that grows with
+    * every iteration and the loop goes quadratic in rounds). The
+    * improvement flag rides in the same pass, so the convergence probe
+    * is a filter over checkpointed data — one distributed job per
+    * round, one boolean to the driver. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairs(s, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc")).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels.withColumnRenamed("doc", "src"), "src")
+        .groupBy(col("dst").as("doc")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, Seq("doc"), "left")
+        .selectExpr("doc", "least(lbl, coalesce(nlbl, lbl)) as lbl",
+          "coalesce(nlbl, lbl) < lbl as improved")
+        .localCheckpoint()
+      converged = next.filter(col("improved")).isEmpty
+      labels = next.drop("improved")
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: hash-groupBy on the normalized-content fingerprint;
@@ -239,36 +270,35 @@ object Dedup {
     // recursive-CTE transitive closure — a completely different
     // algorithm, so agreement is a strong check.
     "x24_dedup_clusters" -> { (s, dir) =>
-      val pairs = simhashPairs(s, dir).select("doc_a", "doc_b")
-      val edges = pairs
-        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst")
-        // localCheckpoint (eager) truncates lineage so each loop round
-        // plans against materialized partitions, not the whole simhash
-        // pipeline — without it Catalyst re-analyzes a plan that grows
-        // with every iteration and the loop goes quadratic in rounds
-        .localCheckpoint()
-      var labels = edges.select(col("src").as("doc")).distinct()
-        .withColumn("lbl", col("doc")).localCheckpoint()
-      var converged = false
-      while (!converged) {
-        val prop = edges.join(labels.withColumnRenamed("doc", "src"), "src")
-          .groupBy(col("dst").as("doc")).agg(min(col("lbl")).as("nlbl"))
-        // the improvement flag rides along in the same pass, so the
-        // convergence probe is a filter over the checkpointed result —
-        // one distributed job per round, one boolean to the driver
-        val next = labels.join(prop, Seq("doc"), "left")
-          .selectExpr("doc", "least(lbl, coalesce(nlbl, lbl)) as lbl",
-            "coalesce(nlbl, lbl) < lbl as improved")
-          .localCheckpoint()
-        converged = next.filter(col("improved")).isEmpty
-        labels = next.drop("improved")
-      }
+      val labels = clusterLabels(s, dir)
       val sizes = labels.groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))
       labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
         .join(sizes, "cluster_id")
         .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    },
+
+    // CANONICAL ASSIGNMENT — the shippable output of the dedup stack:
+    // every document maps to its canonical survivor through both
+    // levels (exact-dup representative via content fingerprint, then
+    // the rep's near-dup cluster label). The join plan is
+    // corpus × two small frames (rep mapping is a window over the
+    // fingerprint partition; cluster labels are pair-graph-sized).
+    "x32_canonical_docs" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val rep = t(s, dir, "documents")
+        .selectExpr("doc_id", s"md5($sNorm) as fp")
+        .withColumn("rep_id", min(col("doc_id")).over(w))
+        .select("doc_id", "rep_id")
+      val labels = clusterLabels(s, dir)
+        .select(col("doc").as("rep_id"), col("lbl").as("cluster_id"))
+      rep.join(labels, Seq("rep_id"), "left")
+        .selectExpr("doc_id",
+          "coalesce(cluster_id, rep_id) as canonical_id",
+          """case when coalesce(cluster_id, rep_id) = doc_id then 'self'
+            |  when coalesce(cluster_id, rep_id) = rep_id then 'exact'
+            |  else 'near' end as reason""".stripMargin)
         .orderBy("doc_id")
     },
 
@@ -429,6 +459,31 @@ object Dedup {
          |FROM pairs JOIN nrm x ON pairs.doc_a = x.doc_id
          |           JOIN nrm y ON pairs.doc_b = y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "x32_canonical_docs" ->
+      s"""${dSimhash.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |chunks AS (SELECT doc_id, simhash, c AS ci, (simhash >> (15*c)) & 32767 AS chunk
+         |           FROM sh2, range(0, 4) r(c)),
+         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+         |             AND a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |      UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+         |  WHERE r.src <> e.dst),
+         |labels AS (SELECT src AS rep_id, LEAST(src, MIN(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |rep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5($dNorm)) AS rep_id
+         |        FROM documents)
+         |SELECT r.doc_id, COALESCE(l.cluster_id, r.rep_id) AS canonical_id,
+         |  CASE WHEN COALESCE(l.cluster_id, r.rep_id) = r.doc_id THEN 'self'
+         |       WHEN COALESCE(l.cluster_id, r.rep_id) = r.rep_id THEN 'exact'
+         |       ELSE 'near' END AS reason
+         |FROM rep r LEFT JOIN labels l ON r.rep_id = l.rep_id
+         |ORDER BY doc_id""".stripMargin,
     // components via recursive-CTE transitive closure + min — a
     // different algorithm than the Spark label-propagation loop, so
     // agreement is a genuine cross-check (closure is fine here: near-dup

@@ -144,6 +144,21 @@ object TimeSeries {
         .orderBy("user_id", "event_id")
     },
 
+    // FRAME NAVIGATION: first_value / last_value / nth_value over a
+    // bounded sliding frame (the window-function family r32/r33's
+    // running/lag coverage misses). One (user_id) shuffle.
+    "r46_frame_values" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("event_id"))
+        .rowsBetween(-2, 2)
+      t(s, dir, "events")
+        .withColumn("first_in_frame", first(col("event_type")).over(w))
+        .withColumn("last_in_frame", last(col("event_type")).over(w))
+        .withColumn("mid_val",
+          nth_value(col("value"), 2).over(w))
+        .select("user_id", "event_id", "first_in_frame", "last_in_frame", "mid_val")
+        .orderBy("user_id", "event_id")
+    },
+
     // NATIVE TOP-K PER KEY: the custom two-phase physical operator
     // (graft.plans.TopKPerKey — partial bounded heaps before the
     // exchange, so the shuffle carries ≤ k × keys × partitions rows
@@ -248,6 +263,15 @@ object TimeSeries {
         |  UNION ALL
         |  SELECT l_returnflag, 'sum_disc', sum_disc FROM agg)
         |ORDER BY l_returnflag, metric""".stripMargin,
+    "r46_frame_values" ->
+      """SELECT user_id, event_id,
+        |  FIRST_VALUE(event_type) OVER w AS first_in_frame,
+        |  LAST_VALUE(event_type) OVER w AS last_in_frame,
+        |  NTH_VALUE(value, 2) OVER w AS mid_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
     "r43_topk_per_key" ->
       """SELECT event_type, rk, event_id, user_id, value FROM (
         |  SELECT event_type, event_id, user_id, value,
