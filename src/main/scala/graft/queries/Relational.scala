@@ -350,6 +350,10 @@ object Relational {
         .orderBy("doc_id")
     },
     // rows-only (approximate — no exact oracle by construction)
+    "r47_recursive_cte" -> { (s, dir) =>
+      t(s, dir, "documents").createOrReplaceTempView("__docs_r47")
+      s.sql(r47Sql("__docs_r47"))
+    },
     // FULL OUTER join of two aggregates with disjoint-but-overlapping
     // key ranges — both sides keep unmatched keys (the one outer-join
     // variant the rest of the surface doesn't exercise). Aggregates are
@@ -396,6 +400,23 @@ object Relational {
           element_at(col("__p"), 2).as("price_p95"))
     },
   )
+
+  /** r47 — RECURSIVE CTE through the SQL front door (Spark 4's
+    * UnionLoop execution): walk the synthetic doc_id → 2·id+1 chain
+    * from roots < 10 while the successor exists; one SQL text drives
+    * both engines, so the iterative-union semantics (depth, fixpoint,
+    * dedup-free UNION ALL) are cross-checked end-to-end. */
+  def r47Sql(documents: String): String =
+    s"""WITH RECURSIVE chain AS (
+       |  SELECT doc_id AS root, doc_id AS cur, 0 AS depth
+       |  FROM $documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT c.root, d.doc_id, c.depth + 1
+       |  FROM chain c JOIN $documents d ON d.doc_id = c.cur * 2 + 1
+       |)
+       |SELECT root, CAST(MAX(depth) AS BIGINT) AS chain_len,
+       |  MAX(cur) AS tip, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM chain GROUP BY root ORDER BY root""".stripMargin
 
   /** One SQL text drives both engines (only the table names differ). */
   def r34Sql(orders: String, customer: String): String =
@@ -605,6 +626,7 @@ object Relational {
         |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(20,2)) END) AS DOUBLE) AS qty_n,
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(20,2)) END) AS DOUBLE) AS qty_r
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r47_recursive_cte" -> r47Sql("documents"),
     "r44_full_outer" ->
       """SELECT COALESCE(c.nk, s.nk) AS nk,
         |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
