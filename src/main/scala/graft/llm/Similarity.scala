@@ -237,6 +237,28 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // DISTRIBUTED GRAM/COVARIANCE MATRIX (the X^T X the whitening/PCA
+    // step of an embedding pipeline reduces to): each vector emits its
+    // 64×64 upper-triangle outer products via a within-row dimension
+    // self-join, aggregated with exact decimal sums — map-side partial,
+    // one shuffle on (i, j), linear in vectors. The eigen step itself
+    // is driver-side on the 64×64 result (as it is in practice); the
+    // distributed part IS this matrix.
+    "x33_gram_matrix" -> { (s, dir) =>
+      val dims = t(s, dir, "embeddings")
+        .selectExpr("vec_id", "posexplode(embedding) as (i, vi)")
+        .selectExpr("vec_id", "i", "cast(vi as double) as vi")
+      dims.join(dims.selectExpr("vec_id", "i as j", "vi as vj"), "vec_id")
+        .filter(col("i") <= col("j"))
+        .groupBy("i", "j")
+        .agg(
+          sum(expr("cast(vi * vj as decimal(24,12))")).cast("double").as("gram"),
+          count(lit(1)).as("n"))
+        .selectExpr("cast(i as bigint) as i", "cast(j as bigint) as j",
+          sRound6("gram") + " as gram", "n")
+        .orderBy("i", "j")
+    },
+
     // per-label centroids: distributed vector mean via posexplode +
     // exact decimal partial aggregation on (label, dim)
     "x14_label_centroids" -> { (s, dir) =>
@@ -334,6 +356,15 @@ object Similarity {
          |  CAST(list_sum(q) AS BIGINT) AS q_sum,
          |  list_min(q) AS q_min, list_max(q) AS q_max
          |FROM q1 ORDER BY vec_id""".stripMargin,
+    "x33_gram_matrix" ->
+      s"""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |         CAST(unnest(embedding) AS DOUBLE) AS vi
+         |       FROM embeddings)
+         |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+         |  ${dRound6("CAST(SUM(CAST(a.vi * b.vi AS DECIMAL(24,12))) AS DOUBLE)")} AS gram,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin,
     "x14_label_centroids" ->
       """SELECT label, dim,
         |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid,

@@ -354,6 +354,20 @@ object Relational {
       t(s, dir, "documents").createOrReplaceTempView("__docs_r47")
       s.sql(r47Sql("__docs_r47"))
     },
+    // explicit GROUPING SETS — an arbitrary set list, not the rollup
+    // (r09) / cube (r27) lattices: (flag, status), (flag), (status),
+    // each tagged via grouping_id for disambiguation
+    "r48_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("__li_r48")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+          |FROM __li_r48
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+          |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
     // FULL OUTER join of two aggregates with disjoint-but-overlapping
     // key ranges — both sides keep unmatched keys (the one outer-join
     // variant the rest of the surface doesn't exercise). Aggregates are
@@ -627,6 +641,14 @@ object Relational {
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(20,2)) END) AS DOUBLE) AS qty_r
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "r47_recursive_cte" -> r47Sql("documents"),
+    "r48_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "r44_full_outer" ->
       """SELECT COALESCE(c.nk, s.nk) AS nk,
         |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
