@@ -26,9 +26,15 @@ object Tables {
       // TIMESTAMP). Corpora with plain micros timestamps read as-is.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = s.read.parquet(s"$dir/$name.parquet")
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // NTZ → LTZ is value-preserving under the fixed UTC session
+          // zone, and the time functions (unix_micros etc.) need LTZ
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Order-independent exact double sum: accumulate in decimal (exact,
