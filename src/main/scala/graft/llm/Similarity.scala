@@ -190,9 +190,14 @@ object Similarity {
     "x17_ivf_topk" -> { (s, dir) =>
       val cent = centroids(s, dir).persist()
       val sq = withSq(s, dir)
+      // assignment dot product: fused codegen expression when installed
+      // (bit-identical fold order), interpreted HOF otherwise — the HOF
+      // is the superlinear hot spot at corpus scale (vectors × centroids)
+      val dotExpr =
+        if (s.catalog.functionExists("dot_f32f64")) "dot_f32f64(embedding, cv)"
+        else "aggregate(zip_with(embedding, cv, (x, w) -> cast(x as double) * w), cast(0 as double), (acc, t) -> acc + t)"
       val scored = sq.crossJoin(broadcast(cent))
-        .selectExpr("vec_id", "clabel",
-          s"aggregate(zip_with(embedding, cv, (x, w) -> cast(x as double) * w), cast(0 as double), (acc, t) -> acc + t) / sqrt(sq * csq) as cosc")
+        .selectExpr("vec_id", "clabel", s"$dotExpr / sqrt(sq * csq) as cosc")
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(col("cosc").desc, col("clabel"))
       val ranked = scored.withColumn("rn", row_number().over(wAssign)).persist()

@@ -108,6 +108,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SignBandsF32].getName, "sign_bands_f32"),
       (children: Seq[Expression]) =>
         SignBandsF32(children.head, graft.llm.Frag.planes)))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f32f64"),
+      new ExpressionInfo(classOf[DotF32F64].getName, "dot_f32f64"),
+      (children: Seq[Expression]) => DotF32F64(children(0), children(1))))
     // whole-operator extension: two-phase top-k-per-key (partial heaps
     // before the exchange — see graft.plans.TopKPerKey)
     ext.injectPlannerStrategy(_ => TopKPerKey.TopKStrategy)
