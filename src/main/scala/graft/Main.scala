@@ -71,8 +71,7 @@ object Main {
           Thread.sleep(wait)
         }
       case "clone" =>
-        val n = landOnce(force = true)
-        pipeline.createViews(schema())
+        val n = pipeline.clone(schema(), httpSource)
         println(s"cloned $n documents; views registered")
       case "create_views" =>
         pipeline.createViews(schema()).foreach(println)

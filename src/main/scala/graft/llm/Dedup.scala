@@ -311,12 +311,19 @@ object Dedup {
     "x29_edit_distance" -> { (s, dir) =>
       val pairs = simhashPairs(s, dir).select("doc_a", "doc_b")
       val norm = t(s, dir, "documents").selectExpr("doc_id", s"$sNorm as nt")
-      pairs
+      // the O(len²) levenshtein runs ONCE per pair: the persist boundary
+      // stops CollapseProject from inlining the alias into both
+      // consumers and evaluating the DP twice. The persisted frame is
+      // candidate-pair-sized (LSH survivors), not corpus-sized.
+      val lev = pairs
         .join(norm.select(col("doc_id").as("doc_a"), col("nt").as("ta")), "doc_a")
         .join(norm.select(col("doc_id").as("doc_b"), col("nt").as("tb")), "doc_b")
-        .selectExpr("doc_a", "doc_b",
-          "cast(levenshtein(ta, tb) as bigint) as edit_dist",
-          sRound6("1.0d - cast(levenshtein(ta, tb) as double) / cast(greatest(length(ta), length(tb), 1) as double)") + " as edit_sim")
+        .selectExpr("doc_a", "doc_b", "length(ta) as la", "length(tb) as lb",
+          "levenshtein(ta, tb) as lev")
+        .persist()
+      lev.selectExpr("doc_a", "doc_b",
+          "cast(lev as bigint) as edit_dist",
+          sRound6("1.0d - cast(lev as double) / cast(greatest(la, lb, 1) as double)") + " as edit_sim")
         .orderBy("doc_a", "doc_b")
     },
 

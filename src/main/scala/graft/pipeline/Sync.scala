@@ -79,13 +79,15 @@ final class SyncPipeline(
       if (page.files.isEmpty) more = false
       else {
         // persist: count + append would otherwise each re-run the full
-        // NDJSON parse + chunk split
+        // NDJSON parse + chunk split. Dedup-on-write = the landing PK
+        // (K3 semantics): a document delivered twice within this page
+        // lands once.
         val df = Ingest.fromNdjsonLines(
           spark.read.textFile(page.files.map(_.toString): _*),
           batchDate, chunkSize).persist()
         try {
           val n = df.count()
-          if (n > 0) Ingest.appendBatch(df, landingPath)
+          if (n > 0) Ingest.appendBatchDedup(df, landingPath)
           total += n
         } finally df.unpersist()
         cursor = page.cursor
@@ -114,7 +116,7 @@ final class SyncPipeline(
           batchDate, chunkSize).persist()
         try {
           val n = df.count()
-          if (n > 0) Ingest.appendBatch(df, landingPath)
+          if (n > 0) Ingest.appendBatchDedup(df, landingPath)
           total += n
         } finally df.unpersist()
       }
@@ -138,9 +140,13 @@ final class SyncPipeline(
       Views.registerAll(latest, schema)
   }
 
-  /** clone (§3.3): views + forced full sync. */
-  def clone(schema: RootSchema): Long = {
-    val n = syncOnce(force = true)
+  /** clone (§3.3): forced full sync + views; `source` switches to a
+    * paged (e.g. HTTP) source, file source otherwise. */
+  def clone(schema: RootSchema, source: Option[PagedSource] = None): Long = {
+    val n = source match {
+      case Some(src) => syncFrom(src, force = true)
+      case None      => syncOnce(force = true)
+    }
     createViews(schema)
     n
   }

@@ -31,13 +31,19 @@ case class DotF32F64(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f32f64"
 
+  // HOF-equivalent null semantics: zip_with pads a length mismatch with
+  // nulls and a null element nulls its product, which nulls the whole
+  // aggregate — so any mismatch or null element yields NULL, exactly
+  // like the interpreted form this replaces.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val w = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), w.numElements())
+    val n = x.numElements()
+    if (n != w.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || w.isNullAt(i)) return null
       dot += x.getFloat(i).toDouble * w.getDouble(i)
       i += 1
     }
@@ -50,14 +56,20 @@ case class DotF32F64(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $dot;
        """.stripMargin
     })
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

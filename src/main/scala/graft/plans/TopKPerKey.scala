@@ -188,6 +188,7 @@ object TopKPerKey {
     * otherwise — identical output either way. */
   def topKDesc(df: DataFrame, keyCols: Seq[String], orderCol: String,
       tiebreakCols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"top-k requires k > 0, got $k")
     val spark = df.sparkSession
     if (spark.sessionState.planner.extraPlanningStrategies.contains(TopKStrategy)) {
       val analyzed = df.queryExecution.analyzed

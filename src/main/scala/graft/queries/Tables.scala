@@ -11,12 +11,17 @@ object Tables {
   // every query re-lists the directory and re-reads footers — a pure
   // per-query constant. Memoizing the DataFrame (immutable plan) is
   // exactly what a catalog does. Keyed by session too: specs and the
-  // driver may use different sessions.
+  // driver may use different sessions. Contract: corpus dirs are
+  // immutable while cached (the cached file listing would otherwise go
+  // stale); the size bound keeps a driver that cycles sessions or dirs
+  // from pinning them forever.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (cache.size > 256) cache.clear()
     cache.computeIfAbsent((s, dir, name), { case (s, dir, name) => load(s, dir, name) })
+  }
 
   private def load(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

@@ -27,11 +27,22 @@ object Views {
     * chunk set must survive. If a version is re-landed with fewer chunks
     * (e.g. chunk-size config changed), the older batch's higher-numbered
     * chunks are dropped rather than leaking into list flattens.
+    *
+    * The final dropDuplicates restores the landing PK
+    * (batch_date,type,id,version,chunk — snowflake.go:58) at read time:
+    * the parquet store enforces no PK, so a document delivered twice
+    * within one sync run (same batch_date) would otherwise survive as
+    * two identical-key rows. The reference is backend-split here —
+    * SQLite's INSERT OR REPLACE dedups, Snowflake's informational PK
+    * does not — and we take the safe (SQLite/K3) semantics. The extra
+    * exchange hashes on a superset of the window key and carries only
+    * the winning batch's rows.
     */
   def latestAllVersions(landing: DataFrame): DataFrame = {
     val w = Window.partitionBy("type", "id", "version")
     landing.withColumn("__maxb", max(col("batch_date")).over(w))
       .filter(col("batch_date") === col("__maxb")).drop("__maxb")
+      .dropDuplicates("batch_date", "type", "id", "version", "chunk")
   }
 
   /** R2 — `_LATEST`: of those, keep only the max version per (type,id)

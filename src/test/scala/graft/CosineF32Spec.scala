@@ -41,6 +41,13 @@ class CosineF32Spec extends SparkSpec {
         java.lang.Double.doubleToLongBits(r.getDouble(1)),
         s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
     }
+    // HOF parity on the degenerate shapes too: zip_with null-pads a
+    // length mismatch and a null element nulls the fold -> NULL
+    val weird = spark.sql(
+      """SELECT dot_f32f64(cast(array(1.0, 2.0) as array<float>), array(1.0d)) AS mism,
+        |       dot_f32f64(cast(array(1.0, null) as array<float>), array(1.0d, 2.0d)) AS withnull""".stripMargin)
+      .collect().head
+    assert(weird.isNullAt(0) && weird.isNullAt(1))
   }
 
   test("sign_bands_f32 matches the composable HOF band expressions") {

@@ -45,10 +45,9 @@ class PropertySpec extends SparkSpec {
       day <- Gen.choose(1, 5)
     } yield LandingRecord(Timestamp.valueOf(f"2026-01-$day%02d 00:00:00"),
       "T", id, ver, 0, "au", bd, false, s"$id-$ver-$day"))
-    check(Prop.forAll(gen) { rs0 =>
-      // the landing store's composite PK (batch_date,type,id,version,chunk)
-      // forbids exact duplicates (snowflake.go:58) — distinct mirrors it
-      val rs = rs0.distinct
+    check(Prop.forAll(gen) { rs =>
+      // exact PK-duplicate inputs included on purpose: R1 restores the
+      // landing PK at read time, so duplicates must collapse
       rs.isEmpty || {
         val df = spark.createDataset(rs).toDF()
         val pruned = Views.prune(df)

@@ -30,6 +30,16 @@ class ViewsSpec extends SparkSpec {
     assert(v1.getAs[String]("data") == "new")
   }
 
+  test("R1 collapses exact PK-duplicate landings (doc delivered twice in one run)") {
+    // same (batch_date,type,id,version,chunk) twice — the parquet store
+    // has no PK, so R1 must restore it at read time
+    val df = landing(
+      rec("2026-01-01 00:00:00", "W", "d1", 1, data = "x"),
+      rec("2026-01-01 00:00:00", "W", "d1", 1, data = "x"))
+    assert(Views.latestAllVersions(df).count() == 1)
+    assert(Views.latest(df).count() == 1)
+  }
+
   test("R1 drops stale chunks when a version is replayed with fewer chunks") {
     // v1 lands at ts1 split into chunks 0..2; a re-chunked replay at ts2
     // lands the same version as chunks 0..1 only. The whole older batch —

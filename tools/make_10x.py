@@ -33,12 +33,17 @@ con.execute(f"""COPY (SELECT event_id + i*{n_ev} AS event_id, ts,
   FROM '{src}/events.parquet', range(0,10) r(i))
   TO '{out}/events.parquet' (FORMAT PARQUET)""")
 
+n_supp, n_part = cnt("supplier"), cnt("part")
 shifts = {
     "orders":   {"o_orderkey": f"o_orderkey + i*{n_ord}", "o_custkey": "o_custkey + i*200000"},
-    "lineitem": {"l_orderkey": f"l_orderkey + i*{n_ord}"},
+    # the full FK chain shifts together, or part/supplier joins would
+    # match only the i=0 copy and skew every probe key 10x
+    "lineitem": {"l_orderkey": f"l_orderkey + i*{n_ord}",
+                 "l_partkey": f"l_partkey + i*{n_part}",
+                 "l_suppkey": f"l_suppkey + i*{n_supp}"},
     "customer": {"c_custkey": "c_custkey + i*200000"},
-    "supplier": {"s_suppkey": f"s_suppkey + i*{cnt('supplier')}"},
-    "part":     {"p_partkey": f"p_partkey + i*{cnt('part')}"},
+    "supplier": {"s_suppkey": f"s_suppkey + i*{n_supp}"},
+    "part":     {"p_partkey": f"p_partkey + i*{n_part}"},
 }
 for t, shift in shifts.items():
     cols = [c[0] for c in con.execute(f"describe select * from '{src}/{t}.parquet'").fetchall()]
