@@ -327,6 +327,29 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // LSH QUALITY METRICS — the tuning harness every LSH deployment
+    // needs: precision/recall of the minhash-banded near-dup pairs
+    // (x07) against the rare-shingle exact-jaccard pairs (x10) as
+    // ground truth, computed by a full outer join of the two pair sets.
+    // Both inputs are candidate-pair-sized; the metrics collapse to one
+    // row. Re-banding (rows/bands trade) moves these numbers — this
+    // query is how you see it without eyeballing pair lists.
+    "x35_lsh_quality" -> { (s, dir) =>
+      val lsh = queries("x07_lsh_neardup_pairs")(s, dir)
+        .select("doc_a", "doc_b").withColumn("in_l", lit(1L))
+      val exact = queries("x10_jaccard_pairs")(s, dir)
+        .select("doc_a", "doc_b").withColumn("in_e", lit(1L))
+      lsh.join(exact, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(sum(col("in_l")).as("n_lsh"), sum(col("in_e")).as("n_exact"),
+          sum(col("in_l") * col("in_e")).as("n_both"))
+        .selectExpr(
+          "coalesce(n_lsh, cast(0 as bigint)) as n_lsh",
+          "coalesce(n_exact, cast(0 as bigint)) as n_exact",
+          "coalesce(n_both, cast(0 as bigint)) as n_both",
+          sRound6("case when n_lsh > 0 then cast(n_both as double) / cast(n_lsh as double) else 0.0d end") + " as precision_r",
+          sRound6("case when n_exact > 0 then cast(n_both as double) / cast(n_exact as double) else 0.0d end") + " as recall_r")
+    },
+
     // train→test contamination scan (decontamination, as in GPT-3 /
     // The Pile dataset reports): a test document is contaminated when
     // it shares any 8-gram with the train split. Split assignment uses
@@ -466,6 +489,41 @@ object Dedup {
          |FROM pairs JOIN nrm x ON pairs.doc_a = x.doc_id
          |           JOIN nrm y ON pairs.doc_b = y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "x35_lsh_quality" ->
+      s"""$dShingled $dSig,
+         |bands AS (
+         |${(0 until 4).map(b => s"  SELECT doc_id, $b AS bi, ${dBandHash(b)} AS bh FROM sig")
+             .mkString("\n  UNION ALL\n")}),
+         |lcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bh = b.bh
+         |               AND a.doc_id < b.doc_id),
+         |lshp AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    ${dRound6("CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE)")} AS jaccard
+         |  FROM lcand JOIN shd x ON lcand.doc_a = x.doc_id
+         |             JOIN shd y ON lcand.doc_b = y.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |rare2 AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh) WHERE df <= 8),
+         |rex2 AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare2 ON ex.sh = rare2.sh),
+         |ecand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM rex2 a JOIN rex2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |exactp AS (SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    ${dRound6("CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE)")} AS jaccard
+         |  FROM ecand JOIN shd x ON ecand.doc_a = x.doc_id
+         |             JOIN shd y ON ecand.doc_b = y.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |j AS (SELECT (l.doc_a IS NOT NULL) AS in_l, (e.doc_a IS NOT NULL) AS in_e
+         |      FROM lshp l FULL OUTER JOIN exactp e
+         |        ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
+         |SELECT
+         |  CAST(COALESCE(SUM(CASE WHEN in_l THEN 1 END), 0) AS BIGINT) AS n_lsh,
+         |  CAST(COALESCE(SUM(CASE WHEN in_e THEN 1 END), 0) AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(SUM(CASE WHEN in_l AND in_e THEN 1 END), 0) AS BIGINT) AS n_both,
+         |  ${dRound6("CASE WHEN COALESCE(SUM(CASE WHEN in_l THEN 1 END), 0) > 0 THEN CAST(COALESCE(SUM(CASE WHEN in_l AND in_e THEN 1 END), 0) AS DOUBLE) / CAST(SUM(CASE WHEN in_l THEN 1 END) AS DOUBLE) ELSE 0.0 END")} AS precision_r,
+         |  ${dRound6("CASE WHEN COALESCE(SUM(CASE WHEN in_e THEN 1 END), 0) > 0 THEN CAST(COALESCE(SUM(CASE WHEN in_l AND in_e THEN 1 END), 0) AS DOUBLE) / CAST(SUM(CASE WHEN in_e THEN 1 END) AS DOUBLE) ELSE 0.0 END")} AS recall_r
+         |FROM j""".stripMargin,
     "x32_canonical_docs" ->
       s"""${dSimhash.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |chunks AS (SELECT doc_id, simhash, c AS ci, (simhash >> (15*c)) & 32767 AS chunk

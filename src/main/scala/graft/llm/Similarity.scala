@@ -242,6 +242,25 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // RANDOM-PROJECTION DIM REDUCTION (Johnson-Lindenstrauss): project
+    // 64-dim vectors onto the 16 deterministic ±1 hyperplanes, keeping
+    // REAL values (sign-LSH keeps only the bit). Narrow per-row map —
+    // the fused sign_bands path's real-valued sibling; projections are
+    // the same md5-derived planes, so both engines embed identical
+    // literal weights. Summarized per vector as the projected norm and
+    // first components (decimal-rounded).
+    "x34_jl_projection" -> { (s, dir) =>
+      val projs = (0 until 4).map(p => sProj("embedding", p))
+      val normSq = (0 until 4).map(p => s"(${sProj("embedding", p)}) * (${sProj("embedding", p)})")
+        .mkString(" + ")
+      withSq(s, dir)
+        .selectExpr("vec_id",
+          sRound6(projs(0)) + " as p0", sRound6(projs(1)) + " as p1",
+          sRound6(projs(2)) + " as p2", sRound6(projs(3)) + " as p3",
+          sRound6(s"sqrt($normSq)") + " as proj_norm4")
+        .orderBy("vec_id")
+    },
+
     // DISTRIBUTED GRAM/COVARIANCE MATRIX (the X^T X the whitening/PCA
     // step of an embedding pipeline reduces to): each vector emits its
     // 64×64 upper-triangle outer products via a within-row dimension
@@ -361,6 +380,14 @@ object Similarity {
          |  CAST(list_sum(q) AS BIGINT) AS q_sum,
          |  list_min(q) AS q_min, list_max(q) AS q_max
          |FROM q1 ORDER BY vec_id""".stripMargin,
+    "x34_jl_projection" ->
+      s"""SELECT vec_id,
+         |  ${dRound6(dProj("embedding", 0))} AS p0,
+         |  ${dRound6(dProj("embedding", 1))} AS p1,
+         |  ${dRound6(dProj("embedding", 2))} AS p2,
+         |  ${dRound6(dProj("embedding", 3))} AS p3,
+         |  ${dRound6(s"sqrt((${dProj("embedding", 0)}) * (${dProj("embedding", 0)}) + (${dProj("embedding", 1)}) * (${dProj("embedding", 1)}) + (${dProj("embedding", 2)}) * (${dProj("embedding", 2)}) + (${dProj("embedding", 3)}) * (${dProj("embedding", 3)}))")} AS proj_norm4
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "x33_gram_matrix" ->
       s"""WITH dims AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
          |         CAST(unnest(embedding) AS DOUBLE) AS vi
