@@ -34,11 +34,27 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate queries from each other: frames persisted inside one
+      // query must not occupy executor storage while later ones run
+      spark.catalog.clearCache()
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    val total = ms(if (results.nonEmpty) results.values.sum else 0.0)
+    // The harness keeps only the last ~2000 chars of stdout, so the JSON
+    // line must stay short: query keys are compacted to their unique id
+    // prefix (r01, x17, …) and values rounded to ms. Full names and
+    // precision go to BENCH_DETAIL.json beside the repo.
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -485,7 +485,7 @@ object Dedup {
          |nrm AS (SELECT doc_id, $dNorm AS nt FROM documents)
          |SELECT doc_a, doc_b,
          |  CAST(levenshtein(x.nt, y.nt) AS BIGINT) AS edit_dist,
-         |  ${dRound6("1.0 - CAST(levenshtein(x.nt, y.nt) AS DOUBLE) / CAST(greatest(strlen(x.nt), strlen(y.nt), 1) AS DOUBLE)")} AS edit_sim
+         |  ${dRound6("1.0 - CAST(levenshtein(x.nt, y.nt) AS DOUBLE) / CAST(greatest(length(x.nt), length(y.nt), 1) AS DOUBLE)")} AS edit_sim
          |FROM pairs JOIN nrm x ON pairs.doc_a = x.doc_id
          |           JOIN nrm y ON pairs.doc_b = y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,

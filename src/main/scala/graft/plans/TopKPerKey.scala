@@ -190,7 +190,17 @@ object TopKPerKey {
       tiebreakCols: Seq[String], k: Int): DataFrame = {
     require(k > 0, s"top-k requires k > 0, got $k")
     val spark = df.sparkSession
-    if (spark.sessionState.planner.extraPlanningStrategies.contains(TopKStrategy)) {
+    // Float/double grouping keys would bypass Spark's
+    // NormalizeFloatingNumbers rule in the native path (-0.0 vs 0.0 and
+    // NaN bit patterns could hash to different partitions / rank as
+    // distinct keys); route those to the window form, which normalizes.
+    val floatKey = keyCols.exists { c =>
+      df.schema.find(_.name.equalsIgnoreCase(c)).exists(f =>
+        f.dataType == org.apache.spark.sql.types.FloatType ||
+          f.dataType == org.apache.spark.sql.types.DoubleType)
+    }
+    if (!floatKey &&
+        spark.sessionState.planner.extraPlanningStrategies.contains(TopKStrategy)) {
       val analyzed = df.queryExecution.analyzed
       def attr(n: String): Attribute = analyzed.output
         .find(_.name.equalsIgnoreCase(n))

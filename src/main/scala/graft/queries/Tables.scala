@@ -19,9 +19,20 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    if (cache.size > 256) cache.clear()
+    // Evict entries pinned to stopped sessions first (they can never be
+    // read again); only if live entries still exceed the bound fall back
+    // to the blunt clear.
+    if (cache.size > 256) {
+      cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      if (cache.size > 256) cache.clear()
+    }
     cache.computeIfAbsent((s, dir, name), { case (s, dir, name) => load(s, dir, name) })
   }
+
+  /** Drop cached resolutions under `dir` — call after rewriting a corpus
+    * directory in-session (the cached plan pins the old file listing). */
+  def invalidate(dir: String): Unit =
+    cache.keySet.removeIf(k => k._2 == dir)
 
   private def load(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

@@ -63,12 +63,12 @@ object Views {
   def prune(landing: DataFrame): DataFrame = latestAllVersions(landing)
 
   /** Rows R4 would delete (for parity testing: anti-join form,
-    * snowflake.go:87-94) — the exact complement of [[latestAllVersions]]. */
-  def pruneDeletes(landing: DataFrame): DataFrame = {
-    val w = Window.partitionBy("type", "id", "version")
-    landing.withColumn("__maxb", max(col("batch_date")).over(w))
-      .filter(col("batch_date") =!= col("__maxb")).drop("__maxb")
-  }
+    * snowflake.go:87-94) — the exact multiset complement of
+    * [[latestAllVersions]]: superseded-batch rows AND the extra copies of
+    * same-batch exact PK duplicates that the PK-restoring dropDuplicates
+    * collapses, so prune ∪ pruneDeletes ≡ landing row-for-row. */
+  def pruneDeletes(landing: DataFrame): DataFrame =
+    landing.exceptAll(latestAllVersions(landing))
 
   // ─── Typed per-document-type views (V1–V6) ───
 
