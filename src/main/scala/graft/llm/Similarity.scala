@@ -283,6 +283,49 @@ object Similarity {
         .orderBy("i", "j")
     },
 
+    // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023: cluster embeddings,
+    // then dedup WITHIN clusters only — the clusters bound the quadratic
+    // pair blowup, which is the whole scale trick): vectors are assigned
+    // to their nearest centroid (same coarse quantizer as x17), then
+    // same-cluster pairs with cosine ≥ 0.4 mark the higher vec_id as a
+    // duplicate of the lowest matching one (one-step canonicalization;
+    // transitive-closure clustering is x24's job). The pair self-join
+    // carries the embedding payload directly so the cosine is computed
+    // inline as rows stream out of the cluster-keyed join — nothing
+    // pair-sized is ever materialized. At 100 TB the cluster count
+    // (k-means k) far exceeds partitions, so the cluster-keyed shuffle
+    // balances; with only 10 label-clusters here AQE absorbs the skew.
+    "x36_semantic_dedup" -> { (s, dir) =>
+      val cent = centroids(s, dir)
+      val sq = withSq(s, dir)
+      val dotExpr =
+        if (s.catalog.functionExists("dot_f32f64")) "dot_f32f64(embedding, cv)"
+        else "aggregate(zip_with(embedding, cv, (x, w) -> cast(x as double) * w), cast(0 as double), (acc, t) -> acc + t)"
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("cosc").desc, col("clabel"))
+      val members = sq.crossJoin(broadcast(cent))
+        .selectExpr("vec_id", "embedding", "sq", "clabel",
+          s"$dotExpr / sqrt(sq * csq) as cosc")
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select("vec_id", "clabel", "embedding", "sq")
+        .persist()
+      val pairs = members.select(col("vec_id").as("va"), col("clabel"),
+          col("embedding").as("ea"), col("sq").as("sa"))
+        .join(members.select(col("vec_id").as("vb"), col("clabel"),
+          col("embedding").as("eb"), col("sq").as("sb")), "clabel")
+        .filter(col("va") < col("vb"))
+        .selectExpr("va", "vb", s"${sCosIn(s)} as cs")
+        .filter("cs >= 0.4")
+      val keeper = pairs.groupBy(col("vb").as("vec_id"))
+        .agg(min(col("va")).as("keeper"))
+      members.select("vec_id", "clabel").join(keeper, Seq("vec_id"), "left")
+        .selectExpr("vec_id", "cast(clabel as bigint) as cluster",
+          "coalesce(keeper, vec_id) as canonical_id",
+          "keeper is null as kept")
+        .orderBy("vec_id")
+    },
+
     // per-label centroids: distributed vector mean via posexplode +
     // exact decimal partial aggregation on (label, dim)
     "x14_label_centroids" -> { (s, dir) =>
@@ -397,6 +440,33 @@ object Similarity {
          |  CAST(COUNT(*) AS BIGINT) AS n
          |FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.i <= b.i
          |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin,
+    "x36_semantic_dedup" ->
+      s"""WITH sq AS (SELECT vec_id, embedding, ${dSumSq("embedding")} AS sq FROM embeddings),
+         |cd AS (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+         |       FROM embeddings),
+         |cm AS (SELECT label, dim,
+         |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+         |       FROM cd GROUP BY label, dim),
+         |cent0 AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cm GROUP BY label),
+         |cent AS (SELECT clabel, cv, ${dSumSq64("cv")} AS csq FROM cent0),
+         |scored AS (SELECT vec_id, clabel,
+         |             (${dDotF64("sq.embedding", "cv")}) / sqrt(sq * csq) AS cosc
+         |           FROM sq CROSS JOIN cent),
+         |ranked AS (SELECT vec_id, clabel,
+         |             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosc DESC, clabel) AS rn
+         |           FROM scored),
+         |mem AS (SELECT vec_id, clabel FROM ranked WHERE rn = 1),
+         |pairs AS (SELECT x.vec_id AS va, y.vec_id AS vb
+         |          FROM mem x JOIN mem y ON x.clabel = y.clabel AND x.vec_id < y.vec_id
+         |          JOIN sq a ON a.vec_id = x.vec_id
+         |          JOIN sq b ON b.vec_id = y.vec_id
+         |          WHERE $dCos >= 0.4),
+         |keeper AS (SELECT vb AS vec_id, MIN(va) AS keeper FROM pairs GROUP BY vb)
+         |SELECT m.vec_id, CAST(m.clabel AS BIGINT) AS cluster,
+         |  COALESCE(k.keeper, m.vec_id) AS canonical_id,
+         |  k.keeper IS NULL AS kept
+         |FROM mem m LEFT JOIN keeper k ON m.vec_id = k.vec_id
+         |ORDER BY m.vec_id""".stripMargin,
     "x14_label_centroids" ->
       """SELECT label, dim,
         |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid,

@@ -301,6 +301,39 @@ object TextAnalysis {
           sRound6("tfidf") + " as tfidf_r")
         .orderBy("doc_id", "rk")
     },
+    // DETERMINISTIC PER-STRATUM RESERVOIR (fixed-size eval-set carve-out:
+    // exactly k docs per language, stable across runs/engines): order
+    // each stratum by a salted hash of the stable doc_id — a uniform
+    // pseudo-random permutation — and keep the top k. Runs on the native
+    // two-phase TopKPerKey operator (map-side bounded heaps: the shuffle
+    // moves ≤ k·strata·partitions rows, not the corpus — the same
+    // operator r43 exercises, here on a second shape), window fallback
+    // when the extension is absent.
+    "x37_stratified_sample" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .selectExpr("doc_id", "lang", s"${sH("concat('rs:', doc_id)")} as h")
+      graft.plans.TopKPerKey.topKDesc(d, Seq("lang"), "h", Seq("doc_id"), 20)
+        .orderBy("lang", "rk")
+    },
+    // SLIDING-WINDOW CHUNKING (RAG/context-window prep): fixed 64-token
+    // chunks at stride 48 (16-token overlap), last window clamped so
+    // every token is covered exactly once past the overlap. Pure per-row
+    // sequence+explode — codegen'd, zero shuffle, linear at corpus
+    // scale; chunk count per doc is ceil(max(n-64,0)/48)+1.
+    "x38_sliding_chunks" -> { (s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"$sTokens as tk")
+        .selectExpr("doc_id", "tk", "size(tk) as n")
+        .selectExpr("doc_id", "tk", "n",
+          "explode(sequence(0, cast(ceil(greatest(n - 64, 0) / 48.0) as int))) as ci")
+        .selectExpr("doc_id",
+          "cast(ci as bigint) as chunk_idx",
+          "cast(ci * 48 as bigint) as start_tok",
+          "cast(least(64, n - ci * 48) as bigint) as n_tok",
+          "element_at(tk, ci * 48 + 1) as first_tok",
+          "element_at(tk, least(n, ci * 48 + 64)) as last_tok")
+        .orderBy("doc_id", "chunk_idx")
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -441,5 +474,23 @@ object TextAnalysis {
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c GROUP BY lang, seq_id
          |ORDER BY lang, seq_id""".stripMargin,
+    "x37_stratified_sample" ->
+      s"""SELECT doc_id, lang, h, rk FROM (
+         |  SELECT doc_id, lang, h,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) AS BIGINT) AS rk
+         |  FROM (SELECT doc_id, lang, ${dH("concat('rs:', doc_id)")} AS h FROM documents)) x
+         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "x38_sliding_chunks" ->
+      s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
+         |n1 AS (SELECT doc_id, tk, len(tk) AS n FROM tkn),
+         |c AS (SELECT doc_id, tk, n,
+         |        unnest(range(0, CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT) + 1)) AS ci
+         |      FROM n1)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         |  CAST(ci * 48 AS BIGINT) AS start_tok,
+         |  CAST(least(64, n - ci * 48) AS BIGINT) AS n_tok,
+         |  tk[CAST(ci * 48 + 1 AS BIGINT)] AS first_tok,
+         |  tk[CAST(least(n, ci * 48 + 64) AS BIGINT)] AS last_tok
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

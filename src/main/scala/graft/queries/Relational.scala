@@ -413,7 +413,102 @@ object Relational {
           element_at(col("__p"), 1).as("price_p50"),
           element_at(col("__p"), 2).as("price_p95"))
     },
+
+    // ordered string aggregation (Spark 4 LISTAGG WITHIN GROUP ≡ DuckDB
+    // string_agg ORDER BY): deterministic because the intra-group order
+    // is total (n_name unique per region); broadcast dim join, one
+    // partial-aggregated shuffle on the 5 groups
+    "r49_ordered_listagg" -> { (s, dir) =>
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(expr("listagg(n_name, ',') within group (order by n_name)")
+          .as("nations"), cnt.as("n_nations"))
+        .orderBy("r_name")
+    },
+
+    // interpolated percentiles (PERCENTILE_CONT WITHIN GROUP — the
+    // continuous sibling of r42's percentile_disc): per-priority p50/p90
+    // of order value; 6-dp presentation rounding absorbs any last-ulp
+    // difference in the two engines' interpolation expression shape
+    "r50_percentile_cont" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .selectExpr("o_orderpriority", "cast(o_totalprice as double) as p")
+        .groupBy("o_orderpriority")
+        .agg(expr("percentile_cont(0.5) within group (order by p)").as("p50r"),
+          expr("percentile_cont(0.9) within group (order by p)").as("p90r"),
+          cnt.as("n"))
+        .selectExpr("o_orderpriority", r6("p50r") + " as p50",
+          r6("p90r") + " as p90", "n")
+        .orderBy("o_orderpriority")
+    },
+
+    // corr / least-squares slope+intercept from DECIMAL-EXACT sufficient
+    // statistics: the five sums are order-independent (decimal partials)
+    // and bit-identical across engines, and the closed-form arithmetic is
+    // the same expression tree on both sides. The built-in corr()/
+    // regr_slope() streaming aggregates are merge-order-dependent in the
+    // last ulp — on a 1000-executor cluster they aren't even
+    // run-to-run deterministic, which is exactly what this sufficient-
+    // statistics formulation fixes (same pattern as Tables.dsum).
+    "r51_regression" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .selectExpr("l_returnflag", "cast(l_quantity as double) as x",
+          "cast(l_extendedprice as double) as y")
+        .groupBy("l_returnflag")
+        .agg(cnt.cast("double").as("n"),
+          sum(expr("cast(x as decimal(20,6))")).cast("double").as("sx"),
+          sum(expr("cast(y as decimal(24,6))")).cast("double").as("sy"),
+          sum(expr("cast(x * y as decimal(30,8))")).cast("double").as("sxy"),
+          sum(expr("cast(x * x as decimal(24,8))")).cast("double").as("sxx"),
+          sum(expr("cast(y * y as decimal(34,8))")).cast("double").as("syy"))
+        .selectExpr("l_returnflag", "cast(n as bigint) as n",
+          r6("(n * sxy - sx * sy) / (n * sxx - sx * sx)") + " as slope",
+          r6("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n") + " as intercept",
+          r6("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))") + " as corr_xy")
+        .orderBy("l_returnflag")
+    },
+
+    // correlated LATERAL join through the SQL front door (one SQL text
+    // on both engines, like r47): per region, the top-2 customers by
+    // account balance — the lateral subquery sees the outer row
+    "r52_lateral_topn" -> { (s, dir) =>
+      t(s, dir, "region").createOrReplaceTempView("__r52_region")
+      t(s, dir, "nation").createOrReplaceTempView("__r52_nation")
+      t(s, dir, "customer").createOrReplaceTempView("__r52_customer")
+      s.sql(r52Sql("__r52_region", "__r52_nation", "__r52_customer"))
+    },
+
+    // bitwise + boolean aggregates (integer/boolean lattices are exact —
+    // no floating-point, engine-order-free by algebra)
+    "r53_bit_bool_agg" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(expr("bit_and(c_custkey)").as("band"),
+          expr("bit_or(c_custkey)").as("bor"),
+          expr("bit_xor(c_custkey)").as("bxor"),
+          expr("bool_and(c_acctbal > 0)").as("all_pos"),
+          expr("bool_or(c_acctbal > 9000)").as("any_rich"),
+          cnt.as("n"))
+        .orderBy("c_mktsegment")
+    },
   )
+
+  /** Bit-exact 6-dp presentation rounding (same contract as
+    * graft.llm.Frag.sRound6). */
+  private def r6(x: String): String = s"cast(cast($x as decimal(16,6)) as double)"
+
+  /** r52 — one SQL text drives both engines (only table names differ). */
+  def r52Sql(region: String, nation: String, customer: String): String =
+    s"""SELECT r.r_name, l.c_custkey, l.c_acctbal
+       |FROM $region r JOIN LATERAL (
+       |  SELECT c_custkey, c_acctbal
+       |  FROM $customer c JOIN $nation n ON c.c_nationkey = n.n_nationkey
+       |  WHERE n.n_regionkey = r.r_regionkey
+       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+       |) l ON true
+       |ORDER BY r.r_name, l.c_acctbal DESC, l.c_custkey""".stripMargin
 
   /** r47 — RECURSIVE CTE through the SQL front door (Spark 4's
     * UnionLoop execution): walk the synthetic doc_id → 2·id+1 chain
@@ -668,5 +763,43 @@ object Relational {
         |  FROM customer) x, (SELECT unnest([0.25, 0.5, 0.75]) AS p) ps
         |WHERE rn = CAST(ceil(p * n) AS BIGINT)
         |ORDER BY c_mktsegment, p""".stripMargin,
+    "r49_ordered_listagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "r50_percentile_cont" ->
+      """SELECT o_orderpriority,
+        |  CAST(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS DECIMAL(16,6)) AS DOUBLE) AS p50,
+        |  CAST(CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS DECIMAL(16,6)) AS DOUBLE) AS p90,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "r51_regression" ->
+      """WITH st AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(24,8))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(34,8))) AS DOUBLE) AS syy
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
+        |               CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS DECIMAL(16,6)) AS DOUBLE) AS slope,
+        |  CAST(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS DECIMAL(16,6)) AS DOUBLE) AS intercept,
+        |  CAST(CAST((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS DECIMAL(16,6)) AS DOUBLE) AS corr_xy
+        |FROM st ORDER BY l_returnflag""".stripMargin,
+    "r52_lateral_topn" -> r52Sql("region", "nation", "customer"),
+    "r53_bit_bool_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(bit_and(c_custkey) AS BIGINT) AS band,
+        |  CAST(bit_or(c_custkey) AS BIGINT) AS bor,
+        |  CAST(bit_xor(c_custkey) AS BIGINT) AS bxor,
+        |  bool_and(c_acctbal > 0) AS all_pos,
+        |  bool_or(c_acctbal > 9000) AS any_rich,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }
