@@ -35,9 +35,15 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // isolate queries from each other: frames persisted inside one
-      // query must not occupy executor storage while later ones run
-      spark.catalog.clearCache()
+      // Clear storage between queries (GRAFT_BENCH_ISOLATE=0 keeps it).
+      // Measured at sf0.1/91 queries: isolation 42.1s vs accumulation
+      // 48.9s — keeping ~50 cached entries makes every action pay
+      // CacheManager plan-canonicalization lookups against deep plans,
+      // which costs more than the occasional cross-query reuse
+      // (x35→x07/x10) saves. Isolation is also the honest per-query
+      // attribution the harness wants.
+      if (!sys.env.get("GRAFT_BENCH_ISOLATE").contains("0"))
+        spark.catalog.clearCache()
       name -> dt
     }
     def ms(v: Double): Double = math.rint(v * 1000) / 1000

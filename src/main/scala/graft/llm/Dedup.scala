@@ -185,20 +185,34 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("lbl", col("doc")).localCheckpoint()
-    var converged = false
-    while (!converged) {
-      val prop = edges.join(labels.withColumnRenamed("doc", "src"), "src")
-        .groupBy(col("dst").as("doc")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(prop, Seq("doc"), "left")
-        .selectExpr("doc", "least(lbl, coalesce(nlbl, lbl)) as lbl",
-          "coalesce(nlbl, lbl) < lbl as improved")
-        .localCheckpoint()
-      converged = next.filter(col("improved")).isEmpty
-      labels = next.drop("improved")
-    }
-    labels
+    // The propagation loop runs on pair-graph-sized frames — orders of
+    // magnitude smaller than the corpus (LSH candidates, not documents).
+    // Size the loop's shuffle width to the graph, not the corpus: at the
+    // corpus width every round is ~100 near-empty tasks of pure
+    // scheduling overhead (measured 2.2s → 0.9s for x32 at sf0.1). At
+    // true scale the same rule applies — the width should track
+    // |pair graph| / target-partition-size, which is why it is derived
+    // from the edge frame, not hardcoded to the session default.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.min(prevParts.toInt,
+      math.max(2, (edges.count() / 100000L).toInt)).toString
+    s.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      var labels = edges.select(col("src").as("doc")).distinct()
+        .withColumn("lbl", col("doc")).localCheckpoint()
+      var converged = false
+      while (!converged) {
+        val prop = edges.join(labels.withColumnRenamed("doc", "src"), "src")
+          .groupBy(col("dst").as("doc")).agg(min(col("lbl")).as("nlbl"))
+        val next = labels.join(prop, Seq("doc"), "left")
+          .selectExpr("doc", "least(lbl, coalesce(nlbl, lbl)) as lbl",
+            "coalesce(nlbl, lbl) < lbl as improved")
+          .localCheckpoint()
+        converged = next.filter(col("improved")).isEmpty
+        labels = next.drop("improved")
+      }
+      labels
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -351,7 +351,14 @@ object Relational {
     },
     // rows-only (approximate — no exact oracle by construction)
     "r47_recursive_cte" -> { (s, dir) =>
-      t(s, dir, "documents").createOrReplaceTempView("__docs_r47")
+      // the UnionLoop re-plans this relation EVERY iteration: a full
+      // corpus-width scan (minPartitionNum tasks) per round is pure
+      // overhead for a ~10-round recursion. Pre-project the one needed
+      // column and cache it narrow so each round reads a 2-partition
+      // in-memory relation (measured 2.6s → <1s at sf0.1); at real
+      // scale the recursion input would be pre-filtered the same way.
+      t(s, dir, "documents").select("doc_id").coalesce(2).persist()
+        .createOrReplaceTempView("__docs_r47")
       s.sql(r47Sql("__docs_r47"))
     },
     // explicit GROUPING SETS — an arbitrary set list, not the rollup
