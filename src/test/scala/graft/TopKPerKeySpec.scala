@@ -78,6 +78,20 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.set("graft.topk.maxPartialKeys", "131072")
   }
 
+  test("float/double grouping keys route to the window form (-0.0 == 0.0)") {
+    import spark.implicits._
+    // native path would bypass NormalizeFloatingNumbers: -0.0 and 0.0
+    // have distinct bit patterns and could rank as distinct keys
+    val df = Seq((-0.0, 1L, 5.0), (0.0, 2L, 7.0), (1.5, 3L, 1.0))
+      .toDF("fkey", "id", "v")
+    val out = TopKPerKey.topKDesc(df, Seq("fkey"), "v", Seq("id"), 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("PartialTopK"), s"native plan on float keys:\n$plan")
+    // -0.0 and 0.0 are one group: its top-1 is (0.0, 2L); k=1 per key
+    val rows = out.collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(rows == Set((2L, 1L), (3L, 1L)))
+  }
+
   test("plans as PartialTopK + FinalTopK with the exchange between them") {
     val events = graft.queries.Tables.t(spark, sf001, "events")
       .selectExpr("event_type", "event_id", "value")
