@@ -2,7 +2,6 @@ package graft.llm
 
 import graft.queries.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Frag._
@@ -115,10 +114,11 @@ object Similarity {
       val scored = cands.crossJoin(broadcast(probes))
         .filter(col("query_id") =!= col("neighbor_id"))
         .selectExpr("query_id", "neighbor_id", s"${sCosIn(s)} as cos_sim")
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= TopK)
+      // native two-phase top-k: per-partition bounded heaps mean the
+      // exchange carries ≤ k rows per probe per partition, not every
+      // scored corpus row (identical output to the window form)
+      graft.plans.TopKPerKey.topKDesc(scored, Seq("query_id"), "cos_sim",
+          Seq("neighbor_id"), TopK)
         .orderBy("query_id", "rk")
     },
 
@@ -142,10 +142,8 @@ object Similarity {
         .join(sq.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("eb"), col("sq").as("sb")), "neighbor_id")
         .selectExpr("query_id", "neighbor_id", s"${sCosIn(s)} as cos_sim")
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= TopK)
+      graft.plans.TopKPerKey.topKDesc(scored, Seq("query_id"), "cos_sim",
+          Seq("neighbor_id"), TopK)
         .orderBy("query_id", "rk")
     },
 
@@ -198,12 +196,13 @@ object Similarity {
         else "aggregate(zip_with(embedding, cv, (x, w) -> cast(x as double) * w), cast(0 as double), (acc, t) -> acc + t)"
       val scored = sq.crossJoin(broadcast(cent))
         .selectExpr("vec_id", "clabel", s"$dotExpr / sqrt(sq * csq) as cosc")
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("cosc").desc, col("clabel"))
-      val ranked = scored.withColumn("rn", row_number().over(wAssign)).persist()
-      val assign = ranked.filter(col("rn") === 1)
+      // top-2 centroids per vector through the native operator (rank 1
+      // = inverted-list assignment, ranks 1-2 = probe lists)
+      val ranked = graft.plans.TopKPerKey.topKDesc(scored, Seq("vec_id"),
+        "cosc", Seq("clabel"), 2).persist()
+      val assign = ranked.filter(col("rk") === 1)
         .select(col("vec_id").as("neighbor_id"), col("clabel"))
-      val probes = ranked.filter(col("vec_id") < 8 && col("rn") <= 2)
+      val probes = ranked.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("clabel"))
       val cand = probes.join(assign, "clabel")
         .filter(col("query_id") =!= col("neighbor_id"))
@@ -214,10 +213,8 @@ object Similarity {
         .join(sq.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("eb"), col("sq").as("sb")), "neighbor_id")
         .selectExpr("query_id", "neighbor_id", s"${sCosIn(s)} as cos_sim")
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      scored2.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= TopK)
+      graft.plans.TopKPerKey.topKDesc(scored2, Seq("query_id"), "cos_sim",
+          Seq("neighbor_id"), TopK)
         .orderBy("query_id", "rk")
     },
 
@@ -301,13 +298,11 @@ object Similarity {
       val dotExpr =
         if (s.catalog.functionExists("dot_f32f64")) "dot_f32f64(embedding, cv)"
         else "aggregate(zip_with(embedding, cv, (x, w) -> cast(x as double) * w), cast(0 as double), (acc, t) -> acc + t)"
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("cosc").desc, col("clabel"))
-      val members = sq.crossJoin(broadcast(cent))
+      val scoredAll = sq.crossJoin(broadcast(cent))
         .selectExpr("vec_id", "embedding", "sq", "clabel",
           s"$dotExpr / sqrt(sq * csq) as cosc")
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+      val members = graft.plans.TopKPerKey.topKDesc(scoredAll,
+          Seq("vec_id"), "cosc", Seq("clabel"), 1)
         .select("vec_id", "clabel", "embedding", "sq")
         .persist()
       val pairs = members.select(col("vec_id").as("va"), col("clabel"),
