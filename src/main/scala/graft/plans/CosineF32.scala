@@ -113,7 +113,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotF32F64].getName, "dot_f32f64"),
       (children: Seq[Expression]) => DotF32F64(children(0), children(1))))
     // whole-operator extension: two-phase top-k-per-key (partial heaps
-    // before the exchange — see graft.plans.TopKPerKey)
+    // before the exchange — see graft.plans.TopKPerKey), plus the
+    // optimizer rule that routes the stock row_number+filter idiom to it
     ext.injectPlannerStrategy(_ => TopKPerKey.TopKStrategy)
+    ext.injectOptimizerRule(_ => TopKRewrite())
   }
 }
