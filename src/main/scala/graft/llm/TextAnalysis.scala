@@ -315,6 +315,31 @@ object TextAnalysis {
       graft.plans.TopKPerKey.topKDesc(d, Seq("lang"), "h", Seq("doc_id"), 20)
         .orderBy("lang", "rk")
     },
+    // PASSAGE-LEVEL EXACT DEDUP (the sub-document dedup CommonCrawl/
+    // CCNet pipelines run on lines/paragraphs — here fixed 16-token
+    // passages, since the corpus has no sentence punctuation): hash
+    // every non-overlapping passage, count corpus-wide occurrences,
+    // report each document's duplicated-passage ratio. The shuffle is
+    // keyed on the 60-bit passage hash (uniform), the frequency table
+    // is passage-vocabulary-sized, and only (doc, pidx, hash) triples
+    // move — never the passage text. High ratios flag boilerplate
+    // documents whose CONTENT is borrowed even when the whole doc
+    // fingerprint (x04/x05) is unique.
+    "x39_passage_dedup" -> { (s, dir) =>
+      val passages = docs(s, dir)
+        .selectExpr("doc_id", s"$sTokens as tk")
+        .selectExpr("doc_id",
+          "posexplode(transform(sequence(0, cast(ceil(size(tk) / 16.0) as int) - 1), i -> concat_ws(' ', slice(tk, i * 16 + 1, 16)))) as (pidx, passage)")
+        .selectExpr("doc_id", "pidx", s"${sH("passage")} as ph")
+      val freq = passages.groupBy("ph").agg(count(lit(1)).as("pf"))
+      passages.join(freq, "ph")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"),
+          sum(expr("case when pf > 1 then 1 else 0 end")).as("nd"))
+        .selectExpr("doc_id", "n_passages", "cast(nd as bigint) as n_dup",
+          sRound6("cast(nd as double) / cast(n_passages as double)") + " as dup_ratio")
+        .orderBy("doc_id")
+    },
     // SLIDING-WINDOW CHUNKING (RAG/context-window prep): fixed 64-token
     // chunks at stride 48 (16-token overlap), last window clamped so
     // every token is covered exactly once past the overlap. Pure per-row
@@ -480,6 +505,20 @@ object TextAnalysis {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) AS BIGINT) AS rk
          |  FROM (SELECT doc_id, lang, ${dH("concat('rs:', doc_id)")} AS h FROM documents)) x
          |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "x39_passage_dedup" ->
+      s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
+         |p AS (SELECT doc_id, i AS pidx,
+         |        array_to_string(tk[CAST(i*16+1 AS BIGINT) : CAST(i*16+16 AS BIGINT)], ' ') AS passage
+         |      FROM (SELECT doc_id, tk,
+         |              unnest(range(0, CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS i
+         |            FROM tkn)),
+         |c AS (SELECT doc_id, pidx, ${dH("passage")} AS ph FROM p),
+         |f AS (SELECT ph, CAST(COUNT(*) AS BIGINT) AS pf FROM c GROUP BY ph)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+         |  CAST(SUM(CASE WHEN pf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  ${dRound6("CAST(SUM(CASE WHEN pf > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS dup_ratio
+         |FROM c JOIN f USING (ph)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x38_sliding_chunks" ->
       s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
          |n1 AS (SELECT doc_id, tk, len(tk) AS n FROM tkn),

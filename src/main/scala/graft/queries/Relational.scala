@@ -487,6 +487,20 @@ object Relational {
       s.sql(r52Sql("__r52_region", "__r52_nation", "__r52_customer"))
     },
 
+    // equi-width histogram: bucket index is pure integer-floor
+    // arithmetic (identical text both engines — no width_bucket
+    // dialect differences), counts+sums aggregate map-side; the
+    // distributed histogram every profiler/quantile-sketch UI needs
+    "r54_histogram" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .selectExpr(
+          "least(cast(floor(cast(o_totalprice as double) / 25000.0) as bigint), 19) as bucket",
+          "o_totalprice")
+        .groupBy("bucket")
+        .agg(cnt.as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("bucket")
+    },
+
     // bitwise + boolean aggregates (integer/boolean lattices are exact —
     // no floating-point, engine-order-free by algebra)
     "r53_bit_bool_agg" -> { (s, dir) =>
@@ -799,6 +813,13 @@ object Relational {
         |  CAST(CAST((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS DECIMAL(16,6)) AS DOUBLE) AS corr_xy
         |FROM st ORDER BY l_returnflag""".stripMargin,
     "r52_lateral_topn" -> r52Sql("region", "nation", "customer"),
+    "r54_histogram" ->
+      """SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total
+        |FROM (SELECT least(CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT), 19) AS bucket,
+        |             o_totalprice
+        |      FROM orders)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "r53_bit_bool_agg" ->
       """SELECT c_mktsegment,
         |  CAST(bit_and(c_custkey) AS BIGINT) AS band,
