@@ -315,6 +315,36 @@ object TextAnalysis {
       graft.plans.TopKPerKey.topKDesc(d, Seq("lang"), "h", Seq("doc_id"), 20)
         .orderBy("lang", "rk")
     },
+    // ZIPF-LAW FIT — the corpus-statistics sanity check (token
+    // frequencies should fall on a power law; a broken slope flags
+    // synthetic/spammy data): least-squares fit of ln(freq) on
+    // ln(rank) over the top-30 tokens, using the same decimal-exact
+    // sufficient-statistics formulation as r51 (integer counts → ln is
+    // bit-identical on both engines; decimal sums are order-free). The
+    // ranking filter is the stock row_number idiom — the TopKRewrite
+    // rule plans it as a native global top-k, no corpus-wide sort.
+    "x40_zipf_fit" -> { (s, dir) =>
+      val counts = docs(s, dir)
+        .selectExpr(s"explode($sTokens) as token")
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token"))
+      val pts = counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 30)
+        .selectExpr("ln(cast(rk as double)) as x", "ln(cast(n as double)) as y")
+      pts.agg(count(lit(1)).cast("double").as("n"),
+          sum(expr("cast(x as decimal(24,12))")).cast("double").as("sx"),
+          sum(expr("cast(y as decimal(24,12))")).cast("double").as("sy"),
+          sum(expr("cast(x * y as decimal(24,12))")).cast("double").as("sxy"),
+          sum(expr("cast(x * x as decimal(24,12))")).cast("double").as("sxx"),
+          sum(expr("cast(y * y as decimal(24,12))")).cast("double").as("syy"))
+        .selectExpr("cast(n as bigint) as n_ranks",
+          sRound6("(n * sxy - sx * sy) / (n * sxx - sx * sx)") + " as slope",
+          sRound6("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n") + " as intercept",
+          sRound6("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))") + " as corr_xy")
+    },
+
     // PASSAGE-LEVEL EXACT DEDUP (the sub-document dedup CommonCrawl/
     // CCNet pipelines run on lines/paragraphs — here fixed 16-token
     // passages, since the corpus has no sentence punctuation): hash
@@ -505,6 +535,25 @@ object TextAnalysis {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) AS BIGINT) AS rk
          |  FROM (SELECT doc_id, lang, ${dH("concat('rs:', doc_id)")} AS h FROM documents)) x
          |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "x40_zipf_fit" ->
+      s"""WITH c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+         |           FROM (SELECT unnest($dTokens) AS token FROM documents)
+         |           WHERE token <> '' GROUP BY token),
+         |r AS (SELECT ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk, n FROM c),
+         |p AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+         |      FROM r WHERE rk <= 30),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |         CAST(SUM(CAST(x AS DECIMAL(24,12))) AS DOUBLE) AS sx,
+         |         CAST(SUM(CAST(y AS DECIMAL(24,12))) AS DOUBLE) AS sy,
+         |         CAST(SUM(CAST(x * y AS DECIMAL(24,12))) AS DOUBLE) AS sxy,
+         |         CAST(SUM(CAST(x * x AS DECIMAL(24,12))) AS DOUBLE) AS sxx,
+         |         CAST(SUM(CAST(y * y AS DECIMAL(24,12))) AS DOUBLE) AS syy
+         |       FROM p)
+         |SELECT CAST(n AS BIGINT) AS n_ranks,
+         |  ${dRound6("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope,
+         |  ${dRound6("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")} AS intercept,
+         |  ${dRound6("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS corr_xy
+         |FROM st""".stripMargin,
     "x39_passage_dedup" ->
       s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
          |p AS (SELECT doc_id, i AS pidx,

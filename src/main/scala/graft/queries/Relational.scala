@@ -487,6 +487,26 @@ object Relational {
       s.sql(r52Sql("__r52_region", "__r52_nation", "__r52_customer"))
     },
 
+    // NOT IN three-valued logic through the SQL front door: against a
+    // null-free subquery NOT IN is the anti-join; against the same
+    // subquery with a NULL injected it returns ZERO rows (x <> NULL is
+    // UNKNOWN) — the null-aware-anti-join semantics engines must get
+    // right, exercised as actual subqueries on both engines
+    "r55_not_in_nulls" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("__r55_customer")
+      t(s, dir, "orders").createOrReplaceTempView("__r55_orders")
+      s.sql(r55Sql("__r55_customer", "__r55_orders"))
+    },
+
+    // moving aggregate over a CALENDAR interval (RANGE BETWEEN INTERVAL
+    // … PRECEDING): the time-windowed frame includes all date peers, so
+    // it is deterministic under any row order; decimal sum inside the
+    // frame keeps it exact. One SQL text on both engines.
+    "r56_interval_range" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("__r56_orders")
+      s.sql(r56Sql("__r56_orders"))
+    },
+
     // equi-width histogram: bucket index is pure integer-floor
     // arithmetic (identical text both engines — no width_bucket
     // dialect differences), counts+sums aggregate map-side; the
@@ -519,6 +539,28 @@ object Relational {
   /** Bit-exact 6-dp presentation rounding (same contract as
     * graft.llm.Frag.sRound6). */
   private def r6(x: String): String = s"cast(cast($x as decimal(16,6)) as double)"
+
+  /** r55 — one SQL text drives both engines (only table names differ). */
+  def r55Sql(customer: String, orders: String): String =
+    s"""SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $customer
+       |   WHERE c_custkey NOT IN
+       |     (SELECT o_custkey FROM $orders WHERE o_orderkey % 3 = 0)) AS n_clean,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $customer
+       |   WHERE c_custkey NOT IN
+       |     (SELECT nullif(o_custkey, o_custkey) FROM $orders WHERE o_orderkey % 3 = 0)) AS n_poisoned""".stripMargin
+
+  /** r56 — one SQL text drives both engines. */
+  def r56Sql(orders: String): String =
+    s"""SELECT o_custkey, o_orderkey, o_orderdate,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) OVER (
+       |    PARTITION BY o_custkey ORDER BY o_orderdate
+       |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d,
+       |  CAST(COUNT(*) OVER (
+       |    PARTITION BY o_custkey ORDER BY o_orderdate
+       |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
+       |FROM $orders WHERE o_custkey < 100
+       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
   /** r52 — one SQL text drives both engines (only table names differ). */
   def r52Sql(region: String, nation: String, customer: String): String =
@@ -813,6 +855,8 @@ object Relational {
         |  CAST(CAST((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS DECIMAL(16,6)) AS DOUBLE) AS corr_xy
         |FROM st ORDER BY l_returnflag""".stripMargin,
     "r52_lateral_topn" -> r52Sql("region", "nation", "customer"),
+    "r55_not_in_nulls" -> r55Sql("customer", "orders"),
+    "r56_interval_range" -> r56Sql("orders"),
     "r54_histogram" ->
       """SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total
