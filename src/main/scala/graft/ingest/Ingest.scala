@@ -134,15 +134,24 @@ object Ingest {
     * stores (parquet default; orc for ORC-standardized estates; json
     * for an interchange-friendly landing log). */
   def appendBatch(df: DataFrame, landingPath: String,
-      format: String = "parquet"): Unit =
-    df.write.mode("append").partitionBy("type").format(format)
+      format: String = "parquet"): Unit = {
+    val w = df.write.mode("append").partitionBy("type").format(format)
+    // CSV staging mirrors the reference's file-staged loads (Snowflake
+    // CSV snowflake.go:131-147, Databricks TSV nullValue='NULL'
+    // databricks.go:153-155, 242-247): a sentinel distinguishes NULL
+    // from the empty string, which bare CSV cannot represent
+    (if (format == "csv") w.option("nullValue", "NULL") else w)
       .save(landingPath)
+  }
 
   /** Read the landing store back with the canonical schema (required:
     * schema-on-read keeps json/csv stores type-exact). */
   def readLanding(spark: SparkSession, landingPath: String,
-      format: String = "parquet"): DataFrame =
-    spark.read.schema(Landing.schema).format(format).load(landingPath)
+      format: String = "parquet"): DataFrame = {
+    val r = spark.read.schema(Landing.schema).format(format)
+    (if (format == "csv") r.option("nullValue", "NULL") else r)
+      .load(landingPath)
+  }
 
   /** K3-style idempotent write: drop exact landing-key duplicates within
     * the batch before append (replays across batches are absorbed by the

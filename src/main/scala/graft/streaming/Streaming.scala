@@ -65,6 +65,30 @@ object Streaming {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Windowed heavy-hitter tokens over a text stream: the SpaceSaving
+    * sketch (plans.SpaceSavingTopK, registered as `topk_freq`)
+    * aggregates INSIDE the streaming state, so each open window holds
+    * one bounded sketch buffer instead of a row per distinct token —
+    * the difference between per-window state that is O(capacity) and
+    * state that grows with the live vocabulary. Emits the top-k once
+    * the watermark closes the window (append mode). Falls back to
+    * nothing: the sketch is required here, by design — this is the
+    * composition the custom aggregate exists for. */
+  def windowedTopTokens(
+      docs: DataFrame, // (ts: timestamp, text: string)
+      watermark: String = "10 minutes",
+      windowLen: String = "1 hour",
+      k: Int = 3): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .selectExpr("ts", "explode(split(trim(lower(text)), '\\\\s+')) as token")
+      .filter(col("token") =!= "")
+      .groupBy(window(col("ts"), windowLen))
+      .agg(expr(s"topk_freq(token, $k, 64)").as("tops"))
+      .selectExpr("window.start as window_start", "posexplode(tops) as (rank, t)")
+      .selectExpr("window_start", "cast(rank as bigint) as rank",
+        "t.item as token", "t.cnt as n")
+
   /** Stream-stream interval join (the streaming twin of r36's banded
     * range join): each purchase joins the same user's views from the
     * preceding `windowDur`. Both sides are watermarked, and the join

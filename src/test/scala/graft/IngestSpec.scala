@@ -48,10 +48,10 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.parseLine(mapper, "", bd, 10).isEmpty)
   }
 
-  test("landing store round-trips through parquet, orc and json formats") {
+  test("landing store round-trips through parquet, orc, json and csv formats") {
     import spark.implicits._
     val df = Ingest.fromNdjsonLines(Seq(doc("a", 2), doc("b", 1)).toDS(), bd, 10)
-    Seq("parquet", "orc", "json").foreach { fmt =>
+    Seq("parquet", "orc", "json", "csv").foreach { fmt =>
       val path = java.nio.file.Files
         .createTempDirectory(s"graft-landing-$fmt").toString + "/store"
       Ingest.appendBatch(df, path, fmt)

@@ -130,6 +130,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("windowed heavy hitters: SpaceSaving sketch inside streaming state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = Streaming.windowedTopTokens(
+        mem.toDS().toDF("ts", "text"),
+        watermark = "10 minutes", windowLen = "1 hour", k = 2)
+      .writeStream.format("memory").queryName("wtoks")
+      .outputMode("append").start()
+    // two micro-batches into the same window: the sketch buffers must
+    // merge across batches before the window closes
+    mem.addData((ts("2026-01-01 10:05:00"), "alpha alpha beta"))
+    q.processAllAvailable()
+    mem.addData((ts("2026-01-01 10:20:00"), "alpha beta gamma"))
+    q.processAllAvailable()
+    mem.addData((ts("2026-01-01 12:00:00"), "omega")) // watermark closes 10:00
+    q.processAllAvailable()
+    mem.addData((ts("2026-01-01 14:00:00"), "omega")) // closes 12:00
+    q.processAllAvailable()
+    val out = spark.table("wtoks").collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[Long]("rank"),
+        r.getAs[String]("token"), r.getAs[Long]("n"))).toSet
+    // capacity 64 >> vocab ⇒ counts exact: alpha×3, beta×2 lead hour 10
+    assert(out.contains((ts("2026-01-01 10:00:00"), 0L, "alpha", 3L)))
+    assert(out.contains((ts("2026-01-01 10:00:00"), 1L, "beta", 2L)))
+    assert(out.contains((ts("2026-01-01 12:00:00"), 0L, "omega", 1L)))
+    q.stop()
+  }
+
   test("sessionize splits on the inactivity gap and carries state across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
