@@ -315,6 +315,38 @@ object TextAnalysis {
       graft.plans.TopKPerKey.topKDesc(d, Seq("lang"), "h", Seq("doc_id"), 20)
         .orderBy("lang", "rk")
     },
+    // APPLY THE MIXTURE (x31's rates made real): deterministic
+    // hash-threshold sampling — keep a document iff its stable 60-bit
+    // hash falls below rate × 2^60. No random(), no state: the same
+    // document is kept on every run, every engine, every executor,
+    // and the realized rate converges to the target by hash
+    // uniformity. This is the production sampling mechanism (x19's
+    // split and x20's cap use the same primitive); one aggregation +
+    // broadcast arithmetic, then a per-row compare.
+    "x41_apply_mixture" -> { (s, dir) =>
+      val counts = docs(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_avail"))
+      val total = counts.agg(count(lit(1)).as("n_sources"))
+      val rates = counts.crossJoin(broadcast(total))
+        .withColumn("target_w", expr("cast(1 as double) / cast(n_sources as double)"))
+        .withColumn("mix_total",
+          min(expr("cast(n_avail as double) / target_w"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .selectExpr("source", "n_avail",
+          sRound6("target_w * mix_total / cast(n_avail as double)") + " as rate")
+      docs(s, dir)
+        .selectExpr("doc_id", "source",
+          s"cast(${sH("concat('mix:', doc_id)")} as double) as h")
+        .join(broadcast(rates), "source")
+        .groupBy("source")
+        .agg(max(col("n_avail")).as("n_avail"), max(col("rate")).as("rate"),
+          sum(expr("case when h < rate * 1152921504606846976.0d then 1 else 0 end")).as("nk"))
+        .selectExpr("source", "n_avail", "rate",
+          "cast(nk as bigint) as n_kept",
+          sRound6("cast(nk as double) / cast(n_avail as double)") + " as realized_rate")
+        .orderBy("source")
+    },
+
     // ZIPF-LAW FIT — the corpus-statistics sanity check (token
     // frequencies should fall on a power law; a broken slope flags
     // synthetic/spammy data): least-squares fit of ln(freq) on
@@ -535,6 +567,26 @@ object TextAnalysis {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) AS BIGINT) AS rk
          |  FROM (SELECT doc_id, lang, ${dH("concat('rs:', doc_id)")} AS h FROM documents)) x
          |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "x41_apply_mixture" ->
+      s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_avail
+         |           FROM documents GROUP BY source),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM c),
+         |m AS (SELECT c.source, c.n_avail,
+         |        CAST(1 AS DOUBLE) / CAST(n_sources AS DOUBLE) AS target_w,
+         |        CAST(n_avail AS DOUBLE) / (CAST(1 AS DOUBLE) / CAST(n_sources AS DOUBLE)) AS mtb
+         |      FROM c, t),
+         |r AS (SELECT source, n_avail,
+         |        ${dRound6("target_w * MIN(mtb) OVER () / CAST(n_avail AS DOUBLE)")} AS rate
+         |      FROM m),
+         |d AS (SELECT doc_id, source,
+         |        CAST(${dH("concat('mix:', doc_id)")} AS DOUBLE) AS h
+         |      FROM documents)
+         |SELECT r.source, r.n_avail, r.rate,
+         |  CAST(SUM(CASE WHEN h < rate * 1152921504606846976.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  ${dRound6("CAST(SUM(CASE WHEN h < rate * 1152921504606846976.0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(r.n_avail AS DOUBLE)")} AS realized_rate
+         |FROM d JOIN r ON d.source = r.source
+         |GROUP BY r.source, r.n_avail, r.rate
+         |ORDER BY r.source""".stripMargin,
     "x40_zipf_fit" ->
       s"""WITH c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
          |           FROM (SELECT unnest($dTokens) AS token FROM documents)
