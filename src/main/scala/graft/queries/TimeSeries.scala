@@ -102,9 +102,38 @@ object TimeSeries {
     // variant broadcasts approx_percentile boundaries and assigns bins
     // map-side (documented trade, same downstream aggregation).
     "r38_price_deciles" -> { (s, dir) =>
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, dir, "orders")
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+      // EXACT DISTRIBUTED NTILE — no single-partition global window
+      // (ntile().over(Window.orderBy(..)) funnels the corpus through
+      // one task; at 100 TB that is the canonical broken plan). Exact
+      // global rank instead: range-repartition on the sort key (inter-
+      // partition ordered by construction), per-partition local
+      // row_number (parallel, partition-bounded), plus broadcast
+      // partition-offset cumsum. The rank — and everything derived —
+      // is invariant to partition boundaries because the order is
+      // total; NTILE bucket arithmetic is then pure per-row math.
+      val base = t(s, dir, "orders").select("o_totalprice", "o_orderkey")
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("o_totalprice"), col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      val offsets = base.groupBy("pid").agg(cnt.as("c"))
+        .withColumn("off", sum(col("c")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)))
+        .selectExpr("pid", "coalesce(off, cast(0 as bigint)) as off")
+      val total = base.agg(cnt.as("n"))
+      val wLocal = Window.partitionBy("pid")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      base
+        .withColumn("lr", row_number().over(wLocal))
+        .join(broadcast(offsets), "pid")
+        .crossJoin(broadcast(total))
+        .selectExpr("o_totalprice", "off + lr as rank", "n")
+        // NTILE(10): r = n % 10 buckets of size s+1 first, then size s
+        .selectExpr("o_totalprice",
+          """case when rank <= (n % 10) * (n div 10 + 1)
+            |  then (rank - 1) div (n div 10 + 1) + 1
+            |  else (n % 10) + 1 + (rank - 1 - (n % 10) * (n div 10 + 1)) div greatest(n div 10, 1)
+            |end as decile""".stripMargin)
         .groupBy("decile")
         .agg(cnt.as("n"),
           min(col("o_totalprice")).as("min_price"),
