@@ -7,9 +7,10 @@ import java.nio.file.{Files, Paths}
 
 /** CLI entry point mirroring the reference's command surface
   * (/root/reference/src/main.go:129-148): sync, push, clone,
-  * create_views, prune, version. (`gen`/`upgrade`/`config` are
+  * create_views, prune, config, version. (`gen`/`upgrade` are
   * credential/self-update tooling, out of engine scope per SURVEY.md
-  * §2.6.)
+  * §2.6.) Option resolution follows the reference's precedence —
+  * defaults < GRAFT_* env < CLI flags (pipeline.CliConfig).
   *
   * Usage:
   *   graft.Main sync|push|clone|create_views|prune \
@@ -24,9 +25,15 @@ object Main {
     if (args.isEmpty) { usage(); sys.exit(2) }
     val cmd = args.head
     if (cmd == "version") { println("graft 0.1.0"); return }
-    val opts = args.tail.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    // reference precedence (config_test.go:35-77): defaults < env < CLI
+    val opts = graft.pipeline.CliConfig.resolve(
+      args.tail.sliding(2, 2).collect {
+        case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+      }.toMap)
+    if (cmd == "config") { // reference `config`: print the resolution
+      opts.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"$k=$v") }
+      return
+    }
     def req(k: String): String = opts.getOrElse(k,
       { System.err.println(s"missing --$k"); usage(); sys.exit(2) })
 
@@ -87,7 +94,7 @@ object Main {
   }
 
   private def usage(): Unit = System.err.println(
-    "usage: graft.Main sync|push|clone|create_views|prune|compact|version " +
+    "usage: graft.Main sync|push|clone|create_views|prune|compact|config|version " +
       "--source DIR | --url URL [--user U --password P --limit N] " +
       "--landing DIR --state DIR [--schema FILE] " +
       "[--wait SECONDS] [--chunk-size N] [--target-file-mb N]")
