@@ -321,6 +321,37 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // KNN CLASSIFICATION — the application layer on top of the
+    // similarity search: each probe takes the majority label of its 10
+    // nearest labeled neighbors (ties broken toward the smaller label,
+    // making the prediction total-ordered). Same broadcast-probe /
+    // stream-corpus shape as x11; the vote is one tiny aggregation
+    // over k·probes rows.
+    "x42_knn_classify" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = withSq(s, dir)
+      val probes = corpus.filter(QuerySet)
+        .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+          col("sq").as("sa"))
+      val cands = corpus.filter(s"not ($QuerySet)")
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+          col("sq").as("sb"))
+      val scored = cands.crossJoin(broadcast(probes))
+        .selectExpr("query_id", "neighbor_id", s"${sCosIn(s)} as cos_sim")
+      val nn = graft.plans.TopKPerKey.topKDesc(scored, Seq("query_id"),
+        "cos_sim", Seq("neighbor_id"), TopK)
+      val votes = nn
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+          "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(count(lit(1)).as("votes"))
+      graft.plans.TopKPerKey.topKDesc(votes.selectExpr("query_id",
+          "cast(label as bigint) as label", "votes"),
+          Seq("query_id"), "votes", Seq("label"), 1)
+        .selectExpr("query_id", "label as predicted_label", "votes")
+        .orderBy("query_id")
+    },
+
     // per-label centroids: distributed vector mean via posexplode +
     // exact decimal partial aggregation on (label, dim)
     "x14_label_centroids" -> { (s, dir) =>
