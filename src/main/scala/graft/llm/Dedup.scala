@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.queries.Shared
 import graft.queries.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,8 +41,10 @@ object Dedup {
     * factor — collapsing first keeps every fuzzy-dedup operator linear
     * on heavily-duplicated corpora (and is a no-op on dup-free ones).
     * repartition: the test corpus is one parquet file = one input
-    * split; persist: shared base of every dedup operator. */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    * split; Shared.shared: one cached copy serves every dedup operator
+    * (x06–x10, x24, x32, x35, x39) across the whole session. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+      Shared.shared(s, dir, "shingled") {
     val base = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
     val reps = base.selectExpr("doc_id", s"md5($sNorm) as fp")
@@ -55,7 +58,6 @@ object Dedup {
     base.join(reps, "doc_id")
       .selectExpr("doc_id", s"$shingleExpr as shs")
       .filter("size(shs) > 0")
-      .persist()
   }
 
   private def dMin(seed: Int) =
@@ -90,10 +92,11 @@ object Dedup {
     if (s.catalog.functionExists("minhash16")) {
       // fused native form: one md5 per shingle, 16 minima in registers,
       // no shuffle. The persist boundary stops projection collapse from
-      // inlining (and so re-evaluating) minhash16 into all 16 columns.
-      shingled(s, dir)
-        .selectExpr("doc_id", "minhash16(shs) as ms")
-        .persist()
+      // inlining (and so re-evaluating) minhash16 into all 16 columns;
+      // shared because x06, x07 and x35 all consume the signatures.
+      Shared.shared(s, dir, "minhash_ms") {
+        shingled(s, dir).selectExpr("doc_id", "minhash16(shs) as ms")
+      }
         .selectExpr("doc_id" +:
           (0 until Seeds).map(i => s"element_at(ms, ${i + 1}) as m$i"): _*)
     } else {
@@ -126,12 +129,12 @@ object Dedup {
     * assemble the 60-bit word in a single projection. This is the
     * shape that scales: no per-row megaloop, so a document with 10^6
     * shingles costs the same per-element work as a small one. */
-  private def simhashed(s: SparkSession, dir: String): DataFrame = {
+  private def simhashed(s: SparkSession, dir: String): DataFrame =
+      Shared.shared(s, dir, "simhashed") {
     if (s.catalog.functionExists("simhash60"))
       // fused native form: narrow map, no shuffle until the chunk join
       shingled(s, dir)
         .selectExpr("doc_id", "simhash60(shs) as simhash")
-        .persist()
     else {
       // composable fallback: explode + 60 per-bit majority sums in one
       // codegen'd aggregation (map-side partial agg, shuffle on doc_id)
@@ -146,7 +149,7 @@ object Dedup {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n"), bitSums: _*)
         .selectExpr("doc_id", s"$word as simhash")
-        .persist() // consumed by both sides of the hamming self-join
+        // (cached by Shared.shared: hamming self-join sides + x08/x09/x24/x32)
     }
   }
 
@@ -237,22 +240,8 @@ object Dedup {
     // exact jaccard ≥ 0.5 verified on candidates only (shingle arrays
     // joined back just for the verification step)
     "x07_lsh_neardup_pairs" -> { (s, dir) =>
-      val sig = signatures(s, dir)
-        .selectExpr("doc_id",
-          s"posexplode(array(${(0 until 4).map(sBandHash).mkString(", ")})) as (bi, bh)")
-        .persist() // both join sides read this
-      val a = sig.select(col("doc_id").as("doc_a"), col("bi"), col("bh"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("bi"), col("bh"))
-      val cand = a.join(b, Seq("bi", "bh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      val sh = shingled(s, dir)
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-        .selectExpr("doc_a", "doc_b",
-          sRound6("cast(size(array_intersect(sa, sb)) as double) / cast(size(array_union(sa, sb)) as double)") + " as jaccard")
-        .filter("jaccard >= 0.5")
+      verifiedJaccard(s, dir, lshCandidates(s, dir))
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     },
 
@@ -329,12 +318,11 @@ object Dedup {
       // stops CollapseProject from inlining the alias into both
       // consumers and evaluating the DP twice. The persisted frame is
       // candidate-pair-sized (LSH survivors), not corpus-sized.
-      val lev = pairs
+      val lev = Shared.temp(pairs
         .join(norm.select(col("doc_id").as("doc_a"), col("nt").as("ta")), "doc_a")
         .join(norm.select(col("doc_id").as("doc_b"), col("nt").as("tb")), "doc_b")
         .selectExpr("doc_a", "doc_b", "length(ta) as la", "length(tb) as lb",
-          "levenshtein(ta, tb) as lev")
-        .persist()
+          "levenshtein(ta, tb) as lev"))
       lev.selectExpr("doc_a", "doc_b",
           "cast(lev as bigint) as edit_dist",
           sRound6("1.0d - cast(lev as double) / cast(greatest(la, lb, 1) as double)") + " as edit_sim")
@@ -349,11 +337,20 @@ object Dedup {
     // row. Re-banding (rows/bands trade) moves these numbers — this
     // query is how you see it without eyeballing pair lists.
     "x35_lsh_quality" -> { (s, dir) =>
-      val lsh = queries("x07_lsh_neardup_pairs")(s, dir)
-        .select("doc_a", "doc_b").withColumn("in_l", lit(1L))
-      val exact = queries("x10_jaccard_pairs")(s, dir)
-        .select("doc_a", "doc_b").withColumn("in_e", lit(1L))
-      lsh.join(exact, Seq("doc_a", "doc_b"), "full_outer")
+      val lsh = lshCandidates(s, dir)
+        .withColumn("in_l", lit(1L)).withColumn("in_e", lit(0L))
+      val exact = rareShingleCandidates(s, dir)
+        .withColumn("in_l", lit(0L)).withColumn("in_e", lit(1L))
+      // Unified verification: union the two candidate sets with
+      // membership flags, verify exact jaccard ONCE per distinct pair
+      // (the expensive array join), then count. Identical result to
+      // full-outer-joining the two verified pair lists — a pair passes
+      // the same jaccard filter no matter which arm proposed it — at
+      // half the verification cost and no outer join.
+      val cand = lsh.unionByName(exact)
+        .groupBy("doc_a", "doc_b")
+        .agg(max(col("in_l")).as("in_l"), max(col("in_e")).as("in_e"))
+      verifiedJaccard(s, dir, cand)
         .agg(sum(col("in_l")).as("n_lsh"), sum(col("in_e")).as("n_exact"),
           sum(col("in_l") * col("in_e")).as("n_both"))
         .selectExpr(
@@ -396,35 +393,64 @@ object Dedup {
     // fan-out at C(8,2) and kills the quadratic hot-key blow-up),
     // then exact jaccard over the FULL shingle sets ≥ 0.5
     "x10_jaccard_pairs" -> { (s, dir) =>
-      val sh = shingled(s, dir) // persisted: index + two array join sides
-      val ex = sh.selectExpr("doc_id", "explode(shs) as sh")
-      // ONE shuffle builds the inverted index with its posting lists;
-      // rare buckets (≤ 8 postings — AllPairs-style stop-shingle pruning)
-      // expand to ordered pairs locally, ≤ C(8,2)=28 per bucket, so the
-      // quadratic hot-key blow-up is structurally impossible and no
-      // self-join ever shuffles the postings twice
-      val pairs = ex.groupBy("sh")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, 8))
-        .selectExpr("posexplode(ids) as (i, doc_a)", "ids")
-        .selectExpr("doc_a", "explode(slice(ids, i + 2, size(ids))) as doc_b")
-        .filter(col("doc_a") < col("doc_b"))
-      // candidates must share ≥ 2 rare shingles (near-dup pairs share
-      // dozens; chance co-occurrences share 1) — counted on bare (id,id)
-      // pairs before any array payload moves
-      val cand = pairs
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_rare"))
-        .filter(col("shared_rare") >= 2)
-        .select("doc_a", "doc_b")
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-        .selectExpr("doc_a", "doc_b",
-          sRound6("cast(size(array_intersect(sa, sb)) as double) / cast(size(array_union(sa, sb)) as double)") + " as jaccard")
-        .filter("jaccard >= 0.5")
+      verifiedJaccard(s, dir, rareShingleCandidates(s, dir))
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     },
   )
+
+  /** MinHash-LSH candidate pairs (share ≥ 1 of 4 band buckets);
+    * doc_a < doc_b, distinct. Band rows are shared: x07 and x35 both
+    * read them, and the band self-join shuffles only (doc, band) rows. */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = Shared.shared(s, dir, "lsh_bands") {
+      signatures(s, dir).selectExpr("doc_id",
+        s"posexplode(array(${(0 until 4).map(sBandHash).mkString(", ")})) as (bi, bh)")
+    }
+    val a = sig.select(col("doc_id").as("doc_a"), col("bi"), col("bh"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("bi"), col("bh"))
+    a.join(b, Seq("bi", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Rare-shingle inverted-index candidate pairs (AllPairs-style
+    * stop-shingle pruning). ONE shuffle builds the inverted index with
+    * its posting lists; rare buckets (df ≤ 8) expand to ordered pairs
+    * locally — ≤ C(8,2)=28 per bucket, so the quadratic hot-key blow-up
+    * is structurally impossible and no self-join ever shuffles the
+    * postings twice. Candidates must then share ≥ 2 rare shingles
+    * (near-dup pairs share dozens; chance co-occurrences share 1) —
+    * counted on bare (id, id) pairs before any array payload moves. */
+  private def rareShingleCandidates(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(s, dir).selectExpr("doc_id", "explode(shs) as sh")
+    val pairs = ex.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 8))
+      .selectExpr("posexplode(ids) as (i, doc_a)", "ids")
+      .selectExpr("doc_a", "explode(slice(ids, i + 2, size(ids))) as doc_b")
+      .filter(col("doc_a") < col("doc_b"))
+    pairs
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_rare"))
+      .filter(col("shared_rare") >= 2)
+      .select("doc_a", "doc_b")
+  }
+
+  /** Exact-jaccard verification pass: join the full shingle sets back
+    * against candidate (doc_a, doc_b) pairs — extra columns on `cand`
+    * ride through — and keep pairs with jaccard ≥ 0.5. The arrays move
+    * only for candidates, never for the corpus. */
+  private def verifiedJaccard(s: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    val sh = shingled(s, dir)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("jaccard", expr(sRound6(
+        "cast(size(array_intersect(sa, sb)) as double) / cast(size(array_union(sa, sb)) as double)")))
+      .filter("jaccard >= 0.5")
+      .drop("sa", "sb")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "x05_exact_dedup" ->

@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.queries.Shared
 import graft.queries.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,12 +41,13 @@ object Similarity {
 
   /** embeddings + per-row sum-of-squares (norm² — computed once).
     * repartition: the test corpus is one parquet file = one input
-    * split; persist: every consumer reads this at least twice. */
+    * split; shared: every similarity query starts from this frame. */
   private def withSq(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
-      .selectExpr("vec_id", "embedding", s"${sSumSq("embedding")} as sq")
-      .persist()
+    Shared.shared(s, dir, "withSq") {
+      t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("vec_id", "embedding", s"${sSumSq("embedding")} as sq")
+    }
 
   /** Exact cosine between two (embedding, sq) sides, 6-dp bit-exact.
     * Uses the native codegen'd CosineF32 when graft.plans
@@ -61,15 +63,17 @@ object Similarity {
     * decimal means per dim, assembled in dim order — identical values
     * in Spark and DuckDB, so centroid-based plans stay oracle-exact. */
   private def centroids(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
-      .selectExpr("label", "posexplode(embedding) as (dim, v)")
-      .groupBy("label", "dim")
-      .agg((sum(col("v").cast("double").cast(DecimalType(20, 8))).cast("double") /
-        count(lit(1)).cast("double")).as("c"))
-      .groupBy(col("label").as("clabel"))
-      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)").as("cv"))
-      .selectExpr("clabel", "cv",
-        "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x) as csq")
+    Shared.shared(s, dir, "centroids") {
+      t(s, dir, "embeddings")
+        .selectExpr("label", "posexplode(embedding) as (dim, v)")
+        .groupBy("label", "dim")
+        .agg((sum(col("v").cast("double").cast(DecimalType(20, 8))).cast("double") /
+          count(lit(1)).cast("double")).as("c"))
+        .groupBy(col("label").as("clabel"))
+        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)").as("cv"))
+        .selectExpr("clabel", "cv",
+          "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x) as csq")
+    }
 
   private def bandsExpr =
     s"array(${(0 until 4).map(b => sBand("embedding", b)).mkString(", ")})"
@@ -85,9 +89,10 @@ object Similarity {
     * Persisted: the 16 projection folds are worth computing once, and
     * both sides of the candidate self-join read this frame. */
   private def withBands(s: SparkSession, dir: String): DataFrame =
-    withSq(s, dir)
-      .selectExpr("vec_id", "embedding", "sq", s"posexplode(${bandsIn(s)}) as (bi, bv)")
-      .persist()
+    Shared.shared(s, dir, "withBands") {
+      withSq(s, dir)
+        .selectExpr("vec_id", "embedding", "sq", s"posexplode(${bandsIn(s)}) as (bi, bv)")
+    }
 
   /** DuckDB CTEs: sq per vec + 4-band signature rows. */
   private val dSq =
@@ -155,13 +160,12 @@ object Similarity {
     // candidates + cosine ≥ 0.4 over representatives only. On a
     // dup-free corpus this is identical to LSH over the full set.
     "x13_cosine_neardup" -> { (s, dir) =>
-      val reps = t(s, dir, "embeddings")
+      val reps = Shared.temp(t(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
         .groupBy("embedding")
         .agg(min(col("vec_id")).as("vec_id"))
         .selectExpr("vec_id", "embedding", s"${sSumSq("embedding")} as sq",
-          s"posexplode(${bandsIn(s)}) as (bi, bv)")
-        .persist()
+          s"posexplode(${bandsIn(s)}) as (bi, bv)"))
       val cand = reps.select(col("vec_id").as("vec_a"), col("bi"), col("bv"))
         .join(reps.select(col("vec_id").as("vec_b"), col("bi"), col("bv")),
           Seq("bi", "bv"))
@@ -186,7 +190,7 @@ object Similarity {
     // contract (Jégou et al.). Assignment ordering compares raw
     // doubles, which are bit-identical by the fold contract.
     "x17_ivf_topk" -> { (s, dir) =>
-      val cent = centroids(s, dir).persist()
+      val cent = centroids(s, dir)
       val sq = withSq(s, dir)
       // assignment dot product: fused codegen expression when installed
       // (bit-identical fold order), interpreted HOF otherwise — the HOF
@@ -196,14 +200,19 @@ object Similarity {
         else "aggregate(zip_with(embedding, cv, (x, w) -> cast(x as double) * w), cast(0 as double), (acc, t) -> acc + t)"
       val scored = sq.crossJoin(broadcast(cent))
         .selectExpr("vec_id", "clabel", s"$dotExpr / sqrt(sq * csq) as cosc")
-      // top-2 centroids per vector through the native operator (rank 1
-      // = inverted-list assignment, ranks 1-2 = probe lists)
-      val ranked = graft.plans.TopKPerKey.topKDesc(scored, Seq("vec_id"),
-        "cosc", Seq("clabel"), 2).persist()
-      val assign = ranked.filter(col("rk") === 1)
-        .select(col("vec_id").as("neighbor_id"), col("clabel"))
-      val probes = ranked.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("clabel"))
+      // top-2 of 16 centroids per vector: K is a small constant, so the
+      // rank collapses into ONE codegen'd aggregation (collect the 16
+      // (cosc, clabel) structs, sort in-register, slice) instead of a
+      // ranking operator — no second exchange, nothing persisted. Sort
+      // key struct(-cosc, clabel) replays the oracle's ORDER BY cosc
+      // DESC, clabel tie-break (double negation is an exact sign flip).
+      val top2 = Shared.temp(scored
+        .groupBy("vec_id")
+        .agg(expr("slice(transform(sort_array(collect_list(struct(-cosc as nc, clabel))), x -> x.clabel), 1, 2)").as("cl2")))
+      val assign = top2
+        .selectExpr("vec_id as neighbor_id", "cl2[0] as clabel")
+      val probes = top2.filter(col("vec_id") < 8)
+        .selectExpr("vec_id as query_id", "explode(cl2) as clabel")
       val cand = probes.join(assign, "clabel")
         .filter(col("query_id") =!= col("neighbor_id"))
         .select("query_id", "neighbor_id").distinct()
@@ -301,10 +310,15 @@ object Similarity {
       val scoredAll = sq.crossJoin(broadcast(cent))
         .selectExpr("vec_id", "embedding", "sq", "clabel",
           s"$dotExpr / sqrt(sq * csq) as cosc")
-      val members = graft.plans.TopKPerKey.topKDesc(scoredAll,
-          Seq("vec_id"), "cosc", Seq("clabel"), 1)
-        .select("vec_id", "clabel", "embedding", "sq")
-        .persist()
+      // nearest-of-16-centroids assignment as ONE aggregation (min over
+      // (-cosc, clabel) structs replays ORDER BY cosc DESC, clabel) —
+      // no ranking exchange; embedding/sq are functionally dependent on
+      // vec_id, so first() is deterministic here.
+      val members = Shared.temp(scoredAll
+        .groupBy("vec_id")
+        .agg(expr("min(struct(-cosc as nc, clabel))").as("m"),
+          first(col("embedding")).as("embedding"), first(col("sq")).as("sq"))
+        .selectExpr("vec_id", "m.clabel as clabel", "embedding", "sq"))
       val pairs = members.select(col("vec_id").as("va"), col("clabel"),
           col("embedding").as("ea"), col("sq").as("sa"))
         .join(members.select(col("vec_id").as("vb"), col("clabel"),

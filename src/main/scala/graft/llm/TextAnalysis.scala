@@ -199,13 +199,15 @@ object TextAnalysis {
     // vocabulary-sized, exactly the thing you broadcast. Integer
     // counts into ln ⇒ bit-identical across engines (proven by x23).
     "x30_unigram_logprob" -> { (s, dir) =>
-      val toks = docs(s, dir)
+      val toks = graft.queries.Shared.temp(docs(s, dir)
         .selectExpr("doc_id", s"explode($sTokens) as token")
-        .filter(col("token") =!= "")
-        .persist()
+        .filter(col("token") =!= ""))
       val uni = toks.groupBy("token").agg(count(lit(1)).as("tf"))
       val total = toks.agg(count(lit(1)).as("n_total"))
-      toks.join(uni, "token").crossJoin(broadcast(total))
+      // broadcast the vocabulary-sized unigram table against the token
+      // stream — the corpus-sized side never shuffles (a plain join
+      // would sort-merge the whole token stream on `token`)
+      toks.join(broadcast(uni), "token").crossJoin(broadcast(total))
         .withColumn("nll",
           expr("-ln(cast(tf as double) / cast(n_total as double))"))
         .groupBy("doc_id")
@@ -283,16 +285,15 @@ object TextAnalysis {
     // ranking window — at 100 TB the df frame is vocabulary-sized,
     // which is why it, not the corpus, feeds the join.
     "x23_tfidf_topterms" -> { (s, dir) =>
-      val tf = docs(s, dir)
+      val tf = graft.queries.Shared.temp(docs(s, dir)
         .selectExpr("doc_id", s"explode($sTokens) as token")
         .filter(col("token") =!= "")
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .persist()
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
-      tf.join(df, "token").crossJoin(broadcast(n))
+      tf.join(broadcast(df), "token").crossJoin(broadcast(n))
         .withColumn("tfidf",
           expr("cast(tf as double) * ln(cast(n_docs as double) / cast(df as double))"))
         .withColumn("rk", row_number().over(w).cast("long"))

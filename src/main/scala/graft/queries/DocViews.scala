@@ -77,11 +77,11 @@ object DocViews {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // landing → R1 replay dedup → R2 version argmax → typed projection
-    // (latest frame persisted: the final sort's range-partition sampling
-    // pass would otherwise re-execute the whole synth+dedup pipeline)
+    // (latest frame cached: the final sort's range-partition sampling
+    // pass would otherwise re-execute the whole synth+dedup pipeline;
+    // shared because r24 and r45 project the same deduped frame)
     "r24_document_latest_view" -> { (s, dir) =>
-      Views.typedView(Views.latest(landing(s, dir)).persist(), "DOC",
-        docSchema("DOC"))
+      Views.typedView(latestLanding(s, dir), "DOC", docSchema("DOC"))
         .orderBy("DOCUMENT_ID")
     },
     // same pipeline through the VariantType path (parse_json +
@@ -89,17 +89,24 @@ object DocViews {
     // column the reference actually lands into); same oracle as r24,
     // so the binary-variant encode/extract round-trip is hash-checked
     "r45_variant_latest_view" -> { (s, dir) =>
-      Views.variantView(Views.latest(landing(s, dir)).persist(), "DOC",
-        docSchema("DOC"))
+      Views.variantView(latestLanding(s, dir), "DOC", docSchema("DOC"))
         .orderBy("DOCUMENT_ID")
     },
     // landing → latest → record-list flatten with chunk re-union
     "r25_record_list_flatten" -> { (s, dir) =>
-      Views.recordListView(Views.latest(listLanding(s, dir)).persist(), "DOC",
-        listSchema("DOC"), "ITEMS")
+      Views.recordListView(
+        Shared.shared(s, dir, "latest_listlanding") {
+          Views.latest(listLanding(s, dir))
+        }, "DOC", listSchema("DOC"), "ITEMS")
         .orderBy("DOCUMENT_ID", "LISTITEM_ID")
     },
   )
+
+  /** R1+R2 dedup over the synthetic landing — cached once for r24/r45. */
+  private def latestLanding(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "latest_landing") {
+      Views.latest(landing(s, dir))
+    }
 
   val oracleSql: Map[String, String] = Map(
     "r24_document_latest_view" ->

@@ -357,8 +357,9 @@ object Relational {
       // column and cache it narrow so each round reads a 2-partition
       // in-memory relation (measured 2.6s → <1s at sf0.1); at real
       // scale the recursion input would be pre-filtered the same way.
-      t(s, dir, "documents").select("doc_id").coalesce(2).persist()
-        .createOrReplaceTempView("__docs_r47")
+      Shared.shared(s, dir, "docs_r47") {
+        t(s, dir, "documents").select("doc_id").coalesce(2)
+      }.createOrReplaceTempView("__docs_r47")
       s.sql(r47Sql("__docs_r47"))
     },
     // explicit GROUPING SETS — an arbitrary set list, not the rollup

@@ -111,11 +111,11 @@ object TimeSeries {
       // partition-offset cumsum. The rank — and everything derived —
       // is invariant to partition boundaries because the order is
       // total; NTILE bucket arithmetic is then pure per-row math.
-      val base = t(s, dir, "orders").select("o_totalprice", "o_orderkey")
+      val base = Shared.temp(t(s, dir, "orders")
+        .select("o_totalprice", "o_orderkey")
         .repartitionByRange(s.sparkContext.defaultParallelism,
           col("o_totalprice"), col("o_orderkey"))
-        .withColumn("pid", spark_partition_id())
-        .persist()
+        .withColumn("pid", spark_partition_id()))
       val offsets = base.groupBy("pid").agg(cnt.as("c"))
         .withColumn("off", sum(col("c")).over(
           Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)))
