@@ -397,6 +397,32 @@ object Dedup {
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     },
+
+    // CONTAINMENT DETECTION — the asymmetric sibling of jaccard:
+    // |A∩B|/|A| catches a short document embedded inside a long one
+    // (quote-expansion, boilerplate wrapping, partial scrapes), which
+    // symmetric jaccard misses because the union is dominated by the
+    // long side. Candidates come from BOTH recall paths (LSH bands ∪
+    // rare-shingle index — both cached); the shingle arrays join back
+    // once per distinct candidate pair, exactly like x35's verify.
+    "x46_containment" -> { (s, dir) =>
+      val cand = lshCandidates(s, dir)
+        .unionByName(rareShingleCandidates(s, dir))
+        .distinct()
+      val sh = shingled(s, dir)
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "size(array_intersect(sa, sb)) as inter",
+          "size(sa) as na", "size(sb) as nb")
+        .filter("inter > 0")
+        .selectExpr("doc_a", "doc_b",
+          sRound6("cast(inter as double) / cast(na as double)") + " as cont_a",
+          sRound6("cast(inter as double) / cast(nb as double)") + " as cont_b")
+        .filter("cont_a >= 0.7 or cont_b >= 0.7")
+        .orderBy("doc_a", "doc_b")
+    },
   )
 
   /** MinHash-LSH candidate pairs (share ≥ 1 of 4 band buckets);
@@ -615,5 +641,32 @@ object Dedup {
          |SELECT doc_id, l.cluster_id, cluster_size
          |FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
          |ORDER BY doc_id""".stripMargin,
+    "x46_containment" ->
+      s"""$dShingled $dSig,
+         |bands AS (
+         |${(0 until 4).map(b => s"  SELECT doc_id, $b AS bi, ${dBandHash(b)} AS bh FROM sig")
+             .mkString("\n  UNION ALL\n")}),
+         |lcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bh = b.bh
+         |               AND a.doc_id < b.doc_id),
+         |rare2 AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh) WHERE df <= 8),
+         |rex2 AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare2 ON ex.sh = rare2.sh),
+         |ecand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM rex2 a JOIN rex2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |cand AS (SELECT doc_a, doc_b FROM lcand UNION SELECT doc_a, doc_b FROM ecand),
+         |m AS (SELECT doc_a, doc_b,
+         |        len(list_intersect(x.shs, y.shs)) AS inter,
+         |        len(x.shs) AS na, len(y.shs) AS nb
+         |      FROM cand JOIN shd x ON cand.doc_a = x.doc_id
+         |                JOIN shd y ON cand.doc_b = y.doc_id
+         |      WHERE len(list_intersect(x.shs, y.shs)) > 0)
+         |SELECT doc_a, doc_b, cont_a, cont_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    ${dRound6("CAST(inter AS DOUBLE) / CAST(na AS DOUBLE)")} AS cont_a,
+         |    ${dRound6("CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE)")} AS cont_b
+         |  FROM m)
+         |WHERE cont_a >= 0.7 OR cont_b >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -160,12 +160,15 @@ object Similarity {
     // candidates + cosine ≥ 0.4 over representatives only. On a
     // dup-free corpus this is identical to LSH over the full set.
     "x13_cosine_neardup" -> { (s, dir) =>
-      val reps = Shared.temp(t(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .groupBy("embedding")
-        .agg(min(col("vec_id")).as("vec_id"))
-        .selectExpr("vec_id", "embedding", s"${sSumSq("embedding")} as sq",
-          s"posexplode(${bandsIn(s)}) as (bi, bv)"))
+      // rep selection runs over the shared norm frame, and the band
+      // rows come from the shared withBands cache via a semi-join on
+      // the surviving rep ids — neither the norms nor the 16-plane
+      // projections are recomputed for this query
+      val repIds = withSq(s, dir)
+        .groupBy("embedding").agg(min(col("vec_id")).as("vec_id"))
+        .select("vec_id")
+      val reps = Shared.temp(withBands(s, dir)
+        .join(broadcast(repIds), "vec_id"))
       val cand = reps.select(col("vec_id").as("vec_a"), col("bi"), col("bv"))
         .join(reps.select(col("vec_id").as("vec_b"), col("bi"), col("bv")),
           Seq("bi", "bv"))

@@ -422,6 +422,113 @@ object TextAnalysis {
           "element_at(tk, least(n, ci * 48 + 64)) as last_tok")
         .orderBy("doc_id", "chunk_idx")
     },
+
+    // BIGRAM LM SCORING — the n-gram step up from x30's unigram model
+    // (the KenLM-perplexity stand-in at bigram order): each doc scores
+    // mean -ln p(cur|prev) under corpus bigram MLE frequencies,
+    // p(cur|prev) = c(prev,cur) / c(prev,·) with both counts taken
+    // over the corpus bigram stream. Both count tables are
+    // vocabulary-bounded → broadcast; the corpus-sized bigram stream
+    // never shuffles for the lookup (its only shuffles are the two
+    // map-side-combined count aggregations and the per-doc mean).
+    // Integer counts into ln ⇒ bit-identical across engines (x30).
+    "x43_bigram_logprob" -> { (s, dir) =>
+      val bg = graft.queries.Shared.temp(docs(s, dir)
+        .selectExpr("doc_id",
+          sLet(s"filter($sTokens, x -> x != '')", "tk",
+            """case when size(tk) >= 2
+              |  then transform(sequence(1, size(tk)-1),
+              |    i -> concat(element_at(tk,i), ' ', element_at(tk,i+1)))
+              |  else cast(array() as array<string>) end""".stripMargin) + " as gs")
+        .selectExpr("doc_id", "explode(gs) as g")
+        // tokens cannot contain whitespace (split on \s+), so the pair
+        // string splits back losslessly
+        .selectExpr("doc_id", "split_part(g, ' ', 1) as prev",
+          "split_part(g, ' ', 2) as cur"))
+      val cbg = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cbg"))
+      val cu = bg.groupBy("prev").agg(count(lit(1)).as("cu"))
+      val scored = bg
+        .join(broadcast(cbg), Seq("prev", "cur"))
+        .join(broadcast(cu), Seq("prev"))
+        .withColumn("nll", expr("-ln(cast(cbg as double) / cast(cu as double))"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("nll").cast(org.apache.spark.sql.types.DecimalType(24, 12)))
+            .cast("double") / count(lit(1)).cast("double")).as("m0"))
+      docs(s, dir).select("doc_id")
+        .join(scored, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "coalesce(n_bigrams, cast(0 as bigint)) as n_bigrams",
+          sRound6("coalesce(m0, 0.0d)") + " as mean_nll")
+        .orderBy("doc_id")
+    },
+
+    // DSIR IMPORTANCE WEIGHTS (Xie et al., NeurIPS 2023: Data Selection
+    // via Importance Resampling): score every document by how much its
+    // hashed-unigram features look like a target domain (lang='en'
+    // here) versus the raw corpus — log w(doc) = Σ_tokens
+    // ln(p_target(b)/p_raw(b)) over 64 hash buckets with add-one
+    // smoothing. The bucket tables are 64 rows → broadcast; the token
+    // stream never shuffles for the lookup. All-integer counts into
+    // identically-parenthesized ratios ⇒ ln args are bit-equal.
+    "x44_dsir_weights" -> { (s, dir) =>
+      val toks = graft.queries.Shared.temp(docs(s, dir)
+        .selectExpr("doc_id", "lang", s"explode(filter($sTokens, x -> x != '')) as token")
+        .selectExpr("doc_id", "lang", s"${sH("token")} % 64 as b"))
+      val cr = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+      val ct = toks.filter("lang = 'en'").groupBy("b").agg(count(lit(1)).as("ct"))
+      val tot = toks.agg(count(lit(1)).as("nr"),
+        sum(expr("case when lang = 'en' then 1 else 0 end")).as("nt"))
+      val lr = cr.join(ct, Seq("b"), "left").crossJoin(broadcast(tot))
+        .selectExpr("b",
+          """ln((cast(coalesce(ct, cast(0 as bigint)) + 1 as double) / cast(nt + 64 as double))
+            |  / (cast(cr + 1 as double) / cast(nr + 64 as double))) as lr""".stripMargin)
+      val scored = toks.join(broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("lr").cast(org.apache.spark.sql.types.DecimalType(24, 12)))
+            .cast("double").as("lw"))
+      docs(s, dir).select("doc_id", "lang")
+        .join(scored, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "lang",
+          "coalesce(n_tok, cast(0 as bigint)) as n_tok",
+          sRound6("coalesce(lw, 0.0d)") + " as log_weight",
+          "coalesce(lw, 0.0d) > 0.0d as target_like")
+        .orderBy("doc_id")
+    },
+
+    // ROBUST LENGTH OUTLIERS (median absolute deviation, the
+    // heavy-tail-safe sibling of z-score filtering): per source, the
+    // exact median doc length and the exact MAD — both via the
+    // percentile_disc row-selection pattern (row ceil(n/2) of the
+    // value-ordered partition, r42's convention) — then count docs
+    // farther than 3 MADs out. Pure integer arithmetic end to end:
+    // no float appears anywhere, so cross-engine parity is trivial.
+    // Partitioned ranking windows scale with sources × group size.
+    "x45_length_mad" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val d = Tables.t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val base = graft.queries.Shared.temp(d
+        .withColumn("rn", row_number().over(
+          w.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w.partitionBy("source"))))
+      val med = base.filter("cast(rn as bigint) = cast(ceil(0.5 * n) as bigint)")
+        .select(col("source"), col("n_chars").as("med"))
+      val ad = graft.queries.Shared.temp(base.join(broadcast(med), "source")
+        .withColumn("ad", expr("abs(n_chars - med)"))
+        .withColumn("rn2", row_number().over(
+          w.partitionBy("source").orderBy(col("ad"), col("doc_id")))))
+      val mad = ad.filter("cast(rn2 as bigint) = cast(ceil(0.5 * n) as bigint)")
+        .select(col("source"), col("ad").as("mad"))
+      ad.join(broadcast(mad), "source")
+        .groupBy("source")
+        .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+          Tables.cnt.as("n_docs"),
+          sum(expr("case when ad > 3 * mad then 1 else 0 end")).as("n_outliers"))
+        .selectExpr("source", "med", "mad", "n_docs",
+          "cast(n_outliers as bigint) as n_outliers")
+        .orderBy("source")
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -633,5 +740,64 @@ object TextAnalysis {
          |  tk[CAST(ci * 48 + 1 AS BIGINT)] AS first_tok,
          |  tk[CAST(least(n, ci * 48 + 64) AS BIGINT)] AS last_tok
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "x43_bigram_logprob" ->
+      s"""WITH tkn AS (SELECT doc_id, list_filter($dTokens, x -> x <> '') AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |          i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS gs
+         |      FROM tkn),
+         |bg AS (SELECT doc_id, split_part(g2, ' ', 1) AS prev, split_part(g2, ' ', 2) AS cur
+         |       FROM (SELECT doc_id, unnest(gs) AS g2 FROM g)),
+         |cbg AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg GROUP BY prev, cur),
+         |cu AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cu FROM bg GROUP BY prev),
+         |sc AS (SELECT doc_id, -ln(CAST(cbg AS DOUBLE) / CAST(cu AS DOUBLE)) AS nll
+         |       FROM bg JOIN cbg USING (prev, cur) JOIN cu USING (prev)),
+         |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |         CAST(SUM(CAST(nll AS DECIMAL(24,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m0
+         |       FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+         |  ${dRound6("COALESCE(m0, 0.0)")} AS mean_nll
+         |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "x44_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, lang, ${dH("token")} % 64 AS b
+         |              FROM (SELECT doc_id, lang, unnest(list_filter($dTokens, x -> x <> '')) AS token
+         |                    FROM documents)),
+         |cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM toks GROUP BY b),
+         |ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM toks WHERE lang = 'en' GROUP BY b),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+         |          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+         |        FROM toks),
+         |lr AS (SELECT b,
+         |         ln((CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + 64 AS DOUBLE))
+         |           / (CAST(cr + 1 AS DOUBLE) / CAST(nr + 64 AS DOUBLE))) AS lr
+         |       FROM cr LEFT JOIN ct USING (b), tot),
+         |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |         CAST(SUM(CAST(lr AS DECIMAL(24,12))) AS DOUBLE) AS lw
+         |       FROM toks JOIN lr USING (b) GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, COALESCE(n_tok, 0) AS n_tok,
+         |  ${dRound6("COALESCE(lw, 0.0)")} AS log_weight,
+         |  COALESCE(lw, 0.0) > 0.0 AS target_like
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "x45_length_mad" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents),
+        |med AS (SELECT source, n_chars AS med FROM base
+        |        WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+        |ad AS (SELECT base.*, med, abs(n_chars - med) AS ad,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY base.source
+        |           ORDER BY abs(n_chars - med), doc_id) AS BIGINT) AS rn2
+        |       FROM base JOIN med USING (source)),
+        |mad AS (SELECT source, ad AS mad FROM ad
+        |        WHERE rn2 = CAST(ceil(0.5 * n) AS BIGINT))
+        |SELECT source, MAX(med) AS med, MAX(mad) AS mad,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN ad.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ad JOIN mad USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -116,17 +116,20 @@ object TimeSeries {
         .repartitionByRange(s.sparkContext.defaultParallelism,
           col("o_totalprice"), col("o_orderkey"))
         .withColumn("pid", spark_partition_id()))
+      // one pass over `base` yields per-partition counts; the exclusive
+      // prefix sum (offset) AND the grand total both derive from those
+      // ≤ #partitions rows — no second corpus scan for the total
       val offsets = base.groupBy("pid").agg(cnt.as("c"))
         .withColumn("off", sum(col("c")).over(
           Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)))
-        .selectExpr("pid", "coalesce(off, cast(0 as bigint)) as off")
-      val total = base.agg(cnt.as("n"))
+        .withColumn("n", sum(col("c")).over(
+          Window.partitionBy(lit(1))))
+        .selectExpr("pid", "coalesce(off, cast(0 as bigint)) as off", "n")
       val wLocal = Window.partitionBy("pid")
         .orderBy(col("o_totalprice"), col("o_orderkey"))
       base
         .withColumn("lr", row_number().over(wLocal))
         .join(broadcast(offsets), "pid")
-        .crossJoin(broadcast(total))
         .selectExpr("o_totalprice", "off + lr as rank", "n")
         // NTILE(10): r = n % 10 buckets of size s+1 first, then size s
         .selectExpr("o_totalprice",
