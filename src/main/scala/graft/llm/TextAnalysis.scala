@@ -23,6 +23,20 @@ object TextAnalysis {
     Tables.t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** Per-(doc, token) term frequencies over the whitespace tokenizer —
+    * the shared base of every token-statistics query (x23 tf-idf, x30
+    * unigram LM): one explode + one map-side-combined aggregation,
+    * cached across the session. Distinct-(doc,token) rows are a
+    * fraction of the raw occurrence stream, so everything downstream
+    * joins and aggregates less data. */
+  private def docTf(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Shared.shared(s, dir, "doc_tf") {
+      docs(s, dir)
+        .selectExpr("doc_id", s"explode($sTokens) as token")
+        .filter(col("token") =!= "")
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    }
+
   private val langs = Seq(
     "en" -> Seq("the", "a", "and", "of", "to"),
     "fr" -> Seq("le", "la", "les", "et", "une"),
@@ -199,21 +213,27 @@ object TextAnalysis {
     // vocabulary-sized, exactly the thing you broadcast. Integer
     // counts into ln ⇒ bit-identical across engines (proven by x23).
     "x30_unigram_logprob" -> { (s, dir) =>
-      val toks = graft.queries.Shared.temp(docs(s, dir)
-        .selectExpr("doc_id", s"explode($sTokens) as token")
-        .filter(col("token") =!= ""))
-      val uni = toks.groupBy("token").agg(count(lit(1)).as("tf"))
-      val total = toks.agg(count(lit(1)).as("n_total"))
-      // broadcast the vocabulary-sized unigram table against the token
-      // stream — the corpus-sized side never shuffles (a plain join
-      // would sort-merge the whole token stream on `token`)
-      toks.join(broadcast(uni), "token").crossJoin(broadcast(total))
+      // scores per DISTINCT (doc, token) — the shared tf frame x23
+      // also reads — not per occurrence: a token appearing tf times
+      // contributes tf × decimal(nll), which is bit-equal to the
+      // oracle's occurrence-wise decimal sum (integer multiples of an
+      // exact decimal), at a fraction of the join/agg input size. The
+      // vocabulary-sized unigram table broadcasts; the corpus never
+      // shuffles on `token`.
+      val tf = docTf(s, dir)
+      val uni = tf.groupBy("token").agg(sum(col("tf")).as("ctf"))
+      val total = tf.agg(sum(col("tf")).as("n_total"))
+      tf.join(broadcast(uni), "token").crossJoin(broadcast(total))
         .withColumn("nll",
-          expr("-ln(cast(tf as double) / cast(n_total as double))"))
+          expr("-ln(cast(ctf as double) / cast(n_total as double))"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          (sum(col("nll").cast(org.apache.spark.sql.types.DecimalType(24, 12)))
-            .cast("double") / count(lit(1)).cast("double")).as("mean_nll0"))
+        .agg(sum(col("tf")).as("n_tok"),
+          // decimal(10,0) × decimal(14,12) → decimal(25,12): exact
+          // (38-precision cap never hit, so no scale truncation);
+          // round12(nll) < 100 always fits 2 integer digits
+          (sum(col("tf").cast(org.apache.spark.sql.types.DecimalType(10, 0)) *
+              col("nll").cast(org.apache.spark.sql.types.DecimalType(14, 12)))
+            .cast("double") / sum(col("tf")).cast("double")).as("mean_nll0"))
         .selectExpr("doc_id", "n_tok", sRound6("mean_nll0") + " as mean_nll")
         .orderBy("doc_id")
     },
@@ -285,21 +305,22 @@ object TextAnalysis {
     // ranking window — at 100 TB the df frame is vocabulary-sized,
     // which is why it, not the corpus, feeds the join.
     "x23_tfidf_topterms" -> { (s, dir) =>
-      val tf = graft.queries.Shared.temp(docs(s, dir)
-        .selectExpr("doc_id", s"explode($sTokens) as token")
-        .filter(col("token") =!= "")
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+      val tf = docTf(s, dir)
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      // top-3 per doc via ONE aggregation (collect the per-doc term
+      // structs, sort in-register, slice) — no ranking window, so the
+      // whole tf frame is never globally sorted. struct(-tfidf, token)
+      // ascending replays ORDER BY tfidf DESC, token (double negation
+      // is an exact sign flip; x17 established the pattern).
       tf.join(broadcast(df), "token").crossJoin(broadcast(n))
         .withColumn("tfidf",
           expr("cast(tf as double) * ln(cast(n_docs as double) / cast(df as double))"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 3)
-        .selectExpr("doc_id", "rk", "token", "tf", "df",
-          sRound6("tfidf") + " as tfidf_r")
+        .groupBy("doc_id")
+        .agg(expr("slice(sort_array(collect_list(struct(-tfidf as nt, token, tf, df))), 1, 3)").as("top"))
+        .selectExpr("doc_id", "posexplode(top) as (i, t)")
+        .selectExpr("doc_id", "cast(i + 1 as bigint) as rk", "t.token as token",
+          "t.tf as tf", "t.df as df", sRound6("-t.nt") + " as tfidf_r")
         .orderBy("doc_id", "rk")
     },
     // DETERMINISTIC PER-STRATUM RESERVOIR (fixed-size eval-set carve-out:
