@@ -237,11 +237,13 @@ object Dedup {
     },
 
     // MinHash + LSH: 4 bands × 4 rows; candidates share a band bucket;
-    // exact jaccard ≥ 0.5 verified on candidates only (shingle arrays
-    // joined back just for the verification step)
+    // exact jaccard ≥ 0.5 verified on candidates only — the in_l slice
+    // of the shared pair-stats frame (one array join serves x07/x10/
+    // x35/x46)
     "x07_lsh_neardup_pairs" -> { (s, dir) =>
-      verifiedJaccard(s, dir, lshCandidates(s, dir))
-        .select("doc_a", "doc_b", "jaccard")
+      pairStats(s, dir).filter("in_l = 1")
+        .selectExpr("doc_a", "doc_b", s"$sJaccard as jaccard")
+        .filter("jaccard >= 0.5")
         .orderBy("doc_a", "doc_b")
     },
 
@@ -337,20 +339,13 @@ object Dedup {
     // row. Re-banding (rows/bands trade) moves these numbers — this
     // query is how you see it without eyeballing pair lists.
     "x35_lsh_quality" -> { (s, dir) =>
-      val lsh = lshCandidates(s, dir)
-        .withColumn("in_l", lit(1L)).withColumn("in_e", lit(0L))
-      val exact = rareShingleCandidates(s, dir)
-        .withColumn("in_l", lit(0L)).withColumn("in_e", lit(1L))
-      // Unified verification: union the two candidate sets with
-      // membership flags, verify exact jaccard ONCE per distinct pair
-      // (the expensive array join), then count. Identical result to
-      // full-outer-joining the two verified pair lists — a pair passes
-      // the same jaccard filter no matter which arm proposed it — at
-      // half the verification cost and no outer join.
-      val cand = lsh.unionByName(exact)
-        .groupBy("doc_a", "doc_b")
-        .agg(max(col("in_l")).as("in_l"), max(col("in_e")).as("in_e"))
-      verifiedJaccard(s, dir, cand)
+      // precision/recall straight off the shared pair-stats frame: a
+      // pair passes the same jaccard filter no matter which arm
+      // proposed it, so counting flags over verified pairs is identical
+      // to full-outer-joining the two verified pair lists.
+      pairStats(s, dir)
+        .withColumn("jaccard", expr(sJaccard))
+        .filter("jaccard >= 0.5")
         .agg(sum(col("in_l")).as("n_lsh"), sum(col("in_e")).as("n_exact"),
           sum(col("in_l") * col("in_e")).as("n_both"))
         .selectExpr(
@@ -393,8 +388,9 @@ object Dedup {
     // fan-out at C(8,2) and kills the quadratic hot-key blow-up),
     // then exact jaccard over the FULL shingle sets ≥ 0.5
     "x10_jaccard_pairs" -> { (s, dir) =>
-      verifiedJaccard(s, dir, rareShingleCandidates(s, dir))
-        .select("doc_a", "doc_b", "jaccard")
+      pairStats(s, dir).filter("in_e = 1")
+        .selectExpr("doc_a", "doc_b", s"$sJaccard as jaccard")
+        .filter("jaccard >= 0.5")
         .orderBy("doc_a", "doc_b")
     },
 
@@ -402,20 +398,11 @@ object Dedup {
     // |A∩B|/|A| catches a short document embedded inside a long one
     // (quote-expansion, boilerplate wrapping, partial scrapes), which
     // symmetric jaccard misses because the union is dominated by the
-    // long side. Candidates come from BOTH recall paths (LSH bands ∪
-    // rare-shingle index — both cached); the shingle arrays join back
-    // once per distinct candidate pair, exactly like x35's verify.
+    // long side. Reads the shared pair-stats frame (union of both
+    // recall paths, intersections already computed) — only the ratio
+    // and threshold are query-specific.
     "x46_containment" -> { (s, dir) =>
-      val cand = lshCandidates(s, dir)
-        .unionByName(rareShingleCandidates(s, dir))
-        .distinct()
-      val sh = shingled(s, dir)
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-        .selectExpr("doc_a", "doc_b",
-          "size(array_intersect(sa, sb)) as inter",
-          "size(sa) as na", "size(sb) as nb")
+      pairStats(s, dir)
         .filter("inter > 0")
         .selectExpr("doc_a", "doc_b",
           sRound6("cast(inter as double) / cast(na as double)") + " as cont_a",
@@ -462,21 +449,35 @@ object Dedup {
       .select("doc_a", "doc_b")
   }
 
-  /** Exact-jaccard verification pass: join the full shingle sets back
-    * against candidate (doc_a, doc_b) pairs — extra columns on `cand`
-    * ride through — and keep pairs with jaccard ≥ 0.5. The arrays move
-    * only for candidates, never for the corpus. */
-  private def verifiedJaccard(s: SparkSession, dir: String,
-      cand: DataFrame): DataFrame = {
-    val sh = shingled(s, dir)
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-      .withColumn("jaccard", expr(sRound6(
-        "cast(size(array_intersect(sa, sb)) as double) / cast(size(array_union(sa, sb)) as double)")))
-      .filter("jaccard >= 0.5")
-      .drop("sa", "sb")
-  }
+  /** Per-candidate-pair verification stats, computed ONCE and cached:
+    * the union of both recall paths (LSH bands ∪ rare-shingle index)
+    * with membership flags, shingle arrays joined back once per
+    * distinct pair, then |A∩B| and both set sizes. The expensive step —
+    * moving the full shingle arrays and intersecting them — runs once
+    * for the whole family: x07/x10 (jaccard pair lists), x35 (quality
+    * counts) and x46 (containment) are all cheap scalar filters over
+    * this frame. Shingles are distinct (array_distinct / Shingles3), so
+    * |A∪B| = na + nb − inter exactly and every downstream ratio divides
+    * the same integers the per-query array forms would. */
+  private def pairStats(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "pair_stats") {
+      val cand = lshCandidates(s, dir)
+        .withColumn("in_l", lit(1L)).withColumn("in_e", lit(0L))
+        .unionByName(rareShingleCandidates(s, dir)
+          .withColumn("in_l", lit(0L)).withColumn("in_e", lit(1L)))
+        .groupBy("doc_a", "doc_b")
+        .agg(max(col("in_l")).as("in_l"), max(col("in_e")).as("in_e"))
+      val sh = shingled(s, dir)
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+        .selectExpr("doc_a", "doc_b", "in_l", "in_e",
+          "size(array_intersect(sa, sb)) as inter",
+          "size(sa) as na", "size(sb) as nb")
+    }
+
+  private def sJaccard =
+    sRound6("cast(inter as double) / cast(na + nb - inter as double)")
 
   val oracleSql: Map[String, String] = Map(
     "x05_exact_dedup" ->
