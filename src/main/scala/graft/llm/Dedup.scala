@@ -401,6 +401,37 @@ object Dedup {
     // long side. Reads the shared pair-stats frame (union of both
     // recall paths, intersections already computed) — only the ratio
     // and threshold are query-specific.
+    // CROSS-SOURCE OVERLAP MATRIX — the corpus-curation report that
+    // tells you which ingestion sources are scraping each other:
+    // shingle-set jaccard per source pair. Deliberately NOT built on
+    // the rep-collapsed frame: a document duplicated across two sources
+    // must count toward BOTH sources' sets. Scale shape: distinct
+    // (source, sh) rows group once on sh, and each shingle's source
+    // list (≤ #sources) expands to pairs locally — the same bounded
+    // posting-list pattern as rareShingleCandidates, with the bound
+    // being the source count, never data volume. Pure integer counts
+    // into one double division ⇒ trivially oracle-exact.
+    "x48_source_overlap" -> { (s, dir) =>
+      val ss = Shared.temp(t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("source", s"${sLet(sTokens, "tk", sShingles)} as shs")
+        .selectExpr("source", "explode(shs) as sh")
+        .distinct())
+      val totals = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val shared = ss.groupBy("sh")
+        .agg(sort_array(collect_list(col("source"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .selectExpr("posexplode(ids) as (i, source_a)", "ids")
+        .selectExpr("source_a", "explode(slice(ids, i + 2, size(ids))) as source_b")
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(broadcast(totals.selectExpr("source as source_a", "n_sh as n_a")), "source_a")
+        .join(broadcast(totals.selectExpr("source as source_b", "n_sh as n_b")), "source_b")
+        .selectExpr("source_a", "source_b", "n_shared", "n_a", "n_b",
+          sRound6("cast(n_shared as double) / cast(n_a + n_b - n_shared as double)") + " as jaccard")
+        .orderBy("source_a", "source_b")
+    },
+
     "x46_containment" -> { (s, dir) =>
       pairStats(s, dir)
         .filter("inter > 0")
@@ -642,6 +673,20 @@ object Dedup {
          |SELECT doc_id, l.cluster_id, cluster_size
          |FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
          |ORDER BY doc_id""".stripMargin,
+    "x48_source_overlap" ->
+      s"""WITH tkn AS (SELECT source, $dTokens AS tk FROM documents),
+         |sh0 AS (SELECT source, unnest($dShingles) AS sh FROM tkn),
+         |ss AS (SELECT DISTINCT source, sh FROM sh0),
+         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ss GROUP BY source),
+         |shared AS (SELECT a.source AS source_a, b.source AS source_b,
+         |             CAST(COUNT(*) AS BIGINT) AS n_shared
+         |           FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+         |           GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared, ta.n_sh AS n_a, tb.n_sh AS n_b,
+         |  ${dRound6("CAST(n_shared AS DOUBLE) / CAST(ta.n_sh + tb.n_sh - n_shared AS DOUBLE)")} AS jaccard
+         |FROM shared JOIN tot ta ON shared.source_a = ta.source
+         |            JOIN tot tb ON shared.source_b = tb.source
+         |ORDER BY source_a, source_b""".stripMargin,
     "x46_containment" ->
       s"""$dShingled $dSig,
          |bands AS (

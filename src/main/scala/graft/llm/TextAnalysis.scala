@@ -518,6 +518,44 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // CHARACTER ENTROPY + TYPE-TOKEN RATIO — two classic corpus-quality
+    // signals: low char-entropy flags repeated-symbol junk and binary
+    // spillover, low TTR (distinct/total tokens) flags template spam.
+    // Entropy sums per-(doc, char) terms; each p·ln p double is
+    // computed from identical integer operands on both engines and
+    // decimal-cast before the sum, so the aggregate is order-
+    // independent and bit-exact (the Tables.dsum pattern). The TTR leg
+    // reads the shared docTf frame — no second tokenize. Per-doc char
+    // counts shuffle once on (doc_id, ch); everything else is map-side.
+    "x47_entropy_ttr" -> { (s, dir) =>
+      val ent = docs(s, dir)
+        .filter("length(text) > 0")
+        .selectExpr("doc_id", "text", "length(text) as n",
+          "explode(sequence(1, length(text))) as i")
+        .selectExpr("doc_id", "n", "substring(text, i, 1) as ch")
+        .groupBy("doc_id", "ch")
+        .agg(first(col("n")).as("n"), count(lit(1)).as("c"))
+        .withColumn("term", expr(
+          """cast(cast(c as double) / cast(n as double)
+            |  * ln(cast(c as double) / cast(n as double)) as decimal(24,12))""".stripMargin))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_char_types"), first(col("n")).as("n_chars"),
+          sum(col("term")).as("se"))
+      val tok = docTf(s, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_types"), sum(col("tf")).as("n_tok"))
+      docs(s, dir).select("doc_id")
+        .join(ent, Seq("doc_id"), "left")
+        .join(tok, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "coalesce(n_chars, cast(0 as bigint)) as n_chars",
+          "coalesce(n_char_types, cast(0 as bigint)) as n_char_types",
+          sRound6("coalesce(-cast(se as double), 0.0d)") + " as entropy",
+          "coalesce(n_types, cast(0 as bigint)) as n_types",
+          "coalesce(n_tok, cast(0 as bigint)) as n_tok",
+          sRound6("case when coalesce(n_tok, cast(0 as bigint)) > 0 then cast(n_types as double) / cast(n_tok as double) else 0.0d end") + " as ttr")
+        .orderBy("doc_id")
+    },
+
     // ROBUST LENGTH OUTLIERS (median absolute deviation, the
     // heavy-tail-safe sibling of z-score filtering): per source, the
     // exact median doc length and the exact MAD — both via the
@@ -800,6 +838,29 @@ object TextAnalysis {
          |  ${dRound6("COALESCE(lw, 0.0)")} AS log_weight,
          |  COALESCE(lw, 0.0) > 0.0 AS target_like
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "x47_entropy_ttr" ->
+      s"""WITH ch AS (SELECT doc_id, length(text) AS n, substr(text, CAST(i AS INTEGER), 1) AS ch
+         |            FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i
+         |                  FROM documents WHERE length(text) > 0)),
+         |cc AS (SELECT doc_id, ch, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS c FROM ch GROUP BY doc_id, ch),
+         |tm AS (SELECT doc_id, n, CAST(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+         |         * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(24,12)) AS term FROM cc),
+         |ent AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_char_types, MAX(n) AS n_chars, SUM(term) AS se
+         |        FROM tm GROUP BY doc_id),
+         |tok AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_types, CAST(SUM(tf) AS BIGINT) AS n_tok
+         |        FROM (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |              FROM (SELECT doc_id, unnest(list_filter($dTokens, x -> x <> '')) AS token FROM documents)
+         |              GROUP BY doc_id, token) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(ent.n_chars, 0) AS n_chars,
+         |  COALESCE(n_char_types, 0) AS n_char_types,
+         |  ${dRound6("COALESCE(-CAST(se AS DOUBLE), 0.0)")} AS entropy,
+         |  COALESCE(n_types, 0) AS n_types,
+         |  COALESCE(n_tok, 0) AS n_tok,
+         |  ${dRound6("CASE WHEN COALESCE(n_tok, 0) > 0 THEN CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END")} AS ttr
+         |FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+         |                 LEFT JOIN tok ON d.doc_id = tok.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "x45_length_mad" ->
       """WITH base AS (

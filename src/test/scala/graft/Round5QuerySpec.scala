@@ -52,6 +52,36 @@ class Round5QuerySpec extends SparkSpec {
     assert(rows.head.getLong(1) == expectMed)
   }
 
+  test("x47 entropy/ttr: information-theoretic bounds hold per doc") {
+    val rows = graft.llm.TextAnalysis.queries("x47_entropy_ttr")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nCh, kCh, ent) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (nTypes, nTok, ttr) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(ent >= 0.0)
+      // Shannon bound: H <= ln(#distinct symbols) (1e-6 rounding slack)
+      if (kCh > 0) assert(ent <= math.log(kCh.toDouble) + 1e-6)
+      assert(kCh <= nCh)
+      assert(nTypes <= nTok)
+      if (nTok > 0) assert(ttr > 0.0 && ttr <= 1.0 + 1e-6)
+    }
+  }
+
+  test("x48 source overlap: pair counts bounded by per-source set sizes") {
+    val rows = graft.llm.Dedup.queries("x48_source_overlap")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sh, na, nb, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(a < b) // ordered pairs, no diagonal, no mirror
+      assert(sh >= 1L && sh <= math.min(na, nb))
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("x46 containment: superset of symmetric near-dups, bounds hold") {
     val cont = graft.llm.Dedup.queries("x46_containment")(spark, sf001).collect()
     cont.foreach { r =>
