@@ -34,7 +34,9 @@ object Bench {
       SparkEntry.queries("r01_pricing_summary")(spark, sfDir).count()
       SparkEntry.queries("x04_fingerprint")(spark, sfDir).count()
     } catch { case _: Throwable => }
+    val trace = sys.env.get("GRAFT_BENCH_TRACE").contains("1")
     val results = SparkEntry.queries.map { case (name, fn) =>
+      if (trace) System.err.println(s"[bench] >>> $name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

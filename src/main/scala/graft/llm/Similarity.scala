@@ -75,6 +75,30 @@ object Similarity {
           "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x) as csq")
     }
 
+  /** PQ codebook: 8 subspaces × one 8-dim mean codeword per label (the
+    * label partition stands in for a per-subspace k-means, exactly as
+    * the label centroids stand in for the IVF coarse quantizer in x17).
+    * Means are exact decimals ⇒ identical across engines. */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "pqCodebook") {
+      t(s, dir, "embeddings")
+        .selectExpr("label", "posexplode(embedding) as (dim, v)")
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(col("v").cast("double").cast(DecimalType(20, 8))).cast("double") /
+          count(lit(1)).cast("double")).as("c"))
+        .selectExpr("label as clabel", "dim div 8 as ss", "dim % 8 as j", "c")
+        .groupBy("clabel", "ss")
+        .agg(expr("transform(sort_array(collect_list(struct(j, c))), x -> x.c)").as("cw"))
+    }
+
+  /** Squared L2 between the `ss`-th 8-dim slice of a float vector and a
+    * double codeword array — sequential fold, same IEEE order as the
+    * oracle's 8-term chain. */
+  private val sSubDist =
+    """aggregate(zip_with(slice(embedding, ss * 8 + 1, 8), cw,
+      |  (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),
+      |  cast(0 as double), (acc, t) -> acc + t)""".stripMargin
+
   private def bandsExpr =
     s"array(${(0 until 4).map(b => sBand("embedding", b)).mkString(", ")})"
 
@@ -369,6 +393,51 @@ object Similarity {
         .orderBy("query_id")
     },
 
+    // PRODUCT-QUANTIZATION ANN (Jégou et al., PAMI 2011 — the
+    // memory-compression path: at 100 TB the raw vectors cannot stay
+    // resident, but 8 one-byte codes per vector can): each vector is
+    // encoded subspace-by-subspace to its nearest codeword (8 subspaces
+    // × 8 dims; codebook = per-label subvector means, the same
+    // label-as-trained-quantizer device as x17). Probes score the
+    // corpus by asymmetric distance (ADC): a per-probe 8×10 lookup
+    // table of exact subspace distances is broadcast, the corpus-side
+    // scan touches ONLY the codes (one narrow join + map-side partial
+    // sum — the embedding payload never moves), and the decimal-summed
+    // ADC makes the ranking engine-exact. The oracle runs the identical
+    // pipeline in SQL.
+    "x49_pq_ann" -> { (s, dir) =>
+      val cb = pqCodebook(s, dir)
+      // corpus → codes: one broadcast cross-join with the 80-row
+      // codebook, collapsed immediately by a map-side min-struct
+      // aggregation — nothing corpus×codebook-sized persists or
+      // shuffles (the exchange carries 8 code rows per vector)
+      val codes = t(s, dir, "embeddings")
+        .crossJoin(broadcast(cb))
+        .selectExpr("vec_id", "ss", "clabel", s"$sSubDist as d2")
+        .groupBy("vec_id", "ss")
+        .agg(expr("min(struct(d2, clabel))").as("m"))
+        .selectExpr("vec_id", "ss", "m.clabel as code")
+      // per-probe distance table: 8 probes × 8 subspaces × 10 codewords
+      val pdist = t(s, dir, "embeddings").filter(QuerySet)
+        .crossJoin(broadcast(cb))
+        .selectExpr("vec_id as query_id", "ss", "clabel", s"$sSubDist as pd2")
+      val adc = codes
+        .join(broadcast(pdist), codes("ss") === pdist("ss") &&
+          codes("code") === pdist("clabel") &&
+          codes("vec_id") =!= pdist("query_id"))
+        .select(col("query_id"), codes("vec_id").as("neighbor_id"), col("pd2"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(expr("cast(pd2 as decimal(24,12))")).cast("double").as("adc"))
+      // rank ascending by distance: negate (exact sign flip) for the
+      // descending native top-k
+      graft.plans.TopKPerKey.topKDesc(
+          adc.withColumn("nadc", -col("adc")),
+          Seq("query_id"), "nadc", Seq("neighbor_id"), TopK)
+        .selectExpr("query_id", "neighbor_id",
+          sRound6("adc") + " as adc_dist", "rk")
+        .orderBy("query_id", "rk")
+    },
+
     // per-label centroids: distributed vector mean via posexplode +
     // exact decimal partial aggregation on (label, dim)
     "x14_label_centroids" -> { (s, dir) =>
@@ -510,6 +579,34 @@ object Similarity {
          |  k.keeper IS NULL AS kept
          |FROM mem m LEFT JOIN keeper k ON m.vec_id = k.vec_id
          |ORDER BY m.vec_id""".stripMargin,
+    "x49_pq_ann" -> {
+      val d2Chain = (1 to 8).map(j =>
+        s"(CAST(e.embedding[c.ss*8+$j] AS DOUBLE) - c.cw[$j])*(CAST(e.embedding[c.ss*8+$j] AS DOUBLE) - c.cw[$j])")
+        .mkString(" + ")
+      s"""WITH cd AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
+         |       FROM embeddings),
+         |cm AS (SELECT label, dim,
+         |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+         |       FROM cd GROUP BY label, dim),
+         |cb AS (SELECT label AS clabel, dim // 8 AS ss, list(c ORDER BY dim) AS cw
+         |       FROM cm GROUP BY label, dim // 8),
+         |enc AS (SELECT e.vec_id, c.ss, c.clabel, $d2Chain AS d2
+         |        FROM embeddings e CROSS JOIN cb c),
+         |codes AS (SELECT vec_id, ss, clabel AS code FROM (
+         |            SELECT vec_id, ss, clabel,
+         |              ROW_NUMBER() OVER (PARTITION BY vec_id, ss ORDER BY d2, clabel) AS rn
+         |            FROM enc) WHERE rn = 1),
+         |adc AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |          CAST(SUM(CAST(p.d2 AS DECIMAL(24,12))) AS DOUBLE) AS adc
+         |        FROM codes c JOIN enc p ON p.ss = c.ss AND p.clabel = c.code
+         |             AND p.vec_id < 8 AND c.vec_id <> p.vec_id
+         |        GROUP BY p.vec_id, c.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, adc,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS BIGINT) AS rk
+         |           FROM adc)
+         |SELECT query_id, neighbor_id, ${dRound6("adc")} AS adc_dist, rk
+         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+    },
     "x14_label_centroids" ->
       """SELECT label, dim,
         |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid,

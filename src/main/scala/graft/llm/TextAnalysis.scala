@@ -106,6 +106,36 @@ object TextAnalysis {
           sRound6("distinct_ratio * length_score") + " >= 0.2 as is_quality")
         .orderBy("doc_id")
     },
+    // GOPHER-STYLE RULE FILTER (Rae et al. 2021, §A1.1 — the composite
+    // hand-tuned gate production corpora run before any model-based
+    // scoring): token-count bounds, mean-word-length bounds, a
+    // most-frequent-token cap (degenerate-repetition guard), and a
+    // stopword-presence floor. All four signals reduce over the shared
+    // per-(doc,token) tf frame — one keyed aggregation, no second
+    // tokenize pass, integer facts into two exact divisions. The pass
+    // flag compares the 6-dp-rounded ratios, so the boolean is as
+    // engine-exact as the numbers it reads.
+    "x50_gopher_rules" -> { (s, dir) =>
+      val stop = inList(Seq("the", "a", "and", "of", "to",
+        "le", "la", "el", "der", "die"))
+      docTf(s, dir).groupBy("doc_id")
+        .agg(sum(col("tf")).as("nt"),
+          max(col("tf")).as("max_tf"),
+          sum(expr("length(token) * tf")).as("n_tok_chars"),
+          sum(expr(s"case when token in ($stop) then tf else 0 end")).as("sh"))
+        .selectExpr("doc_id",
+          "cast(nt as bigint) as n_tokens",
+          sRound6("cast(n_tok_chars as double) / cast(nt as double)") + " as mean_word_len",
+          sRound6("cast(max_tf as double) / cast(nt as double)") + " as top_token_frac",
+          "cast(sh as bigint) as stop_hits")
+        .selectExpr("doc_id", "n_tokens", "mean_word_len", "top_token_frac",
+          "stop_hits",
+          """(n_tokens between 20 and 100000)
+            | and (mean_word_len between 2.0d and 10.0d)
+            | and (top_token_frac <= 0.2d)
+            | and (stop_hits >= 2) as pass""".stripMargin)
+        .orderBy("doc_id")
+    },
     // heavy hitters via the SpaceSaving sketch (plans.SpaceSavingTopK):
     // bounded per-partition state instead of shuffling every distinct
     // key; capacity 64 > the corpus vocabulary, so counts are exact and
@@ -123,9 +153,13 @@ object TextAnalysis {
       else {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._
+        // constant partition key = declared single-group distribution
+        // (input is vocabulary-sized); avoids WindowExec's no-partition
+        // warning while keeping the identical global ranking
         tok.groupBy("token").agg(count(lit(1)).as("n"))
           .withColumn("rank",
-            (row_number().over(Window.orderBy(col("n").desc, col("token"))) - 1)
+            (row_number().over(Window.partitionBy(lit(0))
+              .orderBy(col("n").desc, col("token"))) - 1)
               .cast("long"))
           .filter(col("rank") < 10)
           .select("rank", "token", "n")
@@ -650,6 +684,29 @@ object TextAnalysis {
          |        FROM (SELECT unnest($dTokens) AS token FROM documents)
          |        GROUP BY token)) x
          |WHERE rank < 10 ORDER BY rank""".stripMargin,
+    "x50_gopher_rules" -> {
+      val stop = inList(Seq("the", "a", "and", "of", "to",
+        "le", "la", "el", "der", "die"))
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($dTokens) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY doc_id, token),
+         |a AS (SELECT doc_id, SUM(tf) AS nt, MAX(tf) AS max_tf,
+         |        SUM(length(token) * tf) AS n_tok_chars,
+         |        SUM(CASE WHEN token IN ($stop) THEN tf ELSE 0 END) AS sh
+         |      FROM tf GROUP BY doc_id),
+         |b AS (SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |        ${dRound6("CAST(n_tok_chars AS DOUBLE) / CAST(nt AS DOUBLE)")} AS mean_word_len,
+         |        ${dRound6("CAST(max_tf AS DOUBLE) / CAST(nt AS DOUBLE)")} AS top_token_frac,
+         |        CAST(sh AS BIGINT) AS stop_hits
+         |      FROM a)
+         |SELECT doc_id, n_tokens, mean_word_len, top_token_frac, stop_hits,
+         |  (n_tokens BETWEEN 20 AND 100000)
+         |    AND (mean_word_len BETWEEN 2.0 AND 10.0)
+         |    AND (top_token_frac <= 0.2)
+         |    AND (stop_hits >= 2) AS pass
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
     "x23_tfidf_topterms" ->
       s"""WITH tf AS (
          |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf

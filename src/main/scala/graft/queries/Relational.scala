@@ -522,6 +522,30 @@ object Relational {
         .orderBy("bucket")
     },
 
+    // WINDOWED DISTINCT COUNT — COUNT(DISTINCT) OVER is a genuine
+    // dialect gap: the reference's warehouses (and DuckDB) run it
+    // natively, Spark rejects DISTINCT in window aggregates. Engine
+    // form: size(collect_set() OVER …) — per-row set state bounded by
+    // the event-type cardinality (a handful), never the partition row
+    // count, so the running variant stays O(types) per row. One
+    // shuffle on user_id serves both the whole-partition count and the
+    // running prefix count.
+    "r57_window_distinct" -> { (s, dir) =>
+      val wAll = Window.partitionBy("user_id")
+      val wRun = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("n_types_user",
+          size(collect_set(col("event_type")).over(wAll)).cast("long"))
+        .withColumn("n_types_seen",
+          size(collect_set(col("event_type")).over(wRun)).cast("long"))
+        .select("event_id", "user_id", "event_type", "n_types_user",
+          "n_types_seen")
+        .orderBy("event_id")
+    },
+
     // bitwise + boolean aggregates (integer/boolean lattices are exact —
     // no floating-point, engine-order-free by algebra)
     "r53_bit_bool_agg" -> { (s, dir) =>
@@ -858,6 +882,13 @@ object Relational {
     "r52_lateral_topn" -> r52Sql("region", "nation", "customer"),
     "r55_not_in_nulls" -> r55Sql("customer", "orders"),
     "r56_interval_range" -> r56Sql("orders"),
+    "r57_window_distinct" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id) AS BIGINT) AS n_types_user,
+        |  CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_seen
+        |FROM events ORDER BY event_id""".stripMargin,
     "r54_histogram" ->
       """SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total

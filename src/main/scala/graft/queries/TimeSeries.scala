@@ -120,8 +120,13 @@ object TimeSeries {
       // prefix sum (offset) AND the grand total both derive from those
       // ≤ #partitions rows — no second corpus scan for the total
       val offsets = base.groupBy("pid").agg(cnt.as("c"))
+        // constant partition key: same single group (input is ≤
+        // #partitions rows by construction) but the plan declares a
+        // distribution, so WindowExec never logs the no-partition-
+        // defined single-partition warning the unkeyed form trips
         .withColumn("off", sum(col("c")).over(
-          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)))
+          Window.partitionBy(lit(0)).orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)))
         .withColumn("n", sum(col("c")).over(
           Window.partitionBy(lit(1))))
         .selectExpr("pid", "coalesce(off, cast(0 as bigint)) as off", "n")
