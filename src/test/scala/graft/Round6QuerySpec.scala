@@ -1,0 +1,70 @@
+package graft
+
+/** Invariant checks for the round-5 additions: PQ-ADC ANN (x49), the
+  * Gopher rule filter (x50), and windowed distinct counts (r57). The
+  * oracle gate pins exact values; these pin the semantic contracts a
+  * hash compare can't explain. */
+class Round6QuerySpec extends SparkSpec {
+
+  test("x49 PQ ANN: full top-10 per probe, distances nonneg and rank-monotone") {
+    val rows = graft.llm.Similarity.queries("x49_pq_ann")(spark, sf001)
+      .collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until 8L).toSet)
+    byProbe.values.foreach { rs =>
+      assert(rs.length == 10)
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to 10L))
+      // ADC is a sum of squared distances: nonnegative, and ascending
+      // in rank by construction of the top-k
+      val dists = sorted.map(_.getDouble(2))
+      assert(dists.forall(_ >= 0.0))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    }
+    // coarse-quantizer sanity: ADC ranking must agree somewhat with the
+    // exact brute-force ranking (they share the corpus); demand overlap
+    // on at least one probe rather than a per-probe recall bound —
+    // label-mean codebooks are deliberately coarse
+    val exact = graft.llm.Similarity.queries("x11_ann_topk")(spark, sf001)
+      .collect().groupBy(_.getLong(0))
+    val overlaps = byProbe.map { case (q, rs) =>
+      val pq = rs.map(_.getLong(1)).toSet
+      val ex = exact(q).map(_.getLong(1)).toSet
+      (pq intersect ex).size
+    }
+    assert(overlaps.sum > 0)
+  }
+
+  test("x50 Gopher rules: pass flag is exactly the conjunction of its signals") {
+    val rows = graft.llm.TextAnalysis.queries("x50_gopher_rules")(spark, sf001)
+      .collect()
+    val nDocs = graft.queries.Tables.t(spark, sf001, "documents").count()
+    assert(rows.length.toLong == nDocs)
+    rows.foreach { r =>
+      val (nt, mwl, ttf, sh, pass) = (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getBoolean(5))
+      assert(nt > 0L)
+      assert(mwl > 0.0 && mwl < 20.0)
+      assert(ttf > 0.0 && ttf <= 1.0)
+      val expect = (nt >= 20L && nt <= 100000L) &&
+        (mwl >= 2.0 && mwl <= 10.0) && (ttf <= 0.2) && (sh >= 2L)
+      assert(pass == expect)
+    }
+  }
+
+  test("r57 windowed distinct: running count converges to the partition count") {
+    val rows = graft.queries.Relational.queries("r57_window_distinct")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    val globalTypes = rows.map(_.getString(2)).distinct.length.toLong
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 1L)
+      assert(r.getLong(4) <= r.getLong(3)) // seen-so-far <= whole-partition
+      assert(r.getLong(3) <= globalTypes)
+    }
+    // per user: the max running count equals the partition-wide count
+    rows.groupBy(_.getLong(1)).values.foreach { rs =>
+      assert(rs.map(_.getLong(4)).max == rs.head.getLong(3))
+    }
+  }
+}
