@@ -17,7 +17,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val trace = sys.env.get("GRAFT_VERIFY_TRACE").contains("1")
     SparkEntry.queries.foreach { case (name, fn) =>
+      if (trace) System.err.println(s"[verify] >>> $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

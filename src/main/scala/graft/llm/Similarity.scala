@@ -418,14 +418,16 @@ object Similarity {
         .agg(expr("min(struct(d2, clabel))").as("m"))
         .selectExpr("vec_id", "ss", "m.clabel as code")
       // per-probe distance table: 8 probes × 8 subspaces × 10 codewords
+      // (columns renamed up front — both sides descend from the same
+      // shared codebook plan, so unrenamed ss/clabel would be ambiguous)
       val pdist = t(s, dir, "embeddings").filter(QuerySet)
         .crossJoin(broadcast(cb))
-        .selectExpr("vec_id as query_id", "ss", "clabel", s"$sSubDist as pd2")
+        .selectExpr("vec_id as query_id", "ss as pss", "clabel as pcl",
+          s"$sSubDist as pd2")
       val adc = codes
-        .join(broadcast(pdist), codes("ss") === pdist("ss") &&
-          codes("code") === pdist("clabel") &&
-          codes("vec_id") =!= pdist("query_id"))
-        .select(col("query_id"), codes("vec_id").as("neighbor_id"), col("pd2"))
+        .join(broadcast(pdist), col("ss") === col("pss") &&
+          col("code") === col("pcl") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("pd2"))
         .groupBy("query_id", "neighbor_id")
         .agg(sum(expr("cast(pd2 as decimal(24,12))")).cast("double").as("adc"))
       // rank ascending by distance: negate (exact sign flip) for the

@@ -37,6 +37,14 @@ object TextAnalysis {
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     }
 
+  /** Per-source document counts — the mixture-planning base x31 and x41
+    * both start from (shared tier: one cached copy, no plan-identical
+    * re-persist). */
+  private def sourceCounts(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Shared.shared(s, dir, "source_counts") {
+      docs(s, dir).groupBy("source").agg(count(lit(1)).as("n_avail"))
+    }
+
   private val langs = Seq(
     "en" -> Seq("the", "a", "and", "of", "to"),
     "fr" -> Seq("le", "la", "les", "et", "une"),
@@ -153,13 +161,12 @@ object TextAnalysis {
       else {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._
-        // constant partition key = declared single-group distribution
-        // (input is vocabulary-sized); avoids WindowExec's no-partition
-        // warning while keeping the identical global ranking
+        // fallback only (extension installed ⇒ the sketch path above):
+        // the global window ranks the vocabulary-sized count frame, not
+        // the corpus — the single partition holds distinct tokens only
         tok.groupBy("token").agg(count(lit(1)).as("n"))
           .withColumn("rank",
-            (row_number().over(Window.partitionBy(lit(0))
-              .orderBy(col("n").desc, col("token"))) - 1)
+            (row_number().over(Window.orderBy(col("n").desc, col("token"))) - 1)
               .cast("long"))
           .filter(col("rank") < 10)
           .select("rank", "token", "n")
@@ -224,15 +231,16 @@ object TextAnalysis {
     // past 1.0). One tiny aggregation + broadcast arithmetic; the
     // per-document sampling itself would reuse x19's stable hash.
     "x31_domain_mixing" -> { (s, dir) =>
-      val counts = docs(s, dir)
-        .groupBy("source").agg(count(lit(1)).as("n_avail"))
+      // the binding-constraint min is a 1-row aggregate broadcast back
+      // over the source-count-sized frame (a constant-key window would
+      // be folded to a global WindowExec — same answer, noisy plan)
+      val counts = sourceCounts(s, dir)
       val total = counts.agg(count(lit(1)).as("n_sources"))
-      counts.crossJoin(broadcast(total))
+      val enriched = counts.crossJoin(broadcast(total))
         .withColumn("target_w", expr("cast(1 as double) / cast(n_sources as double)"))
         .withColumn("mix_total_if_binding", expr("cast(n_avail as double) / target_w"))
-        .withColumn("mix_total",
-          min(col("mix_total_if_binding")).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(lit(1))))
+      val mt = enriched.agg(min(col("mix_total_if_binding")).as("mix_total"))
+      enriched.crossJoin(broadcast(mt))
         .selectExpr("source", "n_avail", sRound6("target_w") + " as target_w",
           sRound6("target_w * mix_total / cast(n_avail as double)") + " as sample_rate",
           "cast(floor(target_w * mix_total) as bigint) as n_sampled")
@@ -380,14 +388,14 @@ object TextAnalysis {
     // split and x20's cap use the same primitive); one aggregation +
     // broadcast arithmetic, then a per-row compare.
     "x41_apply_mixture" -> { (s, dir) =>
-      val counts = docs(s, dir)
-        .groupBy("source").agg(count(lit(1)).as("n_avail"))
+      // same broadcast-min shape as x31 (no constant-key window)
+      val counts = sourceCounts(s, dir)
       val total = counts.agg(count(lit(1)).as("n_sources"))
-      val rates = counts.crossJoin(broadcast(total))
+      val enriched = counts.crossJoin(broadcast(total))
         .withColumn("target_w", expr("cast(1 as double) / cast(n_sources as double)"))
-        .withColumn("mix_total",
-          min(expr("cast(n_avail as double) / target_w"))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .withColumn("mix_total_if_binding", expr("cast(n_avail as double) / target_w"))
+      val mt = enriched.agg(min(col("mix_total_if_binding")).as("mix_total"))
+      val rates = enriched.crossJoin(broadcast(mt))
         .selectExpr("source", "n_avail",
           sRound6("target_w * mix_total / cast(n_avail as double)") + " as rate")
       docs(s, dir)

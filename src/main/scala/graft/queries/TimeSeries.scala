@@ -118,18 +118,19 @@ object TimeSeries {
         .withColumn("pid", spark_partition_id()))
       // one pass over `base` yields per-partition counts; the exclusive
       // prefix sum (offset) AND the grand total both derive from those
-      // ≤ #partitions rows — no second corpus scan for the total
-      val offsets = base.groupBy("pid").agg(cnt.as("c"))
-        // constant partition key: same single group (input is ≤
-        // #partitions rows by construction) but the plan declares a
-        // distribution, so WindowExec never logs the no-partition-
-        // defined single-partition warning the unkeyed form trips
-        .withColumn("off", sum(col("c")).over(
-          Window.partitionBy(lit(0)).orderBy("pid")
-            .rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("n", sum(col("c")).over(
-          Window.partitionBy(lit(1))))
-        .selectExpr("pid", "coalesce(off, cast(0 as bigint)) as off", "n")
+      // ≤ #partitions rows. A broadcast product of the count frame with
+      // itself (P² pairs, P = partition count) replaces the global
+      // window a prefix sum usually wants — no single-partition
+      // WindowExec, everything stays a keyed aggregation. P is the
+      // stage's partition count, so P² stays driver-trivial at any data
+      // scale (hierarchical two-level prefix sums exist if P ever did
+      // explode).
+      val c = Shared.temp(base.groupBy("pid").agg(cnt.as("c")))
+      val offsets = c.select(col("pid"))
+        .crossJoin(broadcast(c.select(col("pid").as("p2"), col("c").as("c2"))))
+        .groupBy("pid")
+        .agg(sum(when(col("p2") < col("pid"), col("c2")).otherwise(lit(0L))).as("off"),
+          sum(col("c2")).as("n"))
       val wLocal = Window.partitionBy("pid")
         .orderBy(col("o_totalprice"), col("o_orderkey"))
       base
