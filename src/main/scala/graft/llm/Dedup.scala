@@ -291,20 +291,27 @@ object Dedup {
     // corpus × two small frames (rep mapping is a window over the
     // fingerprint partition; cluster labels are pair-graph-sized).
     "x32_canonical_docs" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-      val rep = t(s, dir, "documents")
-        .selectExpr("doc_id", s"md5($sNorm) as fp")
-        .withColumn("rep_id", min(col("doc_id")).over(w))
-        .select("doc_id", "rep_id")
-      val labels = clusterLabels(s, dir)
-        .select(col("doc").as("rep_id"), col("lbl").as("cluster_id"))
-      rep.join(labels, Seq("rep_id"), "left")
-        .selectExpr("doc_id",
-          "coalesce(cluster_id, rep_id) as canonical_id",
-          """case when coalesce(cluster_id, rep_id) = doc_id then 'self'
-            |  when coalesce(cluster_id, rep_id) = rep_id then 'exact'
-            |  else 'near' end as reason""".stripMargin)
-        .orderBy("doc_id")
+      canonicalDocs(s, dir).orderBy("doc_id")
+    },
+
+    // CORPUS DEDUP SCORECARD — the one-row report a curation run ends
+    // with (what fraction survives, and why): total docs, surviving
+    // canonical docs, exact-dup and near-dup attributions, and the
+    // dedup rate. Pure aggregation over the canonical-assignment frame
+    // (whose stages are all shared-cached); integer counts into one
+    // exact division. The oracle re-derives the same numbers from its
+    // own recursive-closure canonical mapping — a full independent
+    // replay of the dedup stack, collapsed to five numbers.
+    "x52_dedup_scorecard" -> { (s, dir) =>
+      canonicalDocs(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canonical_id")).as("n_canonical"),
+          sum(expr("case when reason = 'exact' then 1 else 0 end")).as("ne"),
+          sum(expr("case when reason = 'near' then 1 else 0 end")).as("nn"))
+        .selectExpr("n_docs", "n_canonical",
+          "cast(ne as bigint) as n_exact_dups",
+          "cast(nn as bigint) as n_near_dups",
+          sRound6("cast(n_docs - n_canonical as double) / cast(n_docs as double)") + " as dedup_rate")
     },
 
     // EDIT-DISTANCE VERIFICATION of the simhash candidates: exact
@@ -443,6 +450,26 @@ object Dedup {
     },
   )
 
+  /** Canonical-survivor assignment (x32's body, also aggregated by the
+    * x52 scorecard): every document → its canonical doc through the
+    * exact-dup representative (min doc_id per content fingerprint) and
+    * the representative's near-dup cluster label. */
+  private def canonicalDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val rep = t(s, dir, "documents")
+      .selectExpr("doc_id", s"md5($sNorm) as fp")
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .select("doc_id", "rep_id")
+    val labels = clusterLabels(s, dir)
+      .select(col("doc").as("rep_id"), col("lbl").as("cluster_id"))
+    rep.join(labels, Seq("rep_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(cluster_id, rep_id) as canonical_id",
+        """case when coalesce(cluster_id, rep_id) = doc_id then 'self'
+          |  when coalesce(cluster_id, rep_id) = rep_id then 'exact'
+          |  else 'near' end as reason""".stripMargin)
+  }
+
   /** MinHash-LSH candidate pairs (share ≥ 1 of 4 band buckets);
     * doc_a < doc_b, distinct. Band rows are shared: x07 and x35 both
     * read them, and the band self-join shuffles only (doc, band) rows. */
@@ -509,6 +536,35 @@ object Dedup {
 
   private def sJaccard =
     sRound6("cast(inter as double) / cast(na + nb - inter as double)")
+
+  /** x32's canonical mapping as SQL — also the scorecard's base
+    * (recursive-CTE closure, an independent algorithm vs the Spark
+    * label-propagation loop). */
+  private val x32OracleSql: String =
+      s"""${dSimhash.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |chunks AS (SELECT doc_id, simhash, c AS ci, (simhash >> (15*c)) & 32767 AS chunk
+         |           FROM sh2, range(0, 4) r(c)),
+         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+         |             AND a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |      UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+         |  WHERE r.src <> e.dst),
+         |labels AS (SELECT src AS rep_id, LEAST(src, MIN(dst)) AS cluster_id
+         |           FROM reach GROUP BY src),
+         |rep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5($dNorm)) AS rep_id
+         |        FROM documents)
+         |SELECT r.doc_id, COALESCE(l.cluster_id, r.rep_id) AS canonical_id,
+         |  CASE WHEN COALESCE(l.cluster_id, r.rep_id) = r.doc_id THEN 'self'
+         |       WHEN COALESCE(l.cluster_id, r.rep_id) = r.rep_id THEN 'exact'
+         |       ELSE 'near' END AS reason
+         |FROM rep r LEFT JOIN labels l ON r.rep_id = l.rep_id
+         |ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "x05_exact_dedup" ->
@@ -622,31 +678,15 @@ object Dedup {
          |  ${dRound6("CASE WHEN COALESCE(SUM(CASE WHEN in_l THEN 1 END), 0) > 0 THEN CAST(COALESCE(SUM(CASE WHEN in_l AND in_e THEN 1 END), 0) AS DOUBLE) / CAST(SUM(CASE WHEN in_l THEN 1 END) AS DOUBLE) ELSE 0.0 END")} AS precision_r,
          |  ${dRound6("CASE WHEN COALESCE(SUM(CASE WHEN in_e THEN 1 END), 0) > 0 THEN CAST(COALESCE(SUM(CASE WHEN in_l AND in_e THEN 1 END), 0) AS DOUBLE) / CAST(SUM(CASE WHEN in_e THEN 1 END) AS DOUBLE) ELSE 0.0 END")} AS recall_r
          |FROM j""".stripMargin,
-    "x32_canonical_docs" ->
-      s"""${dSimhash.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |chunks AS (SELECT doc_id, simhash, c AS ci, (simhash >> (15*c)) & 32767 AS chunk
-         |           FROM sh2, range(0, 4) r(c)),
-         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |        FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
-         |             AND a.doc_id < b.doc_id
-         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
-         |      UNION ALL SELECT doc_b, doc_a FROM prs),
-         |reach AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
-         |  WHERE r.src <> e.dst),
-         |labels AS (SELECT src AS rep_id, LEAST(src, MIN(dst)) AS cluster_id
-         |           FROM reach GROUP BY src),
-         |rep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5($dNorm)) AS rep_id
-         |        FROM documents)
-         |SELECT r.doc_id, COALESCE(l.cluster_id, r.rep_id) AS canonical_id,
-         |  CASE WHEN COALESCE(l.cluster_id, r.rep_id) = r.doc_id THEN 'self'
-         |       WHEN COALESCE(l.cluster_id, r.rep_id) = r.rep_id THEN 'exact'
-         |       ELSE 'near' END AS reason
-         |FROM rep r LEFT JOIN labels l ON r.rep_id = l.rep_id
-         |ORDER BY doc_id""".stripMargin,
+    "x32_canonical_docs" -> x32OracleSql,
+    "x52_dedup_scorecard" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT canonical_id) AS BIGINT) AS n_canonical,
+         |  CAST(COALESCE(SUM(CASE WHEN reason = 'exact' THEN 1 END), 0) AS BIGINT) AS n_exact_dups,
+         |  CAST(COALESCE(SUM(CASE WHEN reason = 'near' THEN 1 END), 0) AS BIGINT) AS n_near_dups,
+         |  ${dRound6("CAST(COUNT(*) - COUNT(DISTINCT canonical_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS dedup_rate
+         |FROM ($x32OracleSql)""".stripMargin,
+
     // components via recursive-CTE transitive closure + min — a
     // different algorithm than the Spark label-propagation loop, so
     // agreement is a genuine cross-check (closure is fine here: near-dup

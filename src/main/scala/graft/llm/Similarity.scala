@@ -99,6 +99,36 @@ object Similarity {
       |  (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),
       |  cast(0 as double), (acc, t) -> acc + t)""".stripMargin
 
+  /** Squared L2 between a float vector and a double centroid array —
+    * sequential fold, same IEEE order as the oracle's 64-term chain.
+    * (At real scale this is the expression to fuse natively, like
+    * dot_f32f64; the interpreted HOF keeps the oracle-exact fold.) */
+  private def sL2(cvCol: String): String =
+    s"""aggregate(zip_with(embedding, $cvCol,
+       |  (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),
+       |  cast(0 as double), (acc, t) -> acc + t)""".stripMargin
+
+  /** One Lloyd assignment: nearest centroid by squared L2 (ties to the
+    * smaller cluster id). Broadcast centroids; the cross product is
+    * collapsed immediately by a map-side min-struct aggregation. */
+  private def kmAssign(emb: DataFrame, cent: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cent))
+      .selectExpr("vec_id", "cl", s"${sL2("cv")} as d2")
+      .groupBy("vec_id")
+      .agg(expr("min(struct(d2, cl))").as("m"))
+      .selectExpr("vec_id", "m.cl as cl", "m.d2 as d2")
+
+  /** One Lloyd update: exact decimal mean per (cluster, dim), assembled
+    * back into centroid arrays (empty clusters simply drop out). */
+  private def kmUpdate(emb: DataFrame, asg: DataFrame): DataFrame =
+    emb.join(asg.select("vec_id", "cl"), "vec_id")
+      .selectExpr("cl", "posexplode(embedding) as (dim, v)")
+      .groupBy("cl", "dim")
+      .agg((sum(col("v").cast("double").cast(DecimalType(20, 8))).cast("double") /
+        count(lit(1)).cast("double")).as("c"))
+      .groupBy("cl")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)").as("cv"))
+
   private def bandsExpr =
     s"array(${(0 until 4).map(b => sBand("embedding", b)).mkString(", ")})"
 
@@ -440,6 +470,34 @@ object Similarity {
         .orderBy("query_id", "rk")
     },
 
+    // DISTRIBUTED K-MEANS (Lloyd's algorithm, 2 iterations, k = 8,
+    // deterministic seeding from the first 8 vectors — the clustering
+    // primitive under SemDeDup/IVF/PQ when no labels exist). Each
+    // iteration is the map-reduce Lloyd step: assignment is a broadcast
+    // cross product collapsed by a map-side min-struct aggregation
+    // (corpus never shuffles on the cluster key for assignment), the
+    // update is one posexplode + (cl, dim)-keyed exact-decimal mean —
+    // the same two shuffle shapes regardless of corpus size, iterations
+    // chain linearly. Exact decimal means and sequential L2 folds keep
+    // every centroid coordinate and every distance bit-identical to the
+    // oracle's SQL replay, so even the iterated fixpoint hash-matches.
+    "x51_kmeans" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val init = emb.filter(QuerySet)
+        .selectExpr("vec_id as cl",
+          "transform(embedding, x -> cast(x as double)) as cv")
+      var cent = init
+      for (_ <- 1 to 2)
+        cent = kmUpdate(emb, kmAssign(emb, cent))
+      kmAssign(emb, cent)
+        .groupBy("cl")
+        .agg(count(lit(1)).as("n_members"),
+          sum(expr("cast(d2 as decimal(24,12))")).cast("double").as("inertia0"))
+        .selectExpr("cast(cl as bigint) as cluster_id",
+          "n_members", sRound6("inertia0") + " as inertia")
+        .orderBy("cluster_id")
+    },
+
     // per-label centroids: distributed vector mean via posexplode +
     // exact decimal partial aggregation on (label, dim)
     "x14_label_centroids" -> { (s, dir) =>
@@ -581,6 +639,37 @@ object Similarity {
          |  k.keeper IS NULL AS kept
          |FROM mem m LEFT JOIN keeper k ON m.vec_id = k.vec_id
          |ORDER BY m.vec_id""".stripMargin,
+    "x51_kmeans" -> {
+      def dL2(e: String, cv: String): String =
+        (1 to Frag.Dim).map(i =>
+          s"(CAST($e[$i] AS DOUBLE)-$cv[$i])*(CAST($e[$i] AS DOUBLE)-$cv[$i])")
+          .mkString(" + ")
+      def asg(name: String, cent: String): String =
+        s"""$name AS (SELECT vec_id, cl, d2 FROM (
+           |  SELECT e.vec_id, c.cl, ${dL2("e.embedding", "c.cv")} AS d2,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${dL2("e.embedding", "c.cv")}, c.cl) AS rn
+           |  FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+      def upd(name: String, asgName: String): String =
+        s"""${name}m AS (SELECT cl, dim,
+           |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+           |  FROM (SELECT a.cl, generate_subscripts(e.embedding, 1) - 1 AS dim, unnest(e.embedding) AS v
+           |        FROM $asgName a JOIN embeddings e USING (vec_id))
+           |  GROUP BY cl, dim),
+           |$name AS (SELECT cl, list(c ORDER BY dim) AS cv FROM ${name}m GROUP BY cl)""".stripMargin
+      s"""WITH init AS (SELECT vec_id AS cl,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |${asg("a1", "init")},
+         |${upd("c1", "a1")},
+         |${asg("a2", "c1")},
+         |${upd("c2", "a2")},
+         |${asg("fin", "c2")}
+         |SELECT CAST(cl AS BIGINT) AS cluster_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  ${dRound6("CAST(SUM(CAST(d2 AS DECIMAL(24,12))) AS DOUBLE)")} AS inertia
+         |FROM fin GROUP BY cl ORDER BY cluster_id""".stripMargin
+    },
     "x49_pq_ann" -> {
       val d2Chain = (1 to 8).map(j =>
         s"(CAST(e.embedding[c.ss*8+$j] AS DOUBLE) - c.cw[$j])*(CAST(e.embedding[c.ss*8+$j] AS DOUBLE) - c.cw[$j])")
