@@ -111,6 +111,20 @@ object Streaming {
       "leftOuter")
   }
 
+  /** Stream-static enrichment — the streaming twin of the V4 FK join:
+    * each micro-batch of events joins a static dimension (a typed view
+    * over the landing store). The static side is broadcast per batch,
+    * so the stream never shuffles and no join state accumulates (the
+    * dimension is re-resolvable, which is also what picks up dimension
+    * updates between micro-batches — exactly how a slowly-changing
+    * enrichment behaves on a long-running cluster). Left join keeps
+    * events whose key has no dimension row yet. */
+  def enrichEvents(
+      events: DataFrame, // streaming: (user_id, ts, event_type, value)
+      userDim: DataFrame // static: (user_id, ...dimension columns)
+  ): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
   /** Streaming replay dedup — the streaming twin of the R1 batch
     * window: at-least-once re-deliveries of the same document
     * (type,id,version,chunk) inside the watermark horizon are dropped

@@ -52,6 +52,31 @@ class Round6QuerySpec extends SparkSpec {
     }
   }
 
+  test("x51 k-means: partition of the corpus; inertia nonnegative") {
+    val rows = graft.llm.Similarity.queries("x51_kmeans")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 8) // k=8, empty clusters drop
+    val nVecs = graft.queries.Tables.t(spark, sf001, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == nVecs) // every vector assigned once
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("x52 scorecard: counts reconcile with the x32 canonical mapping") {
+    val sc = graft.llm.Dedup.queries("x52_dedup_scorecard")(spark, sf001)
+      .collect().head
+    val canon = graft.llm.Dedup.queries("x32_canonical_docs")(spark, sf001)
+      .collect()
+    assert(sc.getLong(0) == canon.length.toLong)
+    assert(sc.getLong(1) == canon.map(_.getLong(1)).distinct.length.toLong)
+    assert(sc.getLong(2) == canon.count(_.getString(2) == "exact").toLong)
+    assert(sc.getLong(3) == canon.count(_.getString(2) == "near").toLong)
+    val rate = sc.getDouble(4)
+    assert(rate >= 0.0 && rate < 1.0)
+  }
+
   test("r57 windowed distinct: running count converges to the partition count") {
     val rows = graft.queries.Relational.queries("r57_window_distinct")(spark, sf001)
       .collect()

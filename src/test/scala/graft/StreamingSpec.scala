@@ -160,6 +160,25 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dimension; no stream state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = Streaming.enrichEvents(
+        mem.toDS().toDF("user_id", "ts", "event_type", "value"), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData((1L, ts("2026-01-01 10:00:00"), "click", 1.0),
+      (3L, ts("2026-01-01 10:01:00"), "view", 2.0))
+    q.processAllAvailable()
+    val out = spark.table("enriched").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("segment"))).toSet
+    assert(out == Set((1L, "gold"), (3L, null))) // left join keeps dim-less keys
+    q.stop()
+  }
+
   test("sessionize splits on the inactivity gap and carries state across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
