@@ -466,6 +466,27 @@ object TextAnalysis {
           sRound6("cast(nd as double) / cast(n_passages as double)") + " as dup_ratio")
         .orderBy("doc_id")
     },
+    // WITHIN-DOC REPETITION (Gopher's duplicate-paragraph-fraction
+    // signal, on 16-token passages — x39's corpus-wide passage dedup
+    // restricted to one document): fraction of a doc's passages that
+    // repeat inside the same doc. Needs NO shuffle at all — the
+    // passage array never leaves its row (size vs array_distinct), so
+    // the operator is a pure codegen'd map: the cheapest possible form,
+    // where the cross-doc variant necessarily pays a corpus-keyed
+    // aggregation. High values flag template spam/navigation boilerplate.
+    "x53_within_doc_dup" -> { (s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"$sTokens as tk")
+        .selectExpr("doc_id",
+          "transform(sequence(0, cast(ceil(size(tk) / 16.0) as int) - 1), i -> concat_ws(' ', slice(tk, i * 16 + 1, 16))) as parr")
+        .selectExpr("doc_id",
+          "cast(size(parr) as bigint) as n_passages",
+          "cast(size(array_distinct(parr)) as bigint) as n_unique")
+        .selectExpr("doc_id", "n_passages", "n_unique",
+          "cast((n_passages - n_unique) * 16 as bigint) as est_dup_tokens",
+          sRound6("cast(n_passages - n_unique as double) / cast(n_passages as double)") + " as self_rep_frac")
+        .orderBy("doc_id")
+    },
     // SLIDING-WINDOW CHUNKING (RAG/context-window prep): fixed 64-token
     // chunks at stride 48 (16-token overlap), last window clamped so
     // every token is covered exactly once past the overlap. Pure per-row
@@ -692,6 +713,17 @@ object TextAnalysis {
          |        FROM (SELECT unnest($dTokens) AS token FROM documents)
          |        GROUP BY token)) x
          |WHERE rank < 10 ORDER BY rank""".stripMargin,
+    "x53_within_doc_dup" ->
+      s"""SELECT doc_id, n_passages, n_unique,
+         |  (n_passages - n_unique) * 16 AS est_dup_tokens,
+         |  ${dRound6("CAST(n_passages - n_unique AS DOUBLE) / CAST(n_passages AS DOUBLE)")} AS self_rep_frac
+         |FROM (SELECT doc_id, CAST(len(parr) AS BIGINT) AS n_passages,
+         |        CAST(len(list_distinct(parr)) AS BIGINT) AS n_unique
+         |      FROM (SELECT doc_id,
+         |              list_transform(range(0, CAST(ceil(len(tk) / 16.0) AS INT)),
+         |                i -> array_to_string(tk[i*16+1:i*16+16], ' ')) AS parr
+         |            FROM (SELECT doc_id, $dTokens AS tk FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
     "x50_gopher_rules" -> {
       val stop = inList(Seq("the", "a", "and", "of", "to",
         "le", "la", "el", "der", "die"))
