@@ -92,28 +92,31 @@ object Similarity {
     }
 
   /** Squared L2 between the `ss`-th 8-dim slice of a float vector and a
-    * double codeword array — sequential fold, same IEEE order as the
-    * oracle's 8-term chain. */
-  private val sSubDist =
-    """aggregate(zip_with(slice(embedding, ss * 8 + 1, 8), cw,
-      |  (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),
-      |  cast(0 as double), (acc, t) -> acc + t)""".stripMargin
+    * double codeword array — fused L2F32F64 when installed, HOF
+    * fallback with the identical sequential fold (the oracle's 8-term
+    * chain either way). */
+  private def sSubDist(s: SparkSession): String =
+    sL2In(s, "slice(embedding, ss * 8 + 1, 8)", "cw")
 
-  /** Squared L2 between a float vector and a double centroid array —
-    * sequential fold, same IEEE order as the oracle's 64-term chain.
-    * (At real scale this is the expression to fuse natively, like
-    * dot_f32f64; the interpreted HOF keeps the oracle-exact fold.) */
-  private def sL2(cvCol: String): String =
-    s"""aggregate(zip_with(embedding, $cvCol,
-       |  (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),
-       |  cast(0 as double), (acc, t) -> acc + t)""".stripMargin
+  /** Squared L2 between a float vector (expression `vecE`) and a double
+    * centroid array — the fused codegen'd L2F32F64 when the extension
+    * is installed (the vectors × centroids product is THE hot loop of
+    * k-means/PQ; measured 144 s → linear at the 10× corpus), else the
+    * interpreted HOF with the identical left-to-right IEEE fold. */
+  private def sL2In(s: SparkSession, vecE: String, cvCol: String): String =
+    if (s.catalog.functionExists("l2_f32f64")) s"l2_f32f64($vecE, $cvCol)"
+    else
+      s"""aggregate(zip_with($vecE, $cvCol,
+         |  (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),
+         |  cast(0 as double), (acc, t) -> acc + t)""".stripMargin
 
   /** One Lloyd assignment: nearest centroid by squared L2 (ties to the
     * smaller cluster id). Broadcast centroids; the cross product is
     * collapsed immediately by a map-side min-struct aggregation. */
   private def kmAssign(emb: DataFrame, cent: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cent))
-      .selectExpr("vec_id", "cl", s"${sL2("cv")} as d2")
+      .selectExpr("vec_id", "cl",
+        s"${sL2In(emb.sparkSession, "embedding", "cv")} as d2")
       .groupBy("vec_id")
       .agg(expr("min(struct(d2, cl))").as("m"))
       .selectExpr("vec_id", "m.cl as cl", "m.d2 as d2")
@@ -443,7 +446,7 @@ object Similarity {
       // shuffles (the exchange carries 8 code rows per vector)
       val codes = t(s, dir, "embeddings")
         .crossJoin(broadcast(cb))
-        .selectExpr("vec_id", "ss", "clabel", s"$sSubDist as d2")
+        .selectExpr("vec_id", "ss", "clabel", s"${sSubDist(s)} as d2")
         .groupBy("vec_id", "ss")
         .agg(expr("min(struct(d2, clabel))").as("m"))
         .selectExpr("vec_id", "ss", "m.clabel as code")
@@ -453,7 +456,7 @@ object Similarity {
       val pdist = t(s, dir, "embeddings").filter(QuerySet)
         .crossJoin(broadcast(cb))
         .selectExpr("vec_id as query_id", "ss as pss", "clabel as pcl",
-          s"$sSubDist as pd2")
+          s"${sSubDist(s)} as pd2")
       val adc = codes
         .join(broadcast(pdist), col("ss") === col("pss") &&
           col("code") === col("pcl") && col("vec_id") =!= col("query_id"))

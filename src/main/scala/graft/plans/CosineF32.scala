@@ -112,6 +112,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_f32f64"),
       new ExpressionInfo(classOf[DotF32F64].getName, "dot_f32f64"),
       (children: Seq[Expression]) => DotF32F64(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("l2_f32f64"),
+      new ExpressionInfo(classOf[L2F32F64].getName, "l2_f32f64"),
+      (children: Seq[Expression]) => L2F32F64(children(0), children(1))))
     // whole-operator extension: two-phase top-k-per-key (partial heaps
     // before the exchange — see graft.plans.TopKPerKey), plus the
     // optimizer rule that routes the stock row_number+filter idiom to it

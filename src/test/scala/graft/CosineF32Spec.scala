@@ -50,6 +50,27 @@ class CosineF32Spec extends SparkSpec {
     assert(weird.isNullAt(0) && weird.isNullAt(1))
   }
 
+  test("native l2_f32f64 is bit-equal to the interpreted HOF fold") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5d, -1.25d, 2.125d)),
+      (Array(0.1f, 0.2f, 0.3f), Array(1.0d / 3.0d, 2.0d / 7.0d, -0.9d)),
+      (Array(-0.7f, 0.0f, 0.31f), Array(0.11d, 0.5d, -0.9d)),
+    ).toDF("a", "w")
+    val hof = "aggregate(zip_with(a, w, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), cast(0 as double), (acc, t) -> acc + t)"
+    val rows = df.selectExpr("l2_f32f64(a, w) as native", s"$hof as hof").collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+    val weird = spark.sql(
+      """SELECT l2_f32f64(cast(array(1.0, 2.0) as array<float>), array(1.0d)) AS mism,
+        |       l2_f32f64(cast(array(1.0, null) as array<float>), array(1.0d, 2.0d)) AS withnull""".stripMargin)
+      .collect().head
+    assert(weird.isNullAt(0) && weird.isNullAt(1))
+  }
+
   test("sign_bands_f32 matches the composable HOF band expressions") {
     import spark.implicits._
     import graft.llm.Frag
