@@ -642,6 +642,26 @@ object Similarity {
          |  k.keeper IS NULL AS kept
          |FROM mem m LEFT JOIN keeper k ON m.vec_id = k.vec_id
          |ORDER BY m.vec_id""".stripMargin,
+    "x42_knn_classify" ->
+      s"""$dSq,
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dCos AS cos_sim
+         |  FROM sq a JOIN sq b ON a.vec_id < 8 AND b.vec_id >= 8),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+         |  FROM scored),
+         |votes AS (
+         |  SELECT query_id, CAST(e.label AS BIGINT) AS label,
+         |    CAST(COUNT(*) AS BIGINT) AS votes
+         |  FROM ranked JOIN embeddings e ON ranked.neighbor_id = e.vec_id
+         |  WHERE rk <= $TopK GROUP BY 1, 2),
+         |best AS (
+         |  SELECT query_id, label, votes,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+         |  FROM votes)
+         |SELECT query_id, label AS predicted_label, votes
+         |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin,
     "x51_kmeans" -> {
       def dL2(e: String, cv: String): String =
         (1 to Frag.Dim).map(i =>
