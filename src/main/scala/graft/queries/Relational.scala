@@ -546,6 +546,28 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // GROUPS-MODE WINDOW FRAME — the second window dialect gap after
+    // r57 (DuckDB/postgres run GROUPS BETWEEN 1 PRECEDING AND CURRENT
+    // ROW natively; Spark has no GROUPS frames): emulated exactly as
+    // dense_rank over the order key, then a RANGE frame on the rank —
+    // rank distance 1 IS one peer group. Both windows share the
+    // user_id partition, so the emulation costs one exchange total,
+    // same as a native GROUPS frame would.
+    "r58_groups_frame" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id")
+      val byG = byUser.orderBy(col("g")).rangeBetween(-1, 0)
+      t(s, dir, "events")
+        .selectExpr("event_id", "user_id", "cast(ts as date) as day", "value")
+        .withColumn("g", dense_rank().over(byUser.orderBy(col("day"))))
+        .withColumn("sum2d",
+          sum(expr("cast(value as decimal(20,2))")).over(byG).cast("double"))
+        .withColumn("n2d", cnt.over(byG))
+        .selectExpr("event_id", "user_id",
+          "cast(day as timestamp) as day",
+          "cast(n2d as bigint) as n_2days", "sum2d as sum_2days")
+        .orderBy("event_id")
+    },
+
     // bitwise + boolean aggregates (integer/boolean lattices are exact —
     // no floating-point, engine-order-free by algebra)
     "r53_bit_bool_agg" -> { (s, dir) =>
@@ -882,6 +904,21 @@ object Relational {
     "r52_lateral_topn" -> r52Sql("region", "nation", "customer"),
     "r55_not_in_nulls" -> r55Sql("customer", "orders"),
     "r56_interval_range" -> r56Sql("orders"),
+    // oracle is a structurally different algorithm (per-day pre-agg +
+    // LAG + join back) than the engine's dense_rank+RANGE emulation —
+    // DuckDB has not implemented GROUPS frames either, which is rather
+    // the point of shipping this operator
+    "r58_groups_frame" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |             SUM(CAST(value AS DECIMAL(20,2))) AS dsum, COUNT(*) AS dn
+        |           FROM events GROUP BY 1, 2),
+        |f AS (SELECT user_id, day,
+        |        CAST(dsum + COALESCE(LAG(dsum) OVER w, 0) AS DOUBLE) AS sum_2days,
+        |        CAST(dn + COALESCE(LAG(dn) OVER w, 0) AS BIGINT) AS n_2days
+        |      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day))
+        |SELECT event_id, e.user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, n_2days, sum_2days
+        |FROM events e JOIN f ON e.user_id = f.user_id AND CAST(e.ts AS DATE) = f.day
+        |ORDER BY event_id""".stripMargin,
     "r57_window_distinct" ->
       """SELECT event_id, user_id, event_type,
         |  CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id) AS BIGINT) AS n_types_user,
