@@ -466,6 +466,42 @@ object TextAnalysis {
           sRound6("cast(nd as double) / cast(n_passages as double)") + " as dup_ratio")
         .orderBy("doc_id")
     },
+    // SOURCE DISTRIBUTION DRIFT — per-source KL divergence of the
+    // unigram distribution against the whole corpus, the statistical
+    // report behind mixture reweighting and contamination triage
+    // (which ingestion sources are lexically "off"). Both count tables
+    // are vocabulary-bounded: the per-(source, token) tf aggregates
+    // map-side, the corpus marginal derives from it (no second corpus
+    // pass), and the KL terms sum as exact decimals per source —
+    // order-free, so 1000 executors give the bit-identical divergence
+    // the oracle computes serially. p and q are exact integer ratios
+    // into ln ⇒ engine-identical terms (the x30/x47 contract).
+    "x54_source_kl" -> { (s, dir) =>
+      val tfSrc = graft.queries.Shared.temp(docs(s, dir)
+        .selectExpr("source", s"explode($sTokens) as token")
+        .filter(col("token") =!= "")
+        .groupBy("source", "token").agg(count(lit(1)).as("tf")))
+      val corpus = tfSrc.groupBy("token").agg(sum(col("tf")).as("ctf"))
+      val nTot = tfSrc.agg(sum(col("tf")).as("n_corpus"))
+      val nSrc = tfSrc.groupBy("source").agg(sum(col("tf")).as("n_src"),
+        count(lit(1)).as("n_types"))
+      tfSrc
+        .join(broadcast(corpus), "token")
+        .join(broadcast(nSrc), "source")
+        .crossJoin(broadcast(nTot))
+        .withColumn("term", expr(
+          """cast((cast(tf as double) / cast(n_src as double))
+            |  * ln((cast(tf as double) / cast(n_src as double))
+            |      / (cast(ctf as double) / cast(n_corpus as double)))
+            |  as decimal(24,12))""".stripMargin))
+        .groupBy("source")
+        .agg(max(col("n_src")).as("n_tokens"), max(col("n_types")).as("n_types"),
+          sum(col("term")).as("kl0"))
+        .selectExpr("source", "n_tokens", "n_types",
+          sRound6("cast(kl0 as double)") + " as kl_vs_corpus")
+        .orderBy("source")
+    },
+
     // WITHIN-DOC REPETITION (Gopher's duplicate-paragraph-fraction
     // signal, on 16-token passages — x39's corpus-wide passage dedup
     // restricted to one document): fraction of a doc's passages that
@@ -713,6 +749,27 @@ object TextAnalysis {
          |        FROM (SELECT unnest($dTokens) AS token FROM documents)
          |        GROUP BY token)) x
          |WHERE rank < 10 ORDER BY rank""".stripMargin,
+    "x54_source_kl" ->
+      s"""WITH tfs AS (
+         |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT source, unnest($dTokens) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY source, token),
+         |corpus AS (SELECT token, SUM(tf) AS ctf FROM tfs GROUP BY token),
+         |ntot AS (SELECT SUM(tf) AS n_corpus FROM tfs),
+         |nsrc AS (SELECT source, SUM(tf) AS n_src, CAST(COUNT(*) AS BIGINT) AS n_types
+         |         FROM tfs GROUP BY source),
+         |terms AS (
+         |  SELECT tfs.source,
+         |    CAST((CAST(tf AS DOUBLE) / CAST(n_src AS DOUBLE))
+         |      * ln((CAST(tf AS DOUBLE) / CAST(n_src AS DOUBLE))
+         |          / (CAST(ctf AS DOUBLE) / CAST(n_corpus AS DOUBLE)))
+         |      AS DECIMAL(24,12)) AS term
+         |  FROM tfs JOIN corpus USING (token) JOIN nsrc USING (source), ntot)
+         |SELECT t.source, CAST(n.n_src AS BIGINT) AS n_tokens, n.n_types,
+         |  ${dRound6("CAST(SUM(t.term) AS DOUBLE)")} AS kl_vs_corpus
+         |FROM terms t JOIN nsrc n ON t.source = n.source
+         |GROUP BY t.source, n.n_src, n.n_types
+         |ORDER BY t.source""".stripMargin,
     "x53_within_doc_dup" ->
       s"""SELECT doc_id, n_passages, n_unique,
          |  (n_passages - n_unique) * 16 AS est_dup_tokens,
