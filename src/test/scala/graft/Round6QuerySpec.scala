@@ -77,6 +77,50 @@ class Round6QuerySpec extends SparkSpec {
     assert(rate >= 0.0 && rate < 1.0)
   }
 
+  test("x53 within-doc repetition: fraction bounded, unique <= total") {
+    val rows = graft.llm.TextAnalysis.queries("x53_within_doc_dup")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, nu, est, frac) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(np >= 1L && nu >= 1L && nu <= np)
+      assert(est == (np - nu) * 16L)
+      assert(frac >= 0.0 && frac < 1.0)
+    }
+  }
+
+  test("x54 source KL: Gibbs bound holds; totals reconcile with the corpus") {
+    val rows = graft.llm.TextAnalysis.queries("x54_source_kl")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    // KL(p||q) >= 0 (Gibbs); allow decimal-rounding dust at equality
+    rows.foreach(r => assert(r.getDouble(3) >= -1e-9))
+    // per-source token totals sum to the corpus token total
+    val nCorpus = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("size(filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')) as n")
+      .collect().map(_.getInt(0).toLong).sum
+    assert(rows.map(_.getLong(1)).sum == nCorpus)
+  }
+
+  test("r58 GROUPS frame: two-day totals reconcile with per-day sums") {
+    val rows = graft.queries.Relational.queries("r58_groups_frame")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    // group rows by (user, day): every event in the same peer group
+    // must carry the identical frame aggregate (GROUPS semantics)
+    rows.groupBy(r => (r.getLong(1), r.getTimestamp(2))).values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).distinct.length == 1)
+      assert(rs.map(_.getDouble(4)).distinct.length == 1)
+    }
+    // the first active day of each user covers exactly its own events
+    rows.groupBy(_.getLong(1)).values.foreach { rs =>
+      val byDay = rs.groupBy(_.getTimestamp(2))
+      val firstDay = byDay.keys.minBy(_.getTime)
+      assert(byDay(firstDay).head.getLong(3) == byDay(firstDay).length.toLong)
+    }
+  }
+
   test("r57 windowed distinct: running count converges to the partition count") {
     val rows = graft.queries.Relational.queries("r57_window_distinct")(spark, sf001)
       .collect()
