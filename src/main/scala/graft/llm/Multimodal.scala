@@ -97,6 +97,51 @@ object Multimodal {
           "cast(length(tile) as bigint) as tile_bytes", "md5(tile) as tile_md5")
         .orderBy("doc_id", "tile_idx")
     },
+    // MEDIA NEAR-DUP (perceptual-dedup plumbing): payloads whose
+    // DISTINCT tile-fingerprint sets overlap — the re-encoded/cropped
+    // image analogue of text shingle jaccard, over x27's tiles. Same
+    // scale discipline as the text stack: byte-identical payloads
+    // collapse to representatives FIRST (copies share every tile —
+    // without this the bucket pair counts go quadratic in the copy
+    // factor), candidates come from a df-pruned inverted index
+    // (posting lists ≤ 8 expand to pairs locally, ≥ 2 shared tiles),
+    // and the jaccard is exact integer set arithmetic on candidates
+    // only. Swap md5-of-slice for a perceptual patch hash and the
+    // plan is unchanged.
+    "x55_media_neardup" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val base = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter("length(text) > 0")
+      val reps = base.selectExpr("doc_id", "md5(text) as pfp")
+        .groupBy("pfp").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val tiles = graft.queries.Shared.temp(base.join(reps, "doc_id")
+        .selectExpr("doc_id",
+          "explode(array_distinct(transform(sequence(0, cast(ceil(length(text) / 32.0d) as int) - 1), i -> md5(substring(text, i * 32 + 1, 32))))) as tfp"))
+      // candidate recall from rare tiles; exact-intersection verify over
+      // the FULL tile sets on candidates only (the x10 discipline)
+      val pairs = tiles.groupBy("tfp")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 8))
+        .selectExpr("posexplode(ids) as (i, doc_a)", "ids")
+        .selectExpr("doc_a", "explode(slice(ids, i + 2, size(ids))) as doc_b")
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_rare"))
+        .filter(col("shared_rare") >= 2)
+        .select("doc_a", "doc_b")
+      val sets = tiles.groupBy("doc_id")
+        .agg(collect_set(col("tfp")).as("ts"))
+      pairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")), "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "cast(size(array_intersect(ta, tb)) as bigint) as shared_tiles",
+          "size(ta) as na", "size(tb) as nb")
+        .selectExpr("doc_a", "doc_b", "shared_tiles",
+          graft.llm.Frag.sRound6("cast(shared_tiles as double) / cast(na + nb - shared_tiles as double)") + " as tile_jaccard")
+        .filter("tile_jaccard >= 0.5")
+        .orderBy("doc_a", "doc_b")
+    },
   )
 
   // The oracle recomputes the same facts from the source text (ASCII
@@ -124,5 +169,26 @@ object Multimodal {
         |FROM (SELECT doc_id, text, unnest(range(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT))) AS i
         |      FROM documents WHERE strlen(text) > 0)
         |ORDER BY doc_id, tile_idx""".stripMargin,
+    "x55_media_neardup" ->
+      s"""WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |              WHERE strlen(text) > 0 GROUP BY md5(text)),
+         |tiles AS (
+         |  SELECT DISTINCT d.doc_id, md5(substring(text, CAST(i*32+1 AS INT), 32)) AS tfp
+         |  FROM (SELECT doc_id, text, unnest(range(0, CAST(ceil(strlen(text)/32.0) AS BIGINT))) AS i
+         |        FROM documents WHERE strlen(text) > 0) d JOIN reps USING (doc_id)),
+         |rare AS (SELECT tfp FROM (SELECT tfp, COUNT(*) AS df FROM tiles GROUP BY tfp)
+         |         WHERE df BETWEEN 2 AND 8),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM tiles a JOIN rare USING (tfp)
+         |              JOIN tiles b ON a.tfp = b.tfp AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |sets AS (SELECT doc_id, list(tfp) AS ts FROM tiles GROUP BY doc_id)
+         |SELECT doc_a, doc_b, shared_tiles, tile_jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS shared_tiles,
+         |    ${graft.llm.Frag.dRound6("CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE) / CAST(len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts)) AS DOUBLE)")} AS tile_jaccard
+         |  FROM cand JOIN sets x ON cand.doc_a = x.doc_id
+         |            JOIN sets y ON cand.doc_b = y.doc_id)
+         |WHERE tile_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
   )
 }
