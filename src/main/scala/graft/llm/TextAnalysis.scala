@@ -466,6 +466,29 @@ object TextAnalysis {
           sRound6("cast(nd as double) / cast(n_passages as double)") + " as dup_ratio")
         .orderBy("doc_id")
     },
+    // DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the final step of a
+    // training-data pipeline: a reproducible corpus permutation (hash
+    // order, never random()) cut into 16 equal shards with stable
+    // within-shard positions. The global rank comes from
+    // queries.ExactRank (range-repartition + local row_number +
+    // broadcast offsets — no single-task global sort), so the same
+    // permutation materializes on any cluster topology; shard and
+    // position are then per-row arithmetic. This is how you write
+    // shuffled training shards at 100 TB without ever totally sorting
+    // on one machine.
+    "x56_training_shards" -> { (s, dir) =>
+      graft.queries.ExactRank.withGlobalRank(
+          docs(s, dir).selectExpr("doc_id",
+            s"${sH("concat('shuf:', doc_id)")} as h"),
+          Seq(col("h"), col("doc_id")))
+        .selectExpr("doc_id", "rank - 1 as rk",
+          "cast(ceil(cast(n_total as double) / 16.0d) as bigint) as ssize")
+        .selectExpr("doc_id",
+          "cast(rk div ssize as bigint) as shard",
+          "cast(rk % ssize as bigint) as pos_in_shard")
+        .orderBy("doc_id")
+    },
+
     // SOURCE DISTRIBUTION DRIFT — per-source KL divergence of the
     // unigram distribution against the whole corpus, the statistical
     // report behind mixture reweighting and contamination triage
@@ -749,6 +772,13 @@ object TextAnalysis {
          |        FROM (SELECT unnest($dTokens) AS token FROM documents)
          |        GROUP BY token)) x
          |WHERE rank < 10 ORDER BY rank""".stripMargin,
+    "x56_training_shards" ->
+      s"""WITH h AS (SELECT doc_id, ${dH("concat('shuf:', doc_id)")} AS h FROM documents),
+         |n AS (SELECT CAST(ceil(CAST(COUNT(*) AS DOUBLE) / 16.0) AS BIGINT) AS ssize FROM h),
+         |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS rk FROM h)
+         |SELECT doc_id, CAST(rk // ssize AS BIGINT) AS shard,
+         |  CAST(rk % ssize AS BIGINT) AS pos_in_shard
+         |FROM r, n ORDER BY doc_id""".stripMargin,
     "x54_source_kl" ->
       s"""WITH tfs AS (
          |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf

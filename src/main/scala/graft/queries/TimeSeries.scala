@@ -104,39 +104,14 @@ object TimeSeries {
     "r38_price_deciles" -> { (s, dir) =>
       // EXACT DISTRIBUTED NTILE — no single-partition global window
       // (ntile().over(Window.orderBy(..)) funnels the corpus through
-      // one task; at 100 TB that is the canonical broken plan). Exact
-      // global rank instead: range-repartition on the sort key (inter-
-      // partition ordered by construction), per-partition local
-      // row_number (parallel, partition-bounded), plus broadcast
-      // partition-offset cumsum. The rank — and everything derived —
-      // is invariant to partition boundaries because the order is
-      // total; NTILE bucket arithmetic is then pure per-row math.
-      val base = Shared.temp(t(s, dir, "orders")
-        .select("o_totalprice", "o_orderkey")
-        .repartitionByRange(s.sparkContext.defaultParallelism,
-          col("o_totalprice"), col("o_orderkey"))
-        .withColumn("pid", spark_partition_id()))
-      // one pass over `base` yields per-partition counts; the exclusive
-      // prefix sum (offset) AND the grand total both derive from those
-      // ≤ #partitions rows. A broadcast product of the count frame with
-      // itself (P² pairs, P = partition count) replaces the global
-      // window a prefix sum usually wants — no single-partition
-      // WindowExec, everything stays a keyed aggregation. P is the
-      // stage's partition count, so P² stays driver-trivial at any data
-      // scale (hierarchical two-level prefix sums exist if P ever did
-      // explode).
-      val c = Shared.temp(base.groupBy("pid").agg(cnt.as("c")))
-      val offsets = c.select(col("pid"))
-        .crossJoin(broadcast(c.select(col("pid").as("p2"), col("c").as("c2"))))
-        .groupBy("pid")
-        .agg(sum(when(col("p2") < col("pid"), col("c2")).otherwise(lit(0L))).as("off"),
-          sum(col("c2")).as("n"))
-      val wLocal = Window.partitionBy("pid")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      base
-        .withColumn("lr", row_number().over(wLocal))
-        .join(broadcast(offsets), "pid")
-        .selectExpr("o_totalprice", "off + lr as rank", "n")
+      // one task; at 100 TB that is the canonical broken plan).
+      // ExactRank composes range-repartition + local row_number +
+      // broadcast partition-offset cumsum (see queries.ExactRank);
+      // NTILE bucket arithmetic is then pure per-row math.
+      ExactRank.withGlobalRank(
+          t(s, dir, "orders").select("o_totalprice", "o_orderkey"),
+          Seq(col("o_totalprice"), col("o_orderkey")))
+        .selectExpr("o_totalprice", "rank", "n_total as n")
         // NTILE(10): r = n % 10 buckets of size s+1 first, then size s
         .selectExpr("o_totalprice",
           """case when rank <= (n % 10) * (n div 10 + 1)
