@@ -121,6 +121,26 @@ class Round6QuerySpec extends SparkSpec {
     }
   }
 
+  test("x56 training shards: balanced partition, dense positions, deterministic") {
+    val q = graft.llm.TextAnalysis.queries("x56_training_shards")
+    val rows = q(spark, sf001).collect()
+    val n = rows.length
+    val ssize = math.ceil(n / 16.0).toLong
+    // every doc exactly once, shards bounded, positions dense per shard
+    assert(rows.map(_.getLong(0)).distinct.length == n)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) < 16L)
+      assert(r.getLong(2) >= 0L && r.getLong(2) < ssize)
+    }
+    rows.groupBy(_.getLong(1)).values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (0L until rs.length.toLong))
+    }
+    // permutation is reproducible run-to-run (the whole point)
+    val again = q(spark, sf001).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("r57 windowed distinct: running count converges to the partition count") {
     val rows = graft.queries.Relational.queries("r57_window_distinct")(spark, sf001)
       .collect()
