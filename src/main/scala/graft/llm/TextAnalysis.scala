@@ -466,6 +466,33 @@ object TextAnalysis {
           sRound6("cast(nd as double) / cast(n_passages as double)") + " as dup_ratio")
         .orderBy("doc_id")
     },
+    // CORPUS NOVELTY SCORE — per-document fraction of its distinct
+    // 3-gram shingles that the document INTRODUCES to the corpus
+    // (first-seer = min doc_id per shingle; a stable tie-free owner).
+    // The data-value signal dedup-aware curation ranks by: exact
+    // duplicates score 0 (nothing new), boilerplate-heavy docs score
+    // low, fresh content scores high. Shapes: one (doc, shingle)
+    // explode, one shingle-keyed min (uniform md5-ish keys — the same
+    // skew-free shuffle as the inverted index), one join back, one
+    // per-doc aggregation. Integer counts into one division ⇒ exact.
+    "x57_novelty" -> { (s, dir) =>
+      val shing = graft.queries.Shared.temp(docs(s, dir)
+        .selectExpr("doc_id", s"${sLet(sTokens, "tk", sShingles)} as shs")
+        .selectExpr("doc_id", "explode(shs) as sh"))
+      val first = shing.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+      val scored = shing.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      docs(s, dir).select("doc_id").join(scored, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "coalesce(n_shingles, cast(0 as bigint)) as n_shingles",
+          "coalesce(n_novel, cast(0 as bigint)) as n_novel",
+          sRound6("case when coalesce(n_shingles, cast(0 as bigint)) > 0 then cast(n_novel as double) / cast(n_shingles as double) else 0.0d end") + " as novelty")
+        .orderBy("doc_id")
+    },
+
     // DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the final step of a
     // training-data pipeline: a reproducible corpus permutation (hash
     // order, never random()) cut into 16 equal shards with stable
@@ -772,6 +799,20 @@ object TextAnalysis {
          |        FROM (SELECT unnest($dTokens) AS token FROM documents)
          |        GROUP BY token)) x
          |WHERE rank < 10 ORDER BY rank""".stripMargin,
+    "x57_novelty" ->
+      s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
+         |shing AS (SELECT doc_id, unnest($dShingles) AS sh FROM tkn),
+         |first AS (SELECT sh, MIN(doc_id) AS first_doc FROM shing GROUP BY sh),
+         |scored AS (SELECT shing.doc_id,
+         |             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |             CAST(SUM(CASE WHEN first_doc = shing.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |           FROM shing JOIN first USING (sh) GROUP BY shing.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_shingles, 0) AS n_shingles,
+         |  COALESCE(n_novel, 0) AS n_novel,
+         |  ${dRound6("CASE WHEN COALESCE(n_shingles, 0) > 0 THEN CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) ELSE 0.0 END")} AS novelty
+         |FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "x56_training_shards" ->
       s"""WITH h AS (SELECT doc_id, ${dH("concat('shuf:', doc_id)")} AS h FROM documents),
          |n AS (SELECT CAST(ceil(CAST(COUNT(*) AS DOUBLE) / 16.0) AS BIGINT) AS ssize FROM h),
