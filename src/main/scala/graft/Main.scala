@@ -7,10 +7,11 @@ import java.nio.file.{Files, Paths}
 
 /** CLI entry point mirroring the reference's command surface
   * (/root/reference/src/main.go:129-148): sync, push, clone,
-  * create_views, prune, config, version. (`gen`/`upgrade` are
+  * create_views, prune, config, version — plus jdbc_push (K2: landing →
+  * external JDBC warehouse, transactional). (`gen`/`upgrade` are
   * credential/self-update tooling, out of engine scope per SURVEY.md
-  * §2.6.) Option resolution follows the reference's precedence —
-  * defaults < GRAFT_* env < CLI flags (pipeline.CliConfig).
+  * §2.6 and README.) Option resolution follows the reference's
+  * precedence — defaults < GRAFT_* env < CLI flags (pipeline.CliConfig).
   *
   * Usage:
   *   graft.Main sync|push|clone|create_views|prune \
@@ -87,6 +88,14 @@ object Main {
       case "compact" =>
         pipeline.compact(opts.getOrElse("target-file-mb", "128").toInt)
         println("compacted")
+      case "jdbc_push" => // K2: landing store → external JDBC warehouse,
+        // all-or-nothing per batch (sqlserver.go:92-200 semantics)
+        val p = new java.util.Properties
+        opts.get("jdbc-driver").foreach(p.setProperty("driver", _))
+        val n = graft.ingest.JdbcSink.appendTransactional(
+          graft.ingest.Ingest.readLanding(spark, req("landing")),
+          req("jdbc-url"), opts.getOrElse("jdbc-table", "EXECUTE_DOCUMENTS"), p)
+        println(s"pushed $n rows")
       case other =>
         System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     }
@@ -94,8 +103,9 @@ object Main {
   }
 
   private def usage(): Unit = System.err.println(
-    "usage: graft.Main sync|push|clone|create_views|prune|compact|config|version " +
+    "usage: graft.Main sync|push|clone|create_views|prune|compact|jdbc_push|config|version " +
       "--source DIR | --url URL [--user U --password P --limit N] " +
       "--landing DIR --state DIR [--schema FILE] " +
-      "[--wait SECONDS] [--chunk-size N] [--target-file-mb N]")
+      "[--wait SECONDS] [--chunk-size N] [--target-file-mb N] " +
+      "[--jdbc-url URL --jdbc-table T --jdbc-driver CLASS]")
 }

@@ -142,6 +142,10 @@ object Ingest {
     // from the empty string, which bare CSV cannot represent
     (if (format == "csv") w.option("nullValue", "NULL") else w)
       .save(landingPath)
+    // an in-session reader may hold a memoized plan over this path —
+    // evict so the next read lists the new files
+    graft.queries.Tables.invalidate(landingPath)
+    graft.queries.Shared.invalidate(landingPath)
   }
 
   /** Read the landing store back with the canonical schema (required:

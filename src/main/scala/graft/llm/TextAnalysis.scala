@@ -495,34 +495,45 @@ object TextAnalysis {
 
     // DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the final step of a
     // training-data pipeline: a reproducible corpus permutation (hash
-    // order, never random()) cut into 16 equal shards with stable
-    // within-shard positions. The global rank comes from
-    // queries.ExactRank (range-repartition + local row_number +
-    // broadcast offsets — no single-task global sort), so the same
-    // permutation materializes on any cluster topology; shard and
-    // position are then per-row arithmetic. This is how you write
-    // shuffled training shards at 100 TB without ever totally sorting
-    // on one machine.
+    // order, never random()) cut into 16 balanced shards with stable
+    // within-shard positions (NTILE residual arithmetic, same as r38:
+    // the first n%16 shards hold ⌈n/16⌉ docs, the rest ⌊n/16⌋ — shard
+    // sizes never differ by more than one, so no shard is a straggler).
+    // The global rank comes from queries.ExactRank (range-repartition +
+    // local row_number + broadcast offsets — no single-task global
+    // sort), so the same permutation materializes on any cluster
+    // topology; shard and position are then per-row arithmetic. This is
+    // how you write shuffled training shards at 100 TB without ever
+    // totally sorting on one machine.
     "x56_training_shards" -> { (s, dir) =>
       graft.queries.ExactRank.withGlobalRank(
           docs(s, dir).selectExpr("doc_id",
             s"${sH("concat('shuf:', doc_id)")} as h"),
           Seq(col("h"), col("doc_id")))
-        .selectExpr("doc_id", "rank - 1 as rk",
-          "cast(ceil(cast(n_total as double) / 16.0d) as bigint) as ssize")
+        .selectExpr("doc_id", "rank - 1 as rk", "n_total as n")
         .selectExpr("doc_id",
-          "cast(rk div ssize as bigint) as shard",
-          "cast(rk % ssize as bigint) as pos_in_shard")
+          """cast(case when rk < (n % 16) * (n div 16 + 1)
+            |  then rk div (n div 16 + 1)
+            |  else (n % 16) + (rk - (n % 16) * (n div 16 + 1)) div greatest(n div 16, 1)
+            |end as bigint) as shard""".stripMargin,
+          """cast(case when rk < (n % 16) * (n div 16 + 1)
+            |  then rk % (n div 16 + 1)
+            |  else (rk - (n % 16) * (n div 16 + 1)) % greatest(n div 16, 1)
+            |end as bigint) as pos_in_shard""".stripMargin)
         .orderBy("doc_id")
     },
 
     // SOURCE DISTRIBUTION DRIFT — per-source KL divergence of the
     // unigram distribution against the whole corpus, the statistical
     // report behind mixture reweighting and contamination triage
-    // (which ingestion sources are lexically "off"). Both count tables
-    // are vocabulary-bounded: the per-(source, token) tf aggregates
-    // map-side, the corpus marginal derives from it (no second corpus
-    // pass), and the KL terms sum as exact decimals per source —
+    // (which ingestion sources are lexically "off"). The per-(source,
+    // token) tf aggregates map-side and the corpus marginal derives
+    // from it (no second corpus pass). Only the genuinely tiny frames
+    // (per-source totals, the corpus total) get broadcast hints; the
+    // corpus marginal is vocabulary-sized — it GROWS with corpus size,
+    // so it joins on token as a plain shuffled hash join (AQE still
+    // broadcasts it at small SF, without hard-wiring the assumption).
+    // The KL terms sum as exact decimals per source —
     // order-free, so 1000 executors give the bit-identical divergence
     // the oracle computes serially. p and q are exact integer ratios
     // into ln ⇒ engine-identical terms (the x30/x47 contract).
@@ -536,7 +547,7 @@ object TextAnalysis {
       val nSrc = tfSrc.groupBy("source").agg(sum(col("tf")).as("n_src"),
         count(lit(1)).as("n_types"))
       tfSrc
-        .join(broadcast(corpus), "token")
+        .join(corpus, "token")
         .join(broadcast(nSrc), "source")
         .crossJoin(broadcast(nTot))
         .withColumn("term", expr(
@@ -815,10 +826,17 @@ object TextAnalysis {
          |ORDER BY d.doc_id""".stripMargin,
     "x56_training_shards" ->
       s"""WITH h AS (SELECT doc_id, ${dH("concat('shuf:', doc_id)")} AS h FROM documents),
-         |n AS (SELECT CAST(ceil(CAST(COUNT(*) AS DOUBLE) / 16.0) AS BIGINT) AS ssize FROM h),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h),
          |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS rk FROM h)
-         |SELECT doc_id, CAST(rk // ssize AS BIGINT) AS shard,
-         |  CAST(rk % ssize AS BIGINT) AS pos_in_shard
+         |SELECT doc_id,
+         |  CAST(CASE WHEN rk < (n % 16) * (n // 16 + 1)
+         |    THEN rk // (n // 16 + 1)
+         |    ELSE (n % 16) + (rk - (n % 16) * (n // 16 + 1)) // greatest(n // 16, 1)
+         |  END AS BIGINT) AS shard,
+         |  CAST(CASE WHEN rk < (n % 16) * (n // 16 + 1)
+         |    THEN rk % (n // 16 + 1)
+         |    ELSE (rk - (n % 16) * (n // 16 + 1)) % greatest(n // 16, 1)
+         |  END AS BIGINT) AS pos_in_shard
          |FROM r, n ORDER BY doc_id""".stripMargin,
     "x54_source_kl" ->
       s"""WITH tfs AS (

@@ -163,6 +163,7 @@ final class SyncPipeline(
     val target = Paths.get(landingPath)
     deleteRecursive(target)
     Files.move(Paths.get(staging), target)
+    invalidateCaches()
   }
 
   /** Compaction: rewrite the landing store into ~`targetFileMB`-sized
@@ -185,6 +186,15 @@ final class SyncPipeline(
     val target = Paths.get(landingPath)
     deleteRecursive(target)
     Files.move(Paths.get(staging), target)
+    invalidateCaches()
+  }
+
+  // prune/compact replace the files under landingPath in place; any
+  // memoized reader plan pins the OLD file listing and would fail (or
+  // silently serve stale rows) on next use
+  private def invalidateCaches(): Unit = {
+    graft.queries.Tables.invalidate(landingPath)
+    graft.queries.Shared.invalidate(landingPath)
   }
 
   private def deleteRecursive(p: Path): Unit =

@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   *     BETWEEN each other by construction;
   *  2. per-partition `row_number` — parallel, partition-bounded;
   *  3. partition-offset exclusive prefix sum over the ≤ P per-partition
-  *     counts (P = partition count), via a broadcast product — tiny,
-  *     keyed, no single-partition WindowExec.
+  *     counts (P = partition count): the counts collapse to ONE row as
+  *     an ordered array and a single O(P) `aggregate` scan emits the
+  *     offsets — no crossJoin (a P×P product would be its own scale
+  *     cliff at ~10⁵ input partitions) and no partitionless Window
+  *     (which would plan a global WindowExec).
   *
   * Because the order is total, the composed rank is invariant to
   * partition boundaries. Adds `rank` (1-based bigint) and `n_total`.
@@ -25,12 +28,19 @@ object ExactRank {
     val base = Shared.temp(df
       .repartitionByRange(s.sparkContext.defaultParallelism, sortCols: _*)
       .withColumn("__pid", spark_partition_id()))
-    val c = Shared.temp(base.groupBy("__pid").agg(count(lit(1)).as("__c")))
-    val offsets = c.select(col("__pid"))
-      .crossJoin(broadcast(c.select(col("__pid").as("__p2"), col("__c").as("__c2"))))
-      .groupBy("__pid")
-      .agg(sum(when(col("__p2") < col("__pid"), col("__c2")).otherwise(lit(0L))).as("__off"),
-        sum(col("__c2")).as("n_total"))
+    val c = base.groupBy("__pid").agg(count(lit(1)).as("__c"))
+    val offsets = c
+      .agg(sort_array(collect_list(struct(col("__pid"), col("__c")))).as("pc"))
+      .select(
+        expr("""aggregate(pc,
+          |  named_struct('acc', cast(0 as bigint),
+          |    'out', cast(array() as array<struct<__pid:int,__off:bigint>>)),
+          |  (s, x) -> named_struct('acc', s.acc + x.__c,
+          |    'out', array_append(s.out, named_struct('__pid', x.__pid, '__off', s.acc))),
+          |  s -> s.out)""".stripMargin).as("po"),
+        expr("aggregate(pc, cast(0 as bigint), (s, x) -> s + x.__c)").as("n_total"))
+      .select(explode(col("po")).as("o"), col("n_total"))
+      .select(col("o.__pid").as("__pid"), col("o.__off").as("__off"), col("n_total"))
     val wLocal = Window.partitionBy("__pid").orderBy(sortCols: _*)
     base.withColumn("__lr", row_number().over(wLocal))
       .join(broadcast(offsets), "__pid")

@@ -71,6 +71,23 @@ object Shared {
     transientFrames.clear()
   }
 
+  /** Unpersist + drop shared entries keyed under `path` — the write
+    * paths call this alongside `Tables.invalidate` so a rewritten corpus
+    * dir doesn't serve stale materialized stages. Same coarse
+    * prefix-overlap rule. */
+  def invalidate(path: String): Unit = {
+    val p = path.stripSuffix("/")
+    val it = sharedCache.entrySet.iterator
+    while (it.hasNext) {
+      val e = it.next()
+      val dir = e.getKey._2.stripSuffix("/")
+      if (dir == p || dir.startsWith(p + "/") || p.startsWith(dir + "/")) {
+        try e.getValue.unpersist(false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
   /** Unpersist + forget the shared tier too (tests / corpus rewrite). */
   def dropShared(): Unit = {
     sharedCache.values.forEach(df =>

@@ -29,10 +29,19 @@ object Tables {
     cache.computeIfAbsent((s, dir, name), { case (s, dir, name) => load(s, dir, name) })
   }
 
-  /** Drop cached resolutions under `dir` — call after rewriting a corpus
-    * directory in-session (the cached plan pins the old file listing). */
-  def invalidate(dir: String): Unit =
-    cache.keySet.removeIf(k => k._2 == dir)
+  /** Drop cached resolutions overlapping `path` — the write paths
+    * (Ingest.appendBatch, Sync.prune/compact) call this so an in-session
+    * rewrite of a cached table is seen by the next read (the cached plan
+    * would otherwise pin the old file listing). Matches any cache entry
+    * whose directory contains, equals, or is contained by the written
+    * path — coarse on purpose: eviction is cheap, staleness is not. */
+  def invalidate(path: String): Unit = {
+    val p = path.stripSuffix("/")
+    cache.keySet.removeIf { k =>
+      val dir = k._2.stripSuffix("/")
+      dir == p || dir.startsWith(p + "/") || p.startsWith(dir + "/")
+    }
+  }
 
   private def load(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

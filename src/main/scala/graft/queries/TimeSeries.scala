@@ -96,11 +96,7 @@ object TimeSeries {
         .orderBy("user_id", "session_id")
     },
 
-    // QUANTILE BINNING: decile summary of order totals. NTILE over a
-    // global order requires a single-partition sort — acceptable here
-    // because the exactness gate demands exact bin edges; the 100 TB
-    // variant broadcasts approx_percentile boundaries and assigns bins
-    // map-side (documented trade, same downstream aggregation).
+    // QUANTILE BINNING: decile summary of order totals.
     "r38_price_deciles" -> { (s, dir) =>
       // EXACT DISTRIBUTED NTILE — no single-partition global window
       // (ntile().over(Window.orderBy(..)) funnels the corpus through

@@ -74,4 +74,34 @@ class PipelineSpec extends SparkSpec {
     assert(after.count() == 3)
     assert(after.select("type").distinct().count() == 2)
   }
+
+  test("in-session rewrite invalidates memoized table and stage caches") {
+    import graft.queries.{Shared, Tables}
+    val src = tmp("src4"); val base = tmp("land4")
+    val land = base + "/landing.parquet"; val state = tmp("st4")
+    writeNdjson(src, "f001.ndjson",
+      """{"$TYPE":"W","DOCUMENT_ID":"a","$VERSION":1,"N":"a1"}""")
+    val p = new SyncPipeline(spark, src, land, state)
+    p.syncOnce()
+    // memoize both tiers over the landing table
+    assert(Tables.t(spark, base, "landing").count() == 1)
+    assert(Shared.shared(spark, base, "spec_stale") {
+      Tables.t(spark, base, "landing")
+    }.count() == 1)
+    // a new page appends through Ingest.appendBatch, which must evict
+    // both tiers: the next reads re-list the directory
+    writeNdjson(src, "f002.ndjson",
+      """{"$TYPE":"W","DOCUMENT_ID":"b","$VERSION":1,"N":"b1"}""")
+    p.syncOnce()
+    assert(Tables.t(spark, base, "landing").count() == 2)
+    assert(Shared.shared(spark, base, "spec_stale") {
+      Tables.t(spark, base, "landing")
+    }.count() == 2)
+    // prune swaps the files in place; a pinned listing would now point
+    // at deleted files — the re-resolved read sees the compacted store
+    Thread.sleep(5)
+    p.syncOnce(force = true) // replay: 4 physical rows
+    p.prune()
+    assert(Tables.t(spark, base, "landing").count() == 2)
+  }
 }

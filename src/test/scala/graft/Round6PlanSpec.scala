@@ -35,8 +35,21 @@ class Round6PlanSpec extends SparkSpec {
     assert(plan.contains("partial_min"), plan.take(2000))
     // no sort-merge join anywhere: every join in the loop is broadcast
     // or collapses to aggregation
-    assert(!plan.contains("SortMergeJoin") ||
-      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("ExactRank: offset prefix sum joins keyed — no cross product") {
+    // the partition-offset frame must reach the corpus via a keyed
+    // broadcast join; a BroadcastNestedLoopJoin/CartesianProduct would
+    // mean the O(P²) counts-product form regressed
+    for (name <- Seq("r38_price_deciles", "x56_training_shards")) {
+      val plan = (if (name.startsWith("r"))
+        graft.queries.TimeSeries.queries(name)(spark, sf001)
+      else graft.llm.TextAnalysis.queries(name)(spark, sf001))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n${plan.take(3000)}")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n${plan.take(3000)}")
+    }
   }
 
   test("r58 GROUPS emulation: both windows ride one exchange") {

@@ -32,7 +32,11 @@ class Round6QuerySpec extends SparkSpec {
       val ex = exact(q).map(_.getLong(1)).toSet
       (pq intersect ex).size
     }
-    assert(overlaps.sum > 0)
+    // a broken ADC ranking could preserve one coincidental overlap; a
+    // working one agrees with exact search on most probes (slack kept
+    // for the deliberately coarse label-mean codebook)
+    assert(overlaps.count(_ > 0) >= 4, s"per-probe overlaps: $overlaps")
+    assert(overlaps.sum >= 8, s"per-probe overlaps: $overlaps")
   }
 
   test("x50 Gopher rules: pass flag is exactly the conjunction of its signals") {
@@ -125,14 +129,19 @@ class Round6QuerySpec extends SparkSpec {
     val q = graft.llm.TextAnalysis.queries("x56_training_shards")
     val rows = q(spark, sf001).collect()
     val n = rows.length
-    val ssize = math.ceil(n / 16.0).toLong
-    // every doc exactly once, shards bounded, positions dense per shard
+    // every doc exactly once; all 16 shards populated (n >= 16) with
+    // NTILE-balanced sizes: the first n%16 shards hold ⌈n/16⌉ docs, the
+    // rest ⌊n/16⌋ — never differing by more than one
     assert(rows.map(_.getLong(0)).distinct.length == n)
-    rows.foreach { r =>
-      assert(r.getLong(1) >= 0L && r.getLong(1) < 16L)
-      assert(r.getLong(2) >= 0L && r.getLong(2) < ssize)
+    val byShard = rows.groupBy(_.getLong(1))
+    assert(byShard.keySet == (0L until 16L).toSet)
+    val (q16, r16) = (n / 16, n % 16)
+    byShard.foreach { case (s, rs) =>
+      val expect = if (s < r16) q16 + 1 else q16
+      assert(rs.length == expect, s"shard $s: ${rs.length} != $expect")
     }
-    rows.groupBy(_.getLong(1)).values.foreach { rs =>
+    // positions dense per shard
+    byShard.values.foreach { rs =>
       assert(rs.map(_.getLong(2)).sorted.toSeq == (0L until rs.length.toLong))
     }
     // permutation is reproducible run-to-run (the whole point)
