@@ -6,72 +6,127 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 /** [EXT] Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted by a per-partition pipeline.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked DETERMINISTIC STAND-IN for a real decoder (it treats
-  * the payload bytes as the "decoded" sample stream). Everything around
-  * it — the binary column, the metadata struct, the typed Dataset +
-  * mapPartitions batch shape, the partition-parallel execution — is the
-  * real plumbing a codec would plug into: swap `decodeStub` for an
-  * actual JNI/Java decoder and nothing else changes.
+  * The payloads are REAL images in a real format — binary P6 PPM
+  * (netpbm), built deterministically from the corpus text (the
+  * container has no photo corpus, so the pixel buffer is the text's
+  * bytes; the format, header, and parser are the genuine article).
+  * `decodePpm` is an actual decoder: magic check, comment and
+  * whitespace skipping, dimension/maxval parsing, pixel-buffer length
+  * validation. Swap it for a JPEG/PNG/audio codec and nothing else in
+  * the pipeline changes — the binary column, the typed Dataset +
+  * mapPartitions batch shape, and the partition-parallel execution are
+  * exactly the plumbing such a codec plugs into.
   *
   * Scale notes: mapPartitions processes a whole input split per task
   * (one decoder instance per partition, not per row, mirroring how an
   * expensive codec or model handle should be amortized); the pipeline
   * is a narrow map — no shuffle — so it scales with input splits. The
-  * feature outputs are plain integer/double facts about the payload
-  * bytes, so the DuckDB oracle can verify the whole path end-to-end
-  * from the source text.
+  * image construction is deterministic from the text, so the DuckDB
+  * oracle verifies the decoded facts (dimensions, per-channel means)
+  * end-to-end from the source column.
   */
 object Multimodal {
 
   /** One multimodal row: payload + metadata (the "image"). */
   final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
 
-  /** Extracted features. */
+  /** Decoded-image features: dimensions and per-channel pixel means. */
   final case class MediaFeatures(
       doc_id: Long,
-      n_bytes: Long,
-      head_byte: Long,
-      checksum16: Long,
-      n_frames: Long,
-      frame_mean: Double)
+      width: Int,
+      height: Int,
+      maxval: Int,
+      n_pixels: Long,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
 
-  /** STUB decoder: a real build would decode image/audio bytes here
-    * (e.g. via javax.imageio / a JNI codec). Deterministic stand-in:
-    * the payload bytes ARE the decoded samples. */
-  private def decodeStub(payload: Array[Byte]): Array[Byte] = payload
+  /** Fixed image width; height grows with the payload. */
+  private val W = 16
 
-  /** Per-partition feature extraction over decoded samples:
-    * byte stats, a 16-byte header checksum, and every-64th-byte "frame"
-    * sampling (the video-frame-sample pattern). */
+  /** Encode raw bytes as a binary P6 PPM: real header (with a comment
+    * line — decoders must skip those) + the bytes as an RGB pixel
+    * buffer, zero-padded to width 16 × height ⌈n/48⌉ (min 1 row). */
+  def encodePpm(docId: Long, raw: Array[Byte]): Array[Byte] = {
+    val h = math.max(1, math.ceil(raw.length / (W * 3.0)).toInt)
+    val header = s"P6\n# graft synthetic doc $docId\n$W $h\n255\n"
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + W * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(raw, 0, out, header.length, raw.length)
+    out
+  }
+
+  /** Real P6 PPM decoder: returns (width, height, maxval, pixels).
+    * Parses the netpbm grammar — `P6`, then three whitespace-separated
+    * ASCII integers with `#` comments allowed between tokens, one
+    * whitespace byte, then width·height·3 raw bytes. Throws on bad
+    * magic, malformed header, or truncated pixel data. */
+  def decodePpm(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      "not a P6 PPM")
+    var pos = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && pos < bytes.length) {
+        if (isWs(bytes(pos))) pos += 1
+        else if (bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      var v = 0; var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      require(any, "PPM: expected integer in header")
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    require(w > 0 && h > 0, "PPM: non-positive dimensions")
+    require(maxval > 0 && maxval < 256, "PPM: unsupported maxval")
+    pos += 1 // exactly one whitespace byte separates header from pixels
+    val need = w * h * 3
+    require(bytes.length - pos >= need, "PPM: truncated pixel data")
+    (w, h, maxval, java.util.Arrays.copyOfRange(bytes, pos, pos + need))
+  }
+
+  /** Per-partition decode + feature extraction: parse the image, then
+    * per-channel pixel means over the decoded buffer. Integer sums into
+    * one double division ⇒ bit-identical to the oracle's replay. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = decodeStub(r.payload)
-        val n = bytes.length
-        val head = if (n > 0) bytes(0) & 0xff else -1
-        var ck = 0L
+        val (w, h, maxval, px) = decodePpm(r.payload)
+        val n = w.toLong * h
+        val sums = new Array[Long](3)
         var i = 0
-        while (i < math.min(16, n)) { ck += bytes(i) & 0xff; i += 1 }
-        var fSum = 0L; var fCnt = 0L; var j = 0
-        while (j < n) { fSum += bytes(j) & 0xff; fCnt += 1; j += 64 }
-        MediaFeatures(r.doc_id, n.toLong, head.toLong, ck, fCnt,
-          if (fCnt > 0) fSum.toDouble / fCnt.toDouble else 0.0)
+        while (i < px.length) { sums(i % 3) += px(i) & 0xff; i += 1 }
+        MediaFeatures(r.doc_id, w, h, maxval, n,
+          sums(0).toDouble / n.toDouble,
+          sums(1).toDouble / n.toDouble,
+          sums(2).toDouble / n.toDouble)
       }
     }
   }
 
-  /** documents.text → binary payload (stand-in for an image/audio blob
-    * column; the bytes are the UTF-8 encoding so the oracle can verify
-    * the full binary path). */
+  /** documents.text → P6 PPM payload (the corpus text's bytes as the
+    * pixel buffer, so the oracle can verify the full decode path from
+    * the source column). */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism) // one file ⇒ rebalance
-      .selectExpr("doc_id", "encode(text, 'UTF-8') as payload",
-        "'application/octet-stream' as mime")
-      .as[MediaRow]
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRow(id, encodePpm(id, text.getBytes("UTF-8")),
+          "image/x-portable-pixmap")
+      }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -144,24 +199,30 @@ object Multimodal {
     },
   )
 
-  // The oracle recomputes the same facts from the source text (ASCII
-  // corpus ⇒ 1 char = 1 byte; code points = byte values). Empty-text rows
-  // are guarded: DuckDB's list_sum over an empty range is NULL and the
-  // frame_mean division would be NULL/0, but the Spark plan emits 0 /
-  // 0.0 — COALESCE + CASE keep the parity contract on arbitrary corpora.
+  // The oracle rebuilds the image arithmetic from the source text (ASCII
+  // corpus ⇒ 1 char = 1 byte; code points = byte values): width is fixed
+  // at 16, height = ⌈n/48⌉ (min 1), the pixel buffer is the text bytes
+  // zero-padded to 16·h·3, and channel c's pixels are text positions
+  // c+1, c+4, … (1-based; padding contributes 0 to the sum but counts
+  // in the 16·h denominator). Integer sums into one double division on
+  // both engines ⇒ bit-identical means.
   val oracleSql: Map[String, String] = Map(
-    "x15_media_features" ->
-      """SELECT doc_id,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |  CAST(CASE WHEN strlen(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS BIGINT) AS head_byte,
-        |  COALESCE(CAST(list_sum(list_transform(range(1, least(16, strlen(text)) + 1),
-        |       i -> ascii(substring(text, i, 1)))) AS BIGINT), 0) AS checksum16,
-        |  CAST(length(range(1, strlen(text) + 1, 64)) AS BIGINT) AS n_frames,
-        |  CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
-        |    CAST(list_sum(list_transform(range(1, strlen(text) + 1, 64),
-        |         i -> ascii(substring(text, i, 1)))) AS DOUBLE)
-        |      / CAST(length(range(1, strlen(text) + 1, 64)) AS BIGINT) END AS frame_mean
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x15_media_features" -> {
+      val h = "greatest(1, CAST(ceil(strlen(text) / 48.0) AS BIGINT))"
+      def mean(c: Int) =
+        s"""CAST(COALESCE(list_sum(list_transform(range(${c + 1}, strlen(text) + 1, 3),
+           |    i -> ascii(substring(text, i, 1)))), 0) AS DOUBLE)
+           |  / CAST(16 * $h AS DOUBLE)""".stripMargin
+      s"""SELECT doc_id,
+         |  16 AS width,
+         |  CAST($h AS INT) AS height,
+         |  255 AS maxval,
+         |  CAST(16 * $h AS BIGINT) AS n_pixels,
+         |  ${mean(0)} AS mean_r,
+         |  ${mean(1)} AS mean_g,
+         |  ${mean(2)} AS mean_b
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "x27_tile_fingerprints" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS tile_idx,
         |  CAST(strlen(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS BIGINT) AS tile_bytes,

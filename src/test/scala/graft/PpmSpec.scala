@@ -1,0 +1,74 @@
+package graft
+
+import graft.llm.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The P6 PPM codec behind x15: a real netpbm parser (magic, comments,
+  * whitespace grammar, truncation checks), round-tripping the encoder,
+  * plus the end-to-end decode pipeline on the corpus. */
+class PpmSpec extends SparkSpec {
+
+  test("decode(encode(bytes)) round-trips dims, maxval, and padded pixels") {
+    for (n <- Seq(0, 1, 47, 48, 49, 1000)) {
+      val raw = Array.tabulate(n)(i => ((i * 7 + 3) % 256).toByte)
+      val (w, h, maxval, px) = Multimodal.decodePpm(Multimodal.encodePpm(42L, raw))
+      assert(w == 16)
+      assert(h == math.max(1, math.ceil(n / 48.0).toInt))
+      assert(maxval == 255)
+      assert(px.length == w * h * 3)
+      assert(px.take(n).toSeq == raw.toSeq)        // payload preserved
+      assert(px.drop(n).forall(_ == 0))            // zero padding
+    }
+  }
+
+  test("parser handles the netpbm grammar: comments, arbitrary whitespace") {
+    val px = Array.tabulate(2 * 2 * 3)(i => (i + 1).toByte)
+    val img = ("P6\n# a comment\n  2 # trailing comment\n\t2\r\n255\n"
+      .getBytes("US-ASCII")) ++ px
+    val (w, h, maxval, out) = Multimodal.decodePpm(img)
+    assert((w, h, maxval) == (2, 2, 255))
+    assert(out.toSeq == px.toSeq)
+  }
+
+  test("parser rejects bad magic, malformed header, truncated pixels") {
+    val px = Array.fill(16 * 1 * 3)(1.toByte)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P5\n16 1\n255\n".getBytes ++ px) // greyscale magic
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P6\nxx 1\n255\n".getBytes ++ px) // non-integer dim
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P6\n16 1\n255\n".getBytes ++ px.take(10)) // short
+    }
+  }
+
+  test("channel means: known 2x1 image decodes to exact per-channel values") {
+    // pixels: (10,20,30) (50,60,70) → means r=30, g=40, b=50
+    val img = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 50, 60, 70)
+    val (w, h, _, px) = Multimodal.decodePpm(img)
+    val sums = new Array[Long](3)
+    px.zipWithIndex.foreach { case (b, i) => sums(i % 3) += b & 0xff }
+    val n = w.toLong * h
+    assert((sums(0) / n, sums(1) / n, sums(2) / n) == (30L, 40L, 50L))
+  }
+
+  test("x15 end-to-end: every doc decodes; facts consistent with the text") {
+    val rows = Multimodal.queries("x15_media_features")(spark, sf001).collect()
+    val texts = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id", "length(text) as n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val (id, w, h, maxval, np) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
+      assert(w == 16 && maxval == 255)
+      assert(h == math.max(1, math.ceil(texts(id) / 48.0).toInt))
+      assert(np == w.toLong * h)
+      Seq(r.getDouble(5), r.getDouble(6), r.getDouble(7)).foreach { m =>
+        assert(m >= 0.0 && m <= 255.0)
+      }
+    }
+  }
+}
