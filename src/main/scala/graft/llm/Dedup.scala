@@ -156,7 +156,7 @@ object Dedup {
   /** x09's pair graph: simhash reps whose hamming distance ≤ 3, found
     * via the 4 × 15-bit pigeonhole chunk index (exact recall for the
     * ≤ 3 radius). Shared by x09 (pair listing) and x24 (clustering). */
-  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[llm] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = simhashed(s, dir)
       .selectExpr("doc_id", "simhash",
         "posexplode(transform(sequence(0, 3), c -> (shiftright(simhash, 15*c) & 32767))) as (ci, chunk)")
@@ -447,6 +447,52 @@ object Dedup {
           sRound6("cast(inter as double) / cast(nb as double)") + " as cont_b")
         .filter("cont_a >= 0.7 or cont_b >= 0.7")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // CURATION FUNNEL — the end-to-end pipeline report every corpus
+    // build ends with: stage-by-stage doc and token attrition through
+    //   0 all → 1 exact_dedup (corpus-wide min-doc-per-fingerprint
+    //   reps) → 2 quality_gate (x50's Gopher rules, identical gate via
+    //   TextAnalysis.gopherGate) → 3 near_dedup (drop any survivor with
+    //   a smaller surviving simhash-neighbor — one-step greedy
+    //   keep-smallest over x09's pair graph; the full transitive
+    //   closure is x24/x32's job, the funnel reports attrition).
+    // Every stage reuses a shared cached frame (fingerprints ride the
+    // same md5, the gate rides doc_tf, pairs ride the simhash index),
+    // so the funnel adds only tiny set algebra: one groupBy(fp), two
+    // semi/anti joins on doc_id, four one-row aggregates. The retention
+    // divisor is a broadcast one-row count — no global window anywhere.
+    "x58_curation_funnel" -> { (s, dir) =>
+      val gate = TextAnalysis.gopherGate(s, dir)
+        .select("doc_id", "n_tokens", "pass")
+      val d0 = Shared.temp(t(s, dir, "documents")
+        .selectExpr("doc_id", s"md5($sNorm) as fp")
+        .join(gate, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "fp",
+          "coalesce(n_tokens, cast(0 as bigint)) as nt",
+          "coalesce(pass, false) as pass"))
+      val reps = d0.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      val s1 = Shared.temp(d0.join(reps.select("doc_id"), "doc_id"))
+      val s2 = Shared.temp(s1.filter("pass"))
+      val drop = simhashPairs(s, dir).select("doc_a", "doc_b")
+        .join(s2.select(col("doc_id").as("doc_a")), "doc_a")
+        .join(s2.select(col("doc_id").as("doc_b")), "doc_b")
+        .select(col("doc_b").as("doc_id")).distinct()
+      val s3 = s2.join(drop, Seq("doc_id"), "left_anti")
+      def stage(df: DataFrame, id: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("nd"), sum(col("nt")).as("ntok"))
+          .selectExpr(s"cast($id as bigint) as stage",
+            s"'$name' as stage_name",
+            "cast(nd as bigint) as n_docs",
+            "cast(coalesce(ntok, cast(0 as bigint)) as bigint) as n_tokens")
+      stage(d0, 0, "all")
+        .unionByName(stage(s1, 1, "exact_dedup"))
+        .unionByName(stage(s2, 2, "quality_gate"))
+        .unionByName(stage(s3, 3, "near_dedup"))
+        .crossJoin(broadcast(d0.agg(count(lit(1)).as("n0"))))
+        .selectExpr("stage", "stage_name", "n_docs", "n_tokens",
+          sRound6("cast(n_docs as double) / cast(n0 as double)") + " as doc_retention")
+        .orderBy("stage")
     },
   )
 
@@ -754,5 +800,51 @@ object Dedup {
          |  FROM m)
          |WHERE cont_a >= 0.7 OR cont_b >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // stop list and gate bounds literal-identical to x50's oracle
+    "x58_curation_funnel" ->
+      s"""$dSimhash,
+         |chunks AS (SELECT doc_id, simhash, c AS ci, (simhash >> (15*c)) & 32767 AS chunk
+         |           FROM sh2, range(0, 4) r(c)),
+         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+         |             AND a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |gtf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |        FROM (SELECT doc_id, unnest($dTokens) AS token FROM documents)
+         |        WHERE token <> '' GROUP BY doc_id, token),
+         |ga AS (SELECT doc_id, SUM(tf) AS nt, MAX(tf) AS max_tf,
+         |         SUM(length(token) * tf) AS n_tok_chars,
+         |         SUM(CASE WHEN token IN ('the', 'a', 'and', 'of', 'to', 'le', 'la', 'el', 'der', 'die') THEN tf ELSE 0 END) AS sh
+         |       FROM gtf GROUP BY doc_id),
+         |gate AS (SELECT doc_id, CAST(nt AS BIGINT) AS nt,
+         |           (CAST(nt AS BIGINT) BETWEEN 20 AND 100000)
+         |             AND (${dRound6("CAST(n_tok_chars AS DOUBLE) / CAST(nt AS DOUBLE)")} BETWEEN 2.0 AND 10.0)
+         |             AND (${dRound6("CAST(max_tf AS DOUBLE) / CAST(nt AS DOUBLE)")} <= 0.2)
+         |             AND (sh >= 2) AS pass
+         |         FROM ga),
+         |d0 AS (SELECT d.doc_id, md5($dNorm) AS fp,
+         |         COALESCE(g.nt, 0) AS nt, COALESCE(g.pass, FALSE) AS pass
+         |       FROM documents d LEFT JOIN gate g USING (doc_id)),
+         |freps AS (SELECT MIN(doc_id) AS doc_id FROM d0 GROUP BY fp),
+         |fs1 AS (SELECT d0.* FROM d0 JOIN freps USING (doc_id)),
+         |fs2 AS (SELECT * FROM fs1 WHERE pass),
+         |drp AS (SELECT DISTINCT p.doc_b AS doc_id
+         |        FROM prs p JOIN fs2 a ON p.doc_a = a.doc_id
+         |                   JOIN fs2 b ON p.doc_b = b.doc_id),
+         |fs3 AS (SELECT * FROM fs2 WHERE doc_id NOT IN (SELECT doc_id FROM drp)),
+         |nz AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n0 FROM d0),
+         |fun AS (
+         |  SELECT 0 AS stage, 'all' AS stage_name,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_tokens FROM d0
+         |  UNION ALL SELECT 1, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+         |    CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM fs1
+         |  UNION ALL SELECT 2, 'quality_gate', CAST(COUNT(*) AS BIGINT),
+         |    CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM fs2
+         |  UNION ALL SELECT 3, 'near_dedup', CAST(COUNT(*) AS BIGINT),
+         |    CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM fs3)
+         |SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs, n_tokens,
+         |  ${dRound6("CAST(n_docs AS DOUBLE) / n0")} AS doc_retention
+         |FROM fun, nz ORDER BY stage""".stripMargin,
   )
 }

@@ -63,6 +63,32 @@ object TextAnalysis {
     s"len(list_filter(tk, x -> x in (${inList(ws)}))) as score_$l"
   }
 
+  /** x50's Gopher signal frame — doc_id, n_tokens, mean_word_len,
+    * top_token_frac, stop_hits, pass — factored out so the curation
+    * funnel (x58, llm.Dedup) applies the identical gate. One keyed
+    * aggregation over the shared tf frame; token-less documents are
+    * absent (they fail the gate by construction — callers left-join). */
+  private[llm] def gopherGate(s: SparkSession, dir: String): DataFrame = {
+    val stop = inList(Seq("the", "a", "and", "of", "to",
+      "le", "la", "el", "der", "die"))
+    docTf(s, dir).groupBy("doc_id")
+      .agg(sum(col("tf")).as("nt"),
+        max(col("tf")).as("max_tf"),
+        sum(expr("length(token) * tf")).as("n_tok_chars"),
+        sum(expr(s"case when token in ($stop) then tf else 0 end")).as("sh"))
+      .selectExpr("doc_id",
+        "cast(nt as bigint) as n_tokens",
+        sRound6("cast(n_tok_chars as double) / cast(nt as double)") + " as mean_word_len",
+        sRound6("cast(max_tf as double) / cast(nt as double)") + " as top_token_frac",
+        "cast(sh as bigint) as stop_hits")
+      .selectExpr("doc_id", "n_tokens", "mean_word_len", "top_token_frac",
+        "stop_hits",
+        """(n_tokens between 20 and 100000)
+          | and (mean_word_len between 2.0d and 10.0d)
+          | and (top_token_frac <= 0.2d)
+          | and (stop_hits >= 2) as pass""".stripMargin)
+  }
+
   /** argmax with fixed priority order (en > fr > es > de > zh) so ties
     * resolve identically everywhere. */
   private val predictCase: String = {
@@ -124,25 +150,7 @@ object TextAnalysis {
     // flag compares the 6-dp-rounded ratios, so the boolean is as
     // engine-exact as the numbers it reads.
     "x50_gopher_rules" -> { (s, dir) =>
-      val stop = inList(Seq("the", "a", "and", "of", "to",
-        "le", "la", "el", "der", "die"))
-      docTf(s, dir).groupBy("doc_id")
-        .agg(sum(col("tf")).as("nt"),
-          max(col("tf")).as("max_tf"),
-          sum(expr("length(token) * tf")).as("n_tok_chars"),
-          sum(expr(s"case when token in ($stop) then tf else 0 end")).as("sh"))
-        .selectExpr("doc_id",
-          "cast(nt as bigint) as n_tokens",
-          sRound6("cast(n_tok_chars as double) / cast(nt as double)") + " as mean_word_len",
-          sRound6("cast(max_tf as double) / cast(nt as double)") + " as top_token_frac",
-          "cast(sh as bigint) as stop_hits")
-        .selectExpr("doc_id", "n_tokens", "mean_word_len", "top_token_frac",
-          "stop_hits",
-          """(n_tokens between 20 and 100000)
-            | and (mean_word_len between 2.0d and 10.0d)
-            | and (top_token_frac <= 0.2d)
-            | and (stop_hits >= 2) as pass""".stripMargin)
-        .orderBy("doc_id")
+      gopherGate(s, dir).orderBy("doc_id")
     },
     // heavy hitters via the SpaceSaving sketch (plans.SpaceSavingTopK):
     // bounded per-partition state instead of shuffling every distinct
@@ -748,6 +756,41 @@ object TextAnalysis {
           "cast(n_outliers as bigint) as n_outliers")
         .orderBy("source")
     },
+
+    // PER-SOURCE ADAPTIVE QUALITY THRESHOLD (the curation move after
+    // scoring: "keep the top 60% of each source by quality" — a fixed
+    // global cutoff over-prunes clean sources and under-prunes noisy
+    // ones). Per-doc quality is x03's score; the per-source cutoff is
+    // the exact 40th-percentile score via the percentile_disc
+    // row-selection pattern (row ⌈0.4·n⌉ of the value-ordered
+    // partition — x45/r42's convention, doc_id tiebreak), broadcast
+    // back, then one keyed aggregation reports threshold/kept counts.
+    // Partitioned ranking windows scale with sources × group size; the
+    // threshold frame is #sources rows — always broadcastable.
+    "x59_source_quality_gate" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val q = graft.queries.Shared.temp(docs(s, dir)
+        .selectExpr("doc_id", "source", s"$sTokens as tk")
+        .selectExpr("doc_id", "source",
+          "cast(size(array_distinct(tk)) as double) / cast(size(tk) as double) as dr",
+          "least(cast(1 as double), cast(size(tk) as double) / cast(50 as double)) as ls")
+        .selectExpr("doc_id", "source", sRound6("dr * ls") + " as quality"))
+      val thr = q
+        .withColumn("rn", row_number().over(
+          w.partitionBy("source").orderBy(col("quality"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w.partitionBy("source")))
+        .filter("cast(rn as bigint) = cast(ceil(0.4 * n) as bigint)")
+        .select(col("source"), col("quality").as("thr"))
+      q.join(broadcast(thr), "source")
+        .groupBy("source")
+        .agg(max(col("thr")).as("q40_threshold"),
+          Tables.cnt.as("n_docs"),
+          sum(expr("case when quality >= thr then 1 else 0 end")).as("kept"))
+        .selectExpr("source", "q40_threshold", "n_docs",
+          "cast(kept as bigint) as n_kept",
+          sRound6("cast(kept as double) / cast(n_docs as double)") + " as kept_frac")
+        .orderBy("source")
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1124,5 +1167,21 @@ object TextAnalysis {
         |  CAST(SUM(CASE WHEN ad.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM ad JOIN mad USING (source)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "x59_source_quality_gate" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |    ${dRound6("(CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * least(CAST(1 AS DOUBLE), CAST(len(tk) AS DOUBLE) / CAST(50 AS DOUBLE))")} AS quality
+         |  FROM (SELECT doc_id, source, $dTokens AS tk FROM documents)),
+         |r AS (SELECT *,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality, doc_id) AS BIGINT) AS rn,
+         |        CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |      FROM q),
+         |thr AS (SELECT source, quality AS thr FROM r
+         |        WHERE rn = CAST(ceil(0.4 * n) AS BIGINT))
+         |SELECT q.source, MAX(thr) AS q40_threshold,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN quality >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  ${dRound6("CAST(SUM(CASE WHEN quality >= thr THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS kept_frac
+         |FROM q JOIN thr USING (source)
+         |GROUP BY q.source ORDER BY q.source""".stripMargin,
   )
 }

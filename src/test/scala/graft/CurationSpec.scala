@@ -1,0 +1,51 @@
+package graft
+
+/** Invariants for the round-6 curation operators: the x58 funnel (stage
+  * algebra a hash compare can't explain) and x59's per-source adaptive
+  * quality threshold. */
+class CurationSpec extends SparkSpec {
+
+  test("x58 funnel: stages monotone, stage 0 = corpus, stage 1 = exact reps") {
+    val rows = graft.llm.Dedup.queries("x58_curation_funnel")(spark, sf001)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("all", "exact_dedup", "quality_gate", "near_dedup"))
+    val nDocs = rows.map(_.getLong(2))
+    val nTok = rows.map(_.getLong(3))
+    // attrition is monotone: each stage is a subset of the previous
+    assert(nDocs.zip(nDocs.tail).forall { case (a, b) => b <= a })
+    assert(nTok.zip(nTok.tail).forall { case (a, b) => b <= a })
+    // stage 0 is the whole corpus; stage 1 is the exact-dedup rep count
+    // (one row per content fingerprint = x05's output cardinality)
+    val corpus = graft.queries.Tables.t(spark, sf001, "documents").count()
+    assert(nDocs(0) == corpus)
+    val x05 = graft.llm.Dedup.queries("x05_exact_dedup")(spark, sf001).count()
+    assert(nDocs(1) == x05)
+    // retention: exact ratio of each stage against stage 0
+    rows.foreach { r =>
+      val expect = math.rint(r.getLong(2).toDouble / corpus * 1e6) / 1e6
+      assert(math.abs(r.getDouble(4) - expect) < 1e-9)
+    }
+    assert(rows.last.getLong(2) > 0L) // the funnel keeps something
+  }
+
+  test("x59 source gate: threshold keeps >= 60% of each source, bounds hold") {
+    val rows = graft.llm.TextAnalysis.queries("x59_source_quality_gate")(
+      spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val nSources = graft.queries.Tables.t(spark, sf001, "documents")
+      .select("source").distinct().count()
+    assert(rows.length.toLong == nSources)
+    rows.foreach { r =>
+      val (thr, n, kept, frac) =
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(thr >= 0.0 && thr <= 1.0) // quality score is a product of ratios
+      // the cutoff row is ⌈0.4·n⌉: at least the top 60% survive (ties
+      // can only add), and never more than everything
+      assert(kept >= n - math.ceil(0.4 * n).toLong + 1)
+      assert(kept <= n)
+      assert(math.abs(frac - math.rint(kept.toDouble / n * 1e6) / 1e6) < 1e-9)
+    }
+  }
+}
