@@ -474,6 +474,38 @@ object TextAnalysis {
           sRound6("cast(nd as double) / cast(n_passages as double)") + " as dup_ratio")
         .orderBy("doc_id")
     },
+    // PASSAGE SCRUB (the cleaning step x39 only measures — CCNet-style
+    // line dedup): a 16-token passage instance survives iff it is the
+    // corpus-wide FIRST occurrence of its content (owner = min doc_id
+    // per passage hash, then min position inside that doc), so repeated
+    // boilerplate keeps exactly one copy. Per doc: passage/token counts
+    // before and after, and the scrubbed-token fraction. Same shapes as
+    // x39 (explode + two hash-keyed aggregations + join-back); only
+    // (doc, idx, hash, len) tuples ever shuffle, never text.
+    "x60_passage_scrub" -> { (s, dir) =>
+      val p = graft.queries.Shared.temp(docs(s, dir)
+        .selectExpr("doc_id", s"$sTokens as tk")
+        .selectExpr("doc_id", "size(tk) as n",
+          "posexplode(transform(sequence(0, cast(ceil(size(tk) / 16.0) as int) - 1), i -> concat_ws(' ', slice(tk, i * 16 + 1, 16)))) as (pidx, passage)")
+        .selectExpr("doc_id", "pidx", s"${sH("passage")} as ph",
+          "cast(least(16, n - pidx * 16) as bigint) as ptok"))
+      val firstDoc = p.groupBy("ph").agg(min(col("doc_id")).as("fd"))
+      val firstIdx = p.groupBy("ph", "doc_id").agg(min(col("pidx")).as("fi"))
+      p.join(firstDoc, "ph").join(firstIdx, Seq("ph", "doc_id"))
+        .withColumn("kept",
+          expr("case when doc_id = fd and pidx = fi then 1 else 0 end"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"),
+          sum(col("kept")).as("nk"),
+          sum(col("ptok")).as("n_tokens"),
+          sum(expr("kept * ptok")).as("kt"))
+        .selectExpr("doc_id", "n_passages",
+          "cast(nk as bigint) as n_kept",
+          "cast(n_tokens as bigint) as n_tokens",
+          "cast(kt as bigint) as kept_tokens",
+          sRound6("cast(n_tokens - kt as double) / cast(n_tokens as double)") + " as scrub_frac")
+        .orderBy("doc_id")
+    },
     // CORPUS NOVELTY SCORE — per-document fraction of its distinct
     // 3-gram shingles that the document INTRODUCES to the corpus
     // (first-seer = min doc_id per shingle; a stable tie-free owner).
@@ -1073,6 +1105,25 @@ object TextAnalysis {
          |  ${dRound6("CAST(SUM(CASE WHEN pf > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS dup_ratio
          |FROM c JOIN f USING (ph)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x60_passage_scrub" ->
+      s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
+         |p AS (SELECT doc_id, i AS pidx,
+         |        least(16, len(tk) - i * 16) AS ptok,
+         |        ${dH("array_to_string(tk[CAST(i*16+1 AS BIGINT) : CAST(i*16+16 AS BIGINT)], ' ')")} AS ph
+         |      FROM (SELECT doc_id, tk,
+         |              unnest(range(0, CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS i
+         |            FROM tkn)),
+         |fd AS (SELECT ph, MIN(doc_id) AS fd FROM p GROUP BY ph),
+         |fi AS (SELECT ph, doc_id, MIN(pidx) AS fi FROM p GROUP BY ph, doc_id),
+         |k AS (SELECT p.doc_id, p.ptok,
+         |        CASE WHEN p.doc_id = fd.fd AND p.pidx = fi.fi THEN 1 ELSE 0 END AS kept
+         |      FROM p JOIN fd USING (ph) JOIN fi ON p.ph = fi.ph AND p.doc_id = fi.doc_id)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+         |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+         |  CAST(SUM(ptok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(kept * ptok) AS BIGINT) AS kept_tokens,
+         |  ${dRound6("CAST(SUM(ptok) - SUM(kept * ptok) AS DOUBLE) / CAST(SUM(ptok) AS DOUBLE)")} AS scrub_frac
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x38_sliding_chunks" ->
       s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
          |n1 AS (SELECT doc_id, tk, len(tk) AS n FROM tkn),

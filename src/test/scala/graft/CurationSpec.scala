@@ -30,6 +30,32 @@ class CurationSpec extends SparkSpec {
     assert(rows.last.getLong(2) > 0L) // the funnel keeps something
   }
 
+  test("x60 passage scrub: bounds hold; reconciles with x39's dup measure") {
+    val rows = graft.llm.TextAnalysis.queries("x60_passage_scrub")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, nk, nt, kt, frac) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nk >= 0L && nk <= np)
+      assert(kt >= 0L && kt <= nt)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // corpus-wide: exactly one instance of each distinct passage survives
+    val distinctPassages = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr(s"${graft.llm.Frag.sTokens} as tk")
+      .selectExpr("explode(transform(sequence(0, cast(ceil(size(tk) / 16.0) as int) - 1), i -> concat_ws(' ', slice(tk, i * 16 + 1, 16)))) as passage")
+      .select("passage").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == distinctPassages)
+    // a doc whose passages are all corpus-unique (x39 dup_ratio = 0)
+    // must keep everything
+    val clean = graft.llm.TextAnalysis.queries("x39_passage_dedup")(spark, sf001)
+      .collect().filter(_.getDouble(3) == 0.0).map(_.getLong(0)).toSet
+    assert(clean.nonEmpty)
+    rows.filter(r => clean(r.getLong(0)))
+      .foreach(r => assert(r.getLong(2) == r.getLong(1)))
+  }
+
   test("x59 source gate: threshold keeps >= 60% of each source, bounds hold") {
     val rows = graft.llm.TextAnalysis.queries("x59_source_quality_gate")(
       spark, sf001).collect()
