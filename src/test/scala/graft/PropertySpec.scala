@@ -78,4 +78,18 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("PPM codec: decode(encode(bytes)) round-trips for any payload") {
+    check(Prop.forAll(Gen.choose(0, 400), Gen.choose(0, 255)) { (n, seed) =>
+      val raw = Array.tabulate(n)(i => ((i * 31 + seed) % 256).toByte)
+      val (w, h, maxval, px) =
+        graft.llm.Multimodal.decodePpm(graft.llm.Multimodal.encodePpm(n.toLong, raw))
+      w == 16 &&
+        h == math.max(1, math.ceil(n / 48.0).toInt) &&
+        maxval == 255 &&
+        px.length == w * h * 3 &&
+        px.take(n).toSeq == raw.toSeq &&
+        px.drop(n).forall(_ == 0)
+    })
+  }
 }
