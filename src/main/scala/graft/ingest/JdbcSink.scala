@@ -83,8 +83,14 @@ object JdbcSink {
   // quote the same way so `type`/`date` (reserved words) round-trip
   private def quote(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
 
-  private def tableExists(conn: Connection, table: String): Boolean =
-    Using.resource(conn.getMetaData.getTables(null, null, table, null))(_.next())
+  // getTables takes a LIKE pattern: a literal `_` (EXECUTE_DOCUMENTS!)
+  // would match any character — escape metacharacters for an exact match
+  private def tableExists(conn: Connection, table: String): Boolean = {
+    val esc = conn.getMetaData.getSearchStringEscape
+    val pat = table.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
+    Using.resource(conn.getMetaData.getTables(null, null, pat, null))(_.next())
+  }
 
   private def count(conn: Connection, table: String): Long =
     Using.resource(conn.createStatement()) { st =>
