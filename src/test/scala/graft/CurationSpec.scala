@@ -56,6 +56,22 @@ class CurationSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(2) == r.getLong(1)))
   }
 
+  test("plan shapes: no cartesian products; x59's threshold joins broadcast") {
+    // the funnel and the scrub compose keyed joins + anti joins only;
+    // x59's #sources-row threshold frame must reach the corpus as a
+    // broadcast, never a shuffle of the big side
+    val plans = Map(
+      "x58" -> graft.llm.Dedup.queries("x58_curation_funnel")(spark, sf001),
+      "x59" -> graft.llm.TextAnalysis.queries("x59_source_quality_gate")(spark, sf001),
+      "x60" -> graft.llm.TextAnalysis.queries("x60_passage_scrub")(spark, sf001))
+      .map { case (k, df) => k -> df.queryExecution.executedPlan.toString }
+    plans.foreach { case (k, p) =>
+      assert(!p.contains("CartesianProduct"), s"$k:\n${p.take(2000)}")
+    }
+    assert(plans("x59").contains("BroadcastHashJoin") ||
+      plans("x59").contains("BroadcastNestedLoopJoin"), plans("x59").take(2000))
+  }
+
   test("x59 source gate: threshold keeps >= 60% of each source, bounds hold") {
     val rows = graft.llm.TextAnalysis.queries("x59_source_quality_gate")(
       spark, sf001).collect()
