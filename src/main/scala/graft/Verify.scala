@@ -18,7 +18,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val trace = sys.env.get("GRAFT_VERIFY_TRACE").contains("1")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter: GRAFT_VERIFY_ONLY=x61_bloom_decontam,r59_…
+    // limits the dump to those queries (driver never sets it)
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       if (trace) System.err.println(s"[verify] >>> $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -60,6 +60,75 @@ object Dedup {
       .filter("size(shs) > 0")
   }
 
+  /** Bloom decontamination sizing (x61): 2^17 bits = 16 KB, 3 seeds.
+    * At the sf0.01 test-gram count (~15k grams × 3 positions) the fill
+    * stays under ~30%, a realistic regime with a nonzero — and, because
+    * the positions are md5-derived, fully deterministic — false-positive
+    * set that the oracle reproduces. */
+  private[llm] val BloomM = 1 << 17
+  private[llm] val BloomK = 3
+
+  /** doc_id, split bucket, distinct 8-gram set — shared by the x21
+    * semi-join scan and the x61 bloom scan (one cached copy, and x21
+    * reads it three times). */
+  private def splitGrams(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "split_grams") {
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("doc_id",
+          s"${sH("concat('split:', doc_id)")} % 100 as bucket",
+          s"${sLet(sTokens, "tk", sGrams8)} as gs")
+    }
+
+  /** x61's body, with the path made explicit so the spec can run both
+    * forms on one session and assert equality: `native` uses the
+    * BloomBitsAgg bitset + codegen'd probe; the fallback is the
+    * positions-subset semi-join (the bloom's defining equivalence, and
+    * the oracle's shape). */
+  private[graft] def bloomDecontam(
+      s: SparkSession, dir: String, native: Boolean): DataFrame = {
+    val m = BloomM; val k = BloomK
+    val grams = splitGrams(s, dir)
+    val trainDocs = grams.filter("bucket < 80").select("doc_id", "gs")
+    def posList(h: String) =
+      (0 until k).map(j => s"${sDerive(h, j)} % $m").mkString(", ")
+    val flagged =
+      if (native) {
+        val bloom = grams.filter("bucket >= 90")
+          .selectExpr("explode(gs) as g")
+          .selectExpr(s"${sH("g")} as h")
+          .agg(expr(s"bloom_bits(h, $m, $k)").as("bloom"))
+        trainDocs.selectExpr("doc_id", "explode(gs) as g")
+          .crossJoin(broadcast(bloom))
+          .selectExpr("doc_id", s"bloom_might_contain(bloom, ${sH("g")}, $k) as hit")
+          .filter("hit")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+      } else {
+        // composable fallback (no extension): count how many of the k
+        // derived positions each train gram finds among the distinct
+        // test-set positions — `all k set` ≡ bloom membership
+        val tpos = grams.filter("bucket >= 90")
+          .selectExpr("explode(gs) as g").distinct()
+          .selectExpr(s"${sH("g")} as h")
+          .selectExpr(s"explode(array(${posList("h")})) as p")
+          .distinct()
+        trainDocs.selectExpr("doc_id", "explode(gs) as g")
+          .selectExpr("doc_id", "g", s"${sH("g")} as h")
+          .selectExpr("doc_id", "g", s"explode(array(${posList("h")})) as p")
+          .join(tpos, "p")
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("nset"))
+          .filter(s"nset = $k")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+      }
+    trainDocs
+      .selectExpr("doc_id", "cast(size(gs) as bigint) as n_grams")
+      .join(flagged, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_grams",
+        "coalesce(n_flagged, cast(0 as bigint)) as n_flagged",
+        "coalesce(n_flagged, cast(0 as bigint)) > 0 as flagged")
+      .orderBy("doc_id")
+  }
+
   private def dMin(seed: Int) =
     s"MIN(${dDerive("h", seed)}) AS m$seed"
 
@@ -369,11 +438,7 @@ object Dedup {
     // the same stable hash as x19; the overlap check is an
     // inverted-index semi-join on 8-grams — never a pairwise compare.
     "x21_contamination" -> { (s, dir) =>
-      val grams = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .selectExpr("doc_id",
-          s"${sH("concat('split:', doc_id)")} % 100 as bucket",
-          s"${sLet(sTokens, "tk", sGrams8)} as gs")
+      val grams = splitGrams(s, dir)
       val train = grams.filter("bucket < 80")
         .selectExpr("explode(gs) as g").distinct()
       val testEx = grams.filter("bucket >= 90")
@@ -387,6 +452,52 @@ object Dedup {
           "coalesce(n_shared, cast(0 as bigint)) as n_shared",
           "coalesce(n_shared, cast(0 as bigint)) > 0 as contaminated")
         .orderBy("doc_id")
+    },
+
+    // BLOOM-FILTER DECONTAMINATION — x21's scan with the join turned
+    // inside out, the shape that actually survives 100 TB: x21 shuffles
+    // the corpus-sized train gram stream on the gram key; here the
+    // small fixed side (the benchmark/test grams) folds into one m-bit
+    // bitset (`plans.BloomBitsAgg`, merge = word-wise OR), that single
+    // row broadcasts, and the train corpus is probed MAP-SIDE by a
+    // codegen'd `bloom_might_contain` — the only corpus shuffle left is
+    // the per-doc count aggregation (map-side combined). No false
+    // negatives; false positives are a deterministic function of
+    // (test grams, m, k), so the DuckDB oracle reproduces the exact
+    // flag set via the positions-subset equivalence: "all k derived
+    // positions set" ≡ "all k positions ∈ the distinct test-position
+    // table". At m=2^17, k=3 the filter is 16 KB — at real scale m
+    // grows with the benchmark suite (a few GB broadcast once), never
+    // with the corpus.
+    "x61_bloom_decontam" -> { (s, dir) =>
+      bloomDecontam(s, dir, native = s.catalog.functionExists("bloom_bits"))
+    },
+
+    // MINHASH ESTIMATOR CALIBRATION — x35 grades the LSH *recall
+    // pipeline*; this grades the *estimator itself*: per candidate
+    // pair, the signature-agreement estimate ĵ = |{s : mₛ(A)=mₛ(B)}|/16
+    // (Broder: P[mₛ(A)=mₛ(B)] = J(A,B), so agreement is a 16-sample
+    // Bernoulli mean) against the exact jaccard, with the absolute
+    // error. The report tells you whether a re-banding decision (x35)
+    // is limited by banding or by signature width — at 100 TB you act
+    // on THIS before re-signing the corpus with more seeds. Rides the
+    // shared pair-stats + signature caches: the whole query is two
+    // broadcast-sized joins and scalar math over candidate pairs.
+    "x63_minhash_calibration" -> { (s, dir) =>
+      val sig = signatures(s, dir)
+      val sigA = sig.toDF("doc_a" +: (0 until Seeds).map(i => s"am$i"): _*)
+      val sigB = sig.toDF("doc_b" +: (0 until Seeds).map(i => s"bm$i"): _*)
+      val agree = (0 until Seeds).map(i => s"if(am$i = bm$i, 1, 0)").mkString(" + ")
+      pairStats(s, dir)
+        .select("doc_a", "doc_b", "inter", "na", "nb")
+        .join(sigA, "doc_a").join(sigB, "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          s"cast($agree as bigint) as n_agree",
+          s"$sJaccard as jaccard_exact")
+        .selectExpr("doc_a", "doc_b", "n_agree", "jaccard_exact",
+          sRound6(s"cast(n_agree as double) / cast($Seeds as double)") + " as jaccard_est",
+          sRound6(s"abs(cast(n_agree as double) / cast($Seeds as double) - jaccard_exact)") + " as abs_err")
+        .orderBy("doc_a", "doc_b")
     },
 
     // exact n-gram Jaccard via a df-pruned inverted-index join:
@@ -660,6 +771,65 @@ object Dedup {
          |  COALESCE(n_shared, 0) > 0 AS contaminated
          |FROM g0 LEFT JOIN shared ON g0.doc_id = shared.doc_id
          |WHERE bucket >= 90 ORDER BY g0.doc_id""".stripMargin,
+    "x63_minhash_calibration" -> {
+      val agree = (0 until Seeds)
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""$dShingled $dSig,
+         |bands AS (
+         |${(0 until 4).map(b => s"  SELECT doc_id, $b AS bi, ${dBandHash(b)} AS bh FROM sig")
+             .mkString("\n  UNION ALL\n")}),
+         |lcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bh = b.bh
+         |               AND a.doc_id < b.doc_id),
+         |rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh) WHERE df <= 8),
+         |rex AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare ON ex.sh = rare.sh),
+         |ecand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM rex a JOIN rex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |cand AS (SELECT doc_a, doc_b FROM lcand UNION SELECT doc_a, doc_b FROM ecand),
+         |st AS (SELECT doc_a, doc_b,
+         |         len(list_intersect(x.shs, y.shs)) AS inter,
+         |         len(x.shs) AS na, len(y.shs) AS nb
+         |       FROM cand JOIN shd x ON cand.doc_a = x.doc_id
+         |                 JOIN shd y ON cand.doc_b = y.doc_id),
+         |st2 AS (SELECT doc_a, doc_b,
+         |          ${dRound6("CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)")} AS jaccard_exact
+         |        FROM st),
+         |ag AS (SELECT cand.doc_a, cand.doc_b, $agree AS n_agree
+         |       FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+         |                 JOIN sig sb ON cand.doc_b = sb.doc_id)
+         |SELECT st2.doc_a, st2.doc_b, CAST(n_agree AS BIGINT) AS n_agree, jaccard_exact,
+         |  ${dRound6(s"CAST(n_agree AS DOUBLE) / CAST($Seeds AS DOUBLE)")} AS jaccard_est,
+         |  ${dRound6(s"abs(CAST(n_agree AS DOUBLE) / CAST($Seeds AS DOUBLE) - jaccard_exact)")} AS abs_err
+         |FROM st2 JOIN ag ON st2.doc_a = ag.doc_a AND st2.doc_b = ag.doc_b
+         |ORDER BY st2.doc_a, st2.doc_b""".stripMargin
+    },
+    "x61_bloom_decontam" -> {
+      val m = BloomM; val k = BloomK
+      s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
+         |g0 AS (SELECT doc_id, ${dH("concat('split:', doc_id)")} % 100 AS bucket,
+         |         $dGrams8 AS gs FROM tkn),
+         |tg AS (SELECT DISTINCT unnest(gs) AS g FROM g0 WHERE bucket >= 90),
+         |th AS (SELECT ${dH("g")} AS h FROM tg),
+         |tpos AS (SELECT DISTINCT p FROM (
+         |${(0 until k).map(j => s"  SELECT ${dDerive("h", j)} % $m AS p FROM th")
+             .mkString("\n  UNION ALL\n")})),
+         |train AS (SELECT doc_id, unnest(gs) AS g FROM g0 WHERE bucket < 80),
+         |trp AS (SELECT doc_id, g,
+         |  ${(0 until k).map(j => s"${dDerive(s"(${dH("g")})", j)} % $m AS p$j").mkString(", ")}
+         |  FROM train),
+         |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+         |  FROM trp
+         |  ${(0 until k).map(j => s"JOIN tpos t$j ON trp.p$j = t$j.p").mkString(" ")}
+         |  GROUP BY doc_id),
+         |ngr AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams
+         |        FROM g0 WHERE bucket < 80)
+         |SELECT ngr.doc_id, n_grams,
+         |  CAST(COALESCE(n_flagged, 0) AS BIGINT) AS n_flagged,
+         |  COALESCE(n_flagged, 0) > 0 AS flagged
+         |FROM ngr LEFT JOIN hits ON ngr.doc_id = hits.doc_id
+         |ORDER BY ngr.doc_id""".stripMargin
+    },
     "x10_jaccard_pairs" ->
       s"""$dShingled,
          |ex AS (SELECT doc_id, unnest(shs) AS sh FROM shd),

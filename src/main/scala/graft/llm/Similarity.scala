@@ -501,6 +501,41 @@ object Similarity {
         .orderBy("cluster_id")
     },
 
+    // ANN RECALL HARNESS — the tuning report behind every approximate
+    // index deployment (x35's role for LSH dedup, here for vector
+    // search): recall@k of each approximate method (IVF 2-probe,
+    // sign-LSH, PQ-ADC) against the exact brute-force top-k, per probe.
+    // This is how an operating point (nprobe, band width, code size) is
+    // chosen at 100 TB, where exact search corpus-wide is impossible
+    // but exact search for a PROBE SAMPLE is one broadcast scan — the
+    // recall measurement costs no more than the queries it grades
+    // (Jégou et al. 2011 report PQ quality exactly this way, recall@R
+    // over sampled queries). Composes the four existing pipelines —
+    // every shared stage (norms, bands, centroids, codebook) is reused
+    // from the session cache, so the harness adds only the overlap
+    // join of four tiny top-k lists.
+    "x62_ann_recall" -> { (s, dir) =>
+      val exact = Shared.temp(queries("x11_ann_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id")))
+      val appr = Seq("ivf" -> "x17_ivf_topk", "lsh" -> "x12_ann_lsh_topk",
+          "pq" -> "x49_pq_ann")
+        .map { case (m, q) => queries(q)(s, dir)
+          .select(lit(m).as("method"), col("query_id"), col("neighbor_id")) }
+        .reduce(_ union _)
+      val nEx = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      appr
+        .join(exact.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("method", "query_id")
+        .agg(count(lit(1)).as("n_approx"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit0"))
+        .join(broadcast(nEx), "query_id")
+        .selectExpr("method", "query_id", "n_approx",
+          "cast(n_hit0 as bigint) as n_hit", "n_exact",
+          sRound6("cast(n_hit0 as double) / cast(n_exact as double)") + " as recall_at_k")
+        .orderBy("method", "query_id")
+    },
+
     // per-label centroids: distributed vector mean via posexplode +
     // exact decimal partial aggregation on (label, dim)
     "x14_label_centroids" -> { (s, dir) =>
@@ -516,33 +551,97 @@ object Similarity {
     },
   )
 
+  /** x11/x12/x17/x49 oracle texts, factored out so the x62 recall
+    * harness can embed each one as a derived table. */
+  private val dX11Sql =
+    s"""$dSq,
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dCos AS cos_sim
+       |  FROM sq a JOIN sq b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked
+       |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
+  private val dX12Sql =
+    s"""$dSq $dBands,
+       |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |         FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+       |              AND a.vec_id < 8 AND b.vec_id <> a.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, $dCos AS cos_sim
+       |  FROM cand JOIN sq a ON cand.query_id = a.vec_id
+       |            JOIN sq b ON cand.neighbor_id = b.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked
+       |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
+  private val dX17Sql =
+    s"""WITH sq AS (SELECT vec_id, embedding, ${dSumSq("embedding")} AS sq FROM embeddings),
+       |cd AS (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+       |       FROM embeddings),
+       |cm AS (SELECT label, dim,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+       |       FROM cd GROUP BY label, dim),
+       |cent0 AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cm GROUP BY label),
+       |cent AS (SELECT clabel, cv, ${dSumSq64("cv")} AS csq FROM cent0),
+       |scored AS (SELECT vec_id, clabel,
+       |             (${dDotF64("sq.embedding", "cv")}) / sqrt(sq * csq) AS cosc
+       |           FROM sq CROSS JOIN cent),
+       |ranked AS (SELECT vec_id, clabel,
+       |             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosc DESC, clabel) AS rn
+       |           FROM scored),
+       |assign AS (SELECT vec_id AS neighbor_id, clabel FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, clabel FROM ranked WHERE vec_id < 8 AND rn <= 2),
+       |cand AS (SELECT DISTINCT query_id, neighbor_id
+       |         FROM probes JOIN assign USING (clabel)
+       |         WHERE query_id <> neighbor_id),
+       |scored2 AS (SELECT query_id, neighbor_id, $dCos AS cos_sim
+       |            FROM cand JOIN sq a ON cand.query_id = a.vec_id
+       |                      JOIN sq b ON cand.neighbor_id = b.vec_id),
+       |ranked2 AS (SELECT query_id, neighbor_id, cos_sim,
+       |              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+       |            FROM scored2)
+       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked2
+       |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
+  private val dX49Sql = {
+    val d2Chain = (1 to 8).map(j =>
+      s"(CAST(e.embedding[c.ss*8+$j] AS DOUBLE) - c.cw[$j])*(CAST(e.embedding[c.ss*8+$j] AS DOUBLE) - c.cw[$j])")
+      .mkString(" + ")
+    s"""WITH cd AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
+       |       FROM embeddings),
+       |cm AS (SELECT label, dim,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+       |       FROM cd GROUP BY label, dim),
+       |cb AS (SELECT label AS clabel, dim // 8 AS ss, list(c ORDER BY dim) AS cw
+       |       FROM cm GROUP BY label, dim // 8),
+       |enc AS (SELECT e.vec_id, c.ss, c.clabel, $d2Chain AS d2
+       |        FROM embeddings e CROSS JOIN cb c),
+       |codes AS (SELECT vec_id, ss, clabel AS code FROM (
+       |            SELECT vec_id, ss, clabel,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id, ss ORDER BY d2, clabel) AS rn
+       |            FROM enc) WHERE rn = 1),
+       |adc AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |          CAST(SUM(CAST(p.d2 AS DECIMAL(24,12))) AS DOUBLE) AS adc
+       |        FROM codes c JOIN enc p ON p.ss = c.ss AND p.clabel = c.code
+       |             AND p.vec_id < 8 AND c.vec_id <> p.vec_id
+       |        GROUP BY p.vec_id, c.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, adc,
+       |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS BIGINT) AS rk
+       |           FROM adc)
+       |SELECT query_id, neighbor_id, ${dRound6("adc")} AS adc_dist, rk
+       |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
-    "x11_ann_topk" ->
-      s"""$dSq,
-         |scored AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dCos AS cos_sim
-         |  FROM sq a JOIN sq b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos_sim,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked
-         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
-    "x12_ann_lsh_topk" ->
-      s"""$dSq $dBands,
-         |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-         |         FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
-         |              AND a.vec_id < 8 AND b.vec_id <> a.vec_id),
-         |scored AS (
-         |  SELECT query_id, neighbor_id, $dCos AS cos_sim
-         |  FROM cand JOIN sq a ON cand.query_id = a.vec_id
-         |            JOIN sq b ON cand.neighbor_id = b.vec_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos_sim,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked
-         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "x11_ann_topk" -> dX11Sql,
+    "x12_ann_lsh_topk" -> dX12Sql,
     "x13_cosine_neardup" ->
       s"""WITH reps AS (SELECT embedding, MIN(vec_id) AS vec_id
          |              FROM embeddings GROUP BY embedding),
@@ -559,34 +658,26 @@ object Similarity {
          |  FROM cand JOIN sq a ON cand.vec_a = a.vec_id
          |            JOIN sq b ON cand.vec_b = b.vec_id)
          |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
-    "x17_ivf_topk" ->
-      s"""WITH sq AS (SELECT vec_id, embedding, ${dSumSq("embedding")} AS sq FROM embeddings),
-         |cd AS (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
-         |       FROM embeddings),
-         |cm AS (SELECT label, dim,
-         |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
-         |       FROM cd GROUP BY label, dim),
-         |cent0 AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cm GROUP BY label),
-         |cent AS (SELECT clabel, cv, ${dSumSq64("cv")} AS csq FROM cent0),
-         |scored AS (SELECT vec_id, clabel,
-         |             (${dDotF64("sq.embedding", "cv")}) / sqrt(sq * csq) AS cosc
-         |           FROM sq CROSS JOIN cent),
-         |ranked AS (SELECT vec_id, clabel,
-         |             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosc DESC, clabel) AS rn
-         |           FROM scored),
-         |assign AS (SELECT vec_id AS neighbor_id, clabel FROM ranked WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, clabel FROM ranked WHERE vec_id < 8 AND rn <= 2),
-         |cand AS (SELECT DISTINCT query_id, neighbor_id
-         |         FROM probes JOIN assign USING (clabel)
-         |         WHERE query_id <> neighbor_id),
-         |scored2 AS (SELECT query_id, neighbor_id, $dCos AS cos_sim
-         |            FROM cand JOIN sq a ON cand.query_id = a.vec_id
-         |                      JOIN sq b ON cand.neighbor_id = b.vec_id),
-         |ranked2 AS (SELECT query_id, neighbor_id, cos_sim,
-         |              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
-         |            FROM scored2)
-         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked2
-         |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "x17_ivf_topk" -> dX17Sql,
+    "x62_ann_recall" ->
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($dX11Sql)),
+         |appr AS (
+         |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ($dX17Sql)
+         |  UNION ALL
+         |  SELECT 'lsh' AS method, query_id, neighbor_id FROM ($dX12Sql)
+         |  UNION ALL
+         |  SELECT 'pq' AS method, query_id, neighbor_id FROM ($dX49Sql)),
+         |nex AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id),
+         |h AS (SELECT method, a.query_id, COUNT(*) AS n_approx,
+         |        SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |      FROM appr a LEFT JOIN exact e
+         |        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |      GROUP BY method, a.query_id)
+         |SELECT method, h.query_id, CAST(n_approx AS BIGINT) AS n_approx,
+         |  CAST(n_hit AS BIGINT) AS n_hit, CAST(n_exact AS BIGINT) AS n_exact,
+         |  ${dRound6("CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE)")} AS recall_at_k
+         |FROM h JOIN nex ON h.query_id = nex.query_id
+         |ORDER BY method, h.query_id""".stripMargin,
     "x18_embedding_quantize" ->
       s"""WITH s1 AS (SELECT vec_id, embedding,
          |              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / CAST(127 AS DOUBLE) AS scale
@@ -693,34 +784,7 @@ object Similarity {
          |  ${dRound6("CAST(SUM(CAST(d2 AS DECIMAL(24,12))) AS DOUBLE)")} AS inertia
          |FROM fin GROUP BY cl ORDER BY cluster_id""".stripMargin
     },
-    "x49_pq_ann" -> {
-      val d2Chain = (1 to 8).map(j =>
-        s"(CAST(e.embedding[c.ss*8+$j] AS DOUBLE) - c.cw[$j])*(CAST(e.embedding[c.ss*8+$j] AS DOUBLE) - c.cw[$j])")
-        .mkString(" + ")
-      s"""WITH cd AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
-         |       FROM embeddings),
-         |cm AS (SELECT label, dim,
-         |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
-         |       FROM cd GROUP BY label, dim),
-         |cb AS (SELECT label AS clabel, dim // 8 AS ss, list(c ORDER BY dim) AS cw
-         |       FROM cm GROUP BY label, dim // 8),
-         |enc AS (SELECT e.vec_id, c.ss, c.clabel, $d2Chain AS d2
-         |        FROM embeddings e CROSS JOIN cb c),
-         |codes AS (SELECT vec_id, ss, clabel AS code FROM (
-         |            SELECT vec_id, ss, clabel,
-         |              ROW_NUMBER() OVER (PARTITION BY vec_id, ss ORDER BY d2, clabel) AS rn
-         |            FROM enc) WHERE rn = 1),
-         |adc AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |          CAST(SUM(CAST(p.d2 AS DECIMAL(24,12))) AS DOUBLE) AS adc
-         |        FROM codes c JOIN enc p ON p.ss = c.ss AND p.clabel = c.code
-         |             AND p.vec_id < 8 AND c.vec_id <> p.vec_id
-         |        GROUP BY p.vec_id, c.vec_id),
-         |ranked AS (SELECT query_id, neighbor_id, adc,
-         |             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS BIGINT) AS rk
-         |           FROM adc)
-         |SELECT query_id, neighbor_id, ${dRound6("adc")} AS adc_dist, rk
-         |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
-    },
+    "x49_pq_ann" -> dX49Sql,
     "x14_label_centroids" ->
       """SELECT label, dim,
         |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid,

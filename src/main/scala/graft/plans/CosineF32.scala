@@ -116,6 +116,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("l2_f32f64"),
       new ExpressionInfo(classOf[L2F32F64].getName, "l2_f32f64"),
       (children: Seq[Expression]) => L2F32F64(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_bits"),
+      new ExpressionInfo(classOf[BloomBitsAgg].getName, "bloom_bits"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "bloom_bits(hash, m, k)")
+        def lit(e: Expression): Int = {
+          require(e.foldable, "bloom_bits m/k must be literals")
+          e.eval(null).asInstanceOf[Number].intValue()
+        }
+        BloomBitsAgg(children.head, lit(children(1)), lit(children(2)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "bloom_might_contain(bloom, hash, k)")
+        require(children(2).foldable, "bloom_might_contain k must be a literal")
+        BloomMightContain(children(0), children(1),
+          children(2).eval(null).asInstanceOf[Number].intValue())
+      }))
     // whole-operator extension: two-phase top-k-per-key (partial heaps
     // before the exchange — see graft.plans.TopKPerKey), plus the
     // optimizer rule that routes the stock row_number+filter idiom to it

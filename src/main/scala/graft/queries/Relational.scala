@@ -568,6 +568,42 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // WINDOW FRAME EXCLUDE — the third window dialect gap (after r57
+    // DISTINCT-in-window and r58 GROUPS frames): DuckDB/postgres run
+    // `ROWS … EXCLUDE CURRENT ROW` and `RANGE … EXCLUDE TIES` natively,
+    // Spark has no EXCLUDE clause at all. Emulation is frame algebra —
+    // subtract what EXCLUDE removes from the inclusive frame:
+    //   EXCLUDE CURRENT ROW: frame_sum − own value, frame_count − 1
+    //     (the "peer-neighborhood mean" anomaly-score pattern: compare
+    //     each event to its ±3 neighbors WITHOUT self-contamination);
+    //   EXCLUDE TIES: running range_sum − ties_group_sum + own value
+    //     (keeps the current row, drops its order-key peers).
+    // All sums ride one decimal(20,2) cast, so subtraction is exact and
+    // both engines see identical values. Everything shares the user_id
+    // partition exchange — the emulation costs no extra shuffle, same
+    // as a native EXCLUDE would.
+    "r59_window_exclude" -> { (s, dir) =>
+      val byEvt = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val wN = byEvt.rowsBetween(-3, 3)
+      val wRun = Window.partitionBy("user_id").orderBy(col("day"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDay = Window.partitionBy("user_id", "day")
+      t(s, dir, "events")
+        .selectExpr("event_id", "user_id", "ts", "cast(ts as date) as day",
+          "cast(value as decimal(20,2)) as vdec")
+        .withColumn("sum_incl", sum(col("vdec")).over(wN))
+        .withColumn("n_incl", cnt.over(wN))
+        .withColumn("run_incl", sum(col("vdec")).over(wRun))
+        .withColumn("ties_sum", sum(col("vdec")).over(wDay))
+        .selectExpr("event_id", "user_id",
+          "cast(n_incl - 1 as bigint) as n_nbr",
+          "case when n_incl > 1 then cast(sum_incl - vdec as double) end as sum_nbr",
+          r6("case when n_incl > 1 then cast(sum_incl - vdec as double) / cast(n_incl - 1 as double) end") + " as avg_nbr",
+          "cast(run_incl - ties_sum + vdec as double) as sum_upto_excl_ties")
+        .orderBy("event_id")
+    },
+
     // bitwise + boolean aggregates (integer/boolean lattices are exact —
     // no floating-point, engine-order-free by algebra)
     "r53_bit_bool_agg" -> { (s, dir) =>
@@ -919,6 +955,24 @@ object Relational {
         |SELECT event_id, e.user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, n_2days, sum_2days
         |FROM events e JOIN f ON e.user_id = f.user_id AND CAST(e.ts AS DATE) = f.day
         |ORDER BY event_id""".stripMargin,
+    // the oracle runs the REAL EXCLUDE clause (DuckDB implements it) —
+    // the frame-algebra emulation above is cross-checked against native
+    // EXCLUDE semantics, not against a re-statement of itself
+    "r59_window_exclude" ->
+      s"""WITH e AS (SELECT event_id, user_id, ts, CAST(ts AS DATE) AS day,
+         |             CAST(value AS DECIMAL(20,2)) AS vdec FROM events)
+         |SELECT event_id, user_id,
+         |  CAST(COUNT(*) OVER wn AS BIGINT) AS n_nbr,
+         |  CAST(SUM(vdec) OVER wn AS DOUBLE) AS sum_nbr,
+         |  ${r6("CAST(SUM(vdec) OVER wn AS DOUBLE) / CAST(COUNT(*) OVER wn AS DOUBLE)")} AS avg_nbr,
+         |  CAST(SUM(vdec) OVER wt AS DOUBLE) AS sum_upto_excl_ties
+         |FROM e
+         |WINDOW
+         |  wn AS (PARTITION BY user_id ORDER BY ts, event_id
+         |         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW),
+         |  wt AS (PARTITION BY user_id ORDER BY day
+         |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES)
+         |ORDER BY event_id""".stripMargin,
     "r57_window_distinct" ->
       """SELECT event_id, user_id, event_type,
         |  CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id) AS BIGINT) AS n_types_user,

@@ -150,6 +150,58 @@ class Round6QuerySpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("x62 ANN recall: bounds hold and overlaps reconcile with the raw lists") {
+    val rows = graft.llm.Similarity.queries("x62_ann_recall")(spark, sf001)
+      .collect()
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq == Seq("ivf", "lsh", "pq"))
+    rows.foreach { r =>
+      val (nAppr, nHit, nEx) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nHit <= math.min(nAppr, nEx), s"overlap bound: $r")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // recompute one method's overlap directly from the two lists
+    val exact = graft.llm.Similarity.queries("x11_ann_topk")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.llm.Similarity.queries("x17_ivf_topk")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byProbe = ivf.groupBy(_._1).view.mapValues(_.count(exact)).toMap
+    rows.filter(_.getString(0) == "ivf").foreach { r =>
+      assert(r.getLong(3) == byProbe.getOrElse(r.getLong(1), 0).toLong,
+        s"ivf overlap of probe ${r.getLong(1)}")
+    }
+  }
+
+  test("r59 EXCLUDE emulation matches an in-memory frame reference") {
+    val out = graft.queries.Relational.queries("r59_window_exclude")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ev = graft.queries.Tables.t(spark, sf001, "events")
+      .selectExpr("event_id", "user_id", "ts", "cast(ts as date) as day",
+        "cast(value as decimal(20,2)) as v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDate(3),
+        BigDecimal(r.getDecimal(4))))
+    assert(out.size == ev.length)
+    ev.groupBy(_._2).values.foreach { rows =>
+      val sorted = rows.sortBy(r => (r._3.getTime, r._1))
+      sorted.zipWithIndex.foreach { case ((id, _, _, day, v), i) =>
+        val nbr = sorted.slice(math.max(0, i - 3), math.min(sorted.length, i + 4))
+          .filter(_._1 != id)
+        val r = out(id)
+        assert(r.getLong(2) == nbr.length.toLong, s"n_nbr of $id")
+        if (nbr.isEmpty) { assert(r.isNullAt(3)); assert(r.isNullAt(4)) }
+        else {
+          val sum = nbr.map(_._5).sum
+          assert(r.getDouble(3) == sum.toDouble, s"sum_nbr of $id")
+          assert(math.abs(r.getDouble(4) - sum.toDouble / nbr.length) < 1e-6,
+            s"avg_nbr of $id")
+        }
+        // EXCLUDE TIES: strictly-earlier days + the current row itself
+        val exclTies = sorted.filter(_._4.getTime < day.getTime).map(_._5).sum + v
+        assert(r.getDouble(5) == exclTies.toDouble, s"excl_ties of $id")
+      }
+    }
+  }
+
   test("r57 windowed distinct: running count converges to the partition count") {
     val rows = graft.queries.Relational.queries("r57_window_distinct")(spark, sf001)
       .collect()

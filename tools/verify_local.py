@@ -34,7 +34,8 @@ def norm(df):
     order = key.sort_values(by=list(key.columns), na_position="first").index
     return df.loc[order].reset_index(drop=True)
 
-for name in sorted(oracle):
+names = sys.argv[3].split(",") if len(sys.argv) > 3 else sorted(oracle)
+for name in names:
     sql = oracle[name]
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
