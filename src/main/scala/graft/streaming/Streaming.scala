@@ -125,6 +125,32 @@ object Streaming {
   ): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** Streaming decontamination gate — x61's broadcast-Bloom probe on an
+    * ingest stream: every document in each micro-batch is checked
+    * against a static Bloom bitset (one row, built once from the
+    * benchmark/test-set grams by `plans.BloomBitsAgg`) and annotated
+    * with its flagged-gram count, entirely map-side — no stream
+    * shuffle, no state, so the gate adds nothing to checkpoint size and
+    * scales with ingest parallelism alone. The static side re-resolves
+    * per micro-batch (same slowly-changing-dimension behavior as
+    * [[enrichEvents]]), which is how a refreshed benchmark suite takes
+    * effect without restarting the stream. Requires GraftExtensions
+    * (`bloom_might_contain`). */
+  def scrubStream(
+      docs: DataFrame, // streaming: (doc_id, text)
+      bloom: DataFrame, // static one-row: (bloom: array<bigint>)
+      seeds: Int = 3): DataFrame = {
+    import graft.llm.Frag._
+    docs.crossJoin(broadcast(bloom))
+      .selectExpr("doc_id", "text",
+        s"${sLet(sTokens, "tk", sGrams8)} as gs", "bloom")
+      .selectExpr("doc_id", "text",
+        "cast(size(gs) as bigint) as n_grams",
+        s"cast(size(filter(gs, g -> bloom_might_contain(bloom, ${sH("g")}, $seeds))) as bigint) as n_flagged")
+      .selectExpr("doc_id", "text", "n_grams", "n_flagged",
+        "n_flagged > 0 as flagged")
+  }
+
   /** Streaming replay dedup — the streaming twin of the R1 batch
     * window: at-least-once re-deliveries of the same document
     * (type,id,version,chunk) inside the watermark horizon are dropped

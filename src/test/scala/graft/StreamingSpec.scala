@@ -72,6 +72,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("scrubStream flags contaminated docs map-side against a static bloom") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Frag._
+    val banned = "the quick brown fox jumps over the lazy dog tonight" // 9+ tokens
+    // static side: bloom over the banned text's 8-grams
+    val bloom = Seq(banned).toDF("text")
+      .selectExpr(s"explode(${sLet(sTokens, "tk", sGrams8)}) as g")
+      .selectExpr(s"${sH("g")} as h")
+      .agg(org.apache.spark.sql.functions.expr("bloom_bits(h, 4096, 3) as bloom"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.scrubStream(mem.toDS().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("scrubbed")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, banned + " and more words follow here"), // contains banned 8-grams
+      (2L, "completely unrelated text with enough tokens to form many eight grams easily"),
+      (3L, "short")) // < 8 tokens → no grams
+    q.processAllAvailable()
+    val out = spark.table("scrubbed").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_flagged"), r.getAs[Boolean]("flagged"))).toMap
+    assert(out(1L)._3, "doc sharing the banned 8-grams must be flagged")
+    assert(out(1L)._2 > 0)
+    assert(!out(2L)._3, s"clean doc wrongly flagged: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, false)))
+    q.stop()
+  }
+
   test("stream-stream interval join matches views in the window; outer row after watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
