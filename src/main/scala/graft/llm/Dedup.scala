@@ -473,6 +473,31 @@ object Dedup {
       bloomDecontam(s, dir, native = s.catalog.functionExists("bloom_bits"))
     },
 
+    // DEDUP PRESSURE CURVE — the sizing report read BEFORE running a
+    // dedup campaign: the distribution of shingle document-frequencies
+    // over the RAW corpus (deliberately not the exact-rep-collapsed
+    // frame — byte-identical copies are exactly the pressure being
+    // measured). df=1 mass is unique text; the df≥2 tail is how much
+    // of the corpus is shared, and its shape picks the df-prune
+    // threshold the inverted-index joins (x10/x46/x48) run with. Two
+    // keyed aggregations (shingle → df, df → histogram) + a one-row
+    // total — the second aggregate and everything after are bounded by
+    // max(df), not data volume.
+    "x64_dedup_pressure" -> { (s, dir) =>
+      val ex = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("doc_id", s"${sLet(sTokens, "tk", sShingles)} as shs")
+        .selectExpr("explode(shs) as sh")
+      val byDf = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+        .groupBy("df").agg(count(lit(1)).as("n_shingles"))
+        .selectExpr("df", "n_shingles", "df * n_shingles as mass")
+      val tot = byDf.agg(sum(col("mass")).as("total_mass"))
+      byDf.crossJoin(broadcast(tot))
+        .selectExpr("df", "n_shingles", "mass",
+          sRound6("cast(mass as double) / cast(total_mass as double)") + " as mass_frac")
+        .orderBy("df")
+    },
+
     // MINHASH ESTIMATOR CALIBRATION — x35 grades the LSH *recall
     // pipeline*; this grades the *estimator itself*: per candidate
     // pair, the signature-agreement estimate ĵ = |{s : mₛ(A)=mₛ(B)}|/16
@@ -771,6 +796,17 @@ object Dedup {
          |  COALESCE(n_shared, 0) > 0 AS contaminated
          |FROM g0 LEFT JOIN shared ON g0.doc_id = shared.doc_id
          |WHERE bucket >= 90 ORDER BY g0.doc_id""".stripMargin,
+    "x64_dedup_pressure" ->
+      s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
+         |shd AS (SELECT doc_id, $dShingles AS shs FROM tkn),
+         |ex AS (SELECT unnest(shs) AS sh FROM shd),
+         |dfs AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY sh),
+         |bydf AS (SELECT df, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM dfs GROUP BY df),
+         |b2 AS (SELECT df, n_shingles, df * n_shingles AS mass FROM bydf),
+         |tot AS (SELECT SUM(mass) AS total_mass FROM b2)
+         |SELECT df, n_shingles, CAST(mass AS BIGINT) AS mass,
+         |  ${dRound6("CAST(mass AS DOUBLE) / CAST(total_mass AS DOUBLE)")} AS mass_frac
+         |FROM b2, tot ORDER BY df""".stripMargin,
     "x63_minhash_calibration" -> {
       val agree = (0 until Seeds)
         .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")

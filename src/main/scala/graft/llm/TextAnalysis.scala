@@ -45,6 +45,24 @@ object TextAnalysis {
       docs(s, dir).groupBy("source").agg(count(lit(1)).as("n_avail"))
     }
 
+  /** Corpus bigram stream (doc_id, prev, cur) — the base of the bigram
+    * LM family (x43 MLE, x65 Jelinek-Mercer). Tokens cannot contain
+    * whitespace (split on \s+), so the pair string splits back
+    * losslessly. Shared tier: one cached copy serves both scorers. */
+  private def bigramStream(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Shared.shared(s, dir, "bigram_stream") {
+      docs(s, dir)
+        .selectExpr("doc_id",
+          sLet(s"filter($sTokens, x -> x != '')", "tk",
+            """case when size(tk) >= 2
+              |  then transform(sequence(1, size(tk)-1),
+              |    i -> concat(element_at(tk,i), ' ', element_at(tk,i+1)))
+              |  else cast(array() as array<string>) end""".stripMargin) + " as gs")
+        .selectExpr("doc_id", "explode(gs) as g")
+        .selectExpr("doc_id", "split_part(g, ' ', 1) as prev",
+          "split_part(g, ' ', 2) as cur")
+    }
+
   private val langs = Seq(
     "en" -> Seq("the", "a", "and", "of", "to"),
     "fr" -> Seq("le", "la", "les", "et", "une"),
@@ -654,18 +672,7 @@ object TextAnalysis {
     // map-side-combined count aggregations and the per-doc mean).
     // Integer counts into ln ⇒ bit-identical across engines (x30).
     "x43_bigram_logprob" -> { (s, dir) =>
-      val bg = graft.queries.Shared.temp(docs(s, dir)
-        .selectExpr("doc_id",
-          sLet(s"filter($sTokens, x -> x != '')", "tk",
-            """case when size(tk) >= 2
-              |  then transform(sequence(1, size(tk)-1),
-              |    i -> concat(element_at(tk,i), ' ', element_at(tk,i+1)))
-              |  else cast(array() as array<string>) end""".stripMargin) + " as gs")
-        .selectExpr("doc_id", "explode(gs) as g")
-        // tokens cannot contain whitespace (split on \s+), so the pair
-        // string splits back losslessly
-        .selectExpr("doc_id", "split_part(g, ' ', 1) as prev",
-          "split_part(g, ' ', 2) as cur"))
+      val bg = bigramStream(s, dir)
       val cbg = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cbg"))
       val cu = bg.groupBy("prev").agg(count(lit(1)).as("cu"))
       val scored = bg
@@ -681,6 +688,45 @@ object TextAnalysis {
         .selectExpr("doc_id",
           "coalesce(n_bigrams, cast(0 as bigint)) as n_bigrams",
           sRound6("coalesce(m0, 0.0d)") + " as mean_nll")
+        .orderBy("doc_id")
+    },
+
+    // INTERPOLATED BIGRAM LM (Jelinek-Mercer smoothing, λ=0.5 — the
+    // standard fix for x43's MLE blowing up on held-out data: an unseen
+    // bigram scores -ln(0) under MLE, while JM backs off to the unigram
+    // marginal, p̂(cur|prev) = λ·c(prev,cur)/c(prev,·) + (1−λ)·c(cur)/N).
+    // Same scale shape as x43 — the corpus bigram stream shuffles only
+    // for its own count aggregations; the three count tables join back
+    // WITHOUT broadcast hints (bigram/unigram type counts grow with the
+    // corpus — the x54 rule: hint only genuinely bounded frames, let
+    // AQE broadcast at small SF); only the one-row corpus total is
+    // hinted. Exact integer ratios into identically-parenthesized
+    // arithmetic before one ln ⇒ engine-identical terms, decimal-summed
+    // means ⇒ order-free.
+    "x65_interpolated_lm" -> { (s, dir) =>
+      val bg = bigramStream(s, dir)
+      val cbg = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cbg"))
+      val cu = bg.groupBy("prev").agg(count(lit(1)).as("cu"))
+      val ctok = docTf(s, dir).groupBy("token").agg(sum(col("tf")).as("ctk"))
+        .withColumnRenamed("token", "cur")
+      val nTot = docTf(s, dir).agg(sum(col("tf")).as("n_corpus"))
+      val scored = bg
+        .join(cbg, Seq("prev", "cur"))
+        .join(cu, Seq("prev"))
+        .join(ctok, Seq("cur"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("nll", expr(
+          """-ln(0.5d * (cast(cbg as double) / cast(cu as double))
+            |  + 0.5d * (cast(ctk as double) / cast(n_corpus as double)))""".stripMargin))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("nll").cast(org.apache.spark.sql.types.DecimalType(24, 12)))
+            .cast("double") / count(lit(1)).cast("double")).as("m0"))
+      docs(s, dir).select("doc_id")
+        .join(scored, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "coalesce(n_bigrams, cast(0 as bigint)) as n_bigrams",
+          sRound6("coalesce(m0, 0.0d)") + " as mean_nll_jm")
         .orderBy("doc_id")
     },
 
@@ -1153,6 +1199,31 @@ object TextAnalysis {
          |       FROM sc GROUP BY doc_id)
          |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
          |  ${dRound6("COALESCE(m0, 0.0)")} AS mean_nll
+         |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "x65_interpolated_lm" ->
+      s"""WITH tkn AS (SELECT doc_id, list_filter($dTokens, x -> x <> '') AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |          i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS gs
+         |      FROM tkn),
+         |bg AS (SELECT doc_id, split_part(g2, ' ', 1) AS prev, split_part(g2, ' ', 2) AS cur
+         |       FROM (SELECT doc_id, unnest(gs) AS g2 FROM g)),
+         |cbg AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg GROUP BY prev, cur),
+         |cu AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cu FROM bg GROUP BY prev),
+         |toks AS (SELECT unnest(tk) AS tok FROM tkn),
+         |ctok AS (SELECT tok AS cur, CAST(COUNT(*) AS BIGINT) AS ctk FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM toks),
+         |sc AS (SELECT doc_id,
+         |         -ln(0.5 * (CAST(cbg AS DOUBLE) / CAST(cu AS DOUBLE))
+         |           + 0.5 * (CAST(ctk AS DOUBLE) / CAST(n_corpus AS DOUBLE))) AS nll
+         |       FROM bg JOIN cbg USING (prev, cur) JOIN cu USING (prev)
+         |            JOIN ctok USING (cur), tot),
+         |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |         CAST(SUM(CAST(nll AS DECIMAL(24,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m0
+         |       FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+         |  ${dRound6("COALESCE(m0, 0.0)")} AS mean_nll_jm
          |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "x44_dsir_weights" ->

@@ -182,6 +182,28 @@ object TimeSeries {
         .orderBy("event_type", "rk")
     },
 
+    // GAP FILL — forward-fill (LOCF, last observation carried forward)
+    // and backward-fill over a sparse series: IGNORE NULLS navigation,
+    // the standard repair for missing sensor/metric readings before
+    // resampling. Nulls are injected deterministically (event_id % 3)
+    // so both engines fill the identical holes; fills are pure value
+    // pass-through (no arithmetic) ⇒ hash-exact. Both directions ride
+    // the one user_id exchange: same-keyed windows differing only in
+    // frame/direction plan as a single sort, not two.
+    "r60_gap_fill" -> { (s, dir) =>
+      val byTs = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val back = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = byTs.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .selectExpr("event_id", "user_id", "ts",
+          "case when event_id % 3 = 0 then cast(null as double) else value end as v")
+        .withColumn("v_locf", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("v_bfill", first(col("v"), ignoreNulls = true).over(fwd))
+        .select("event_id", "user_id", "v", "v_locf", "v_bfill")
+        .orderBy("event_id")
+    },
+
     // PER-GROUP ARGMAX (mode): each user's most frequent event type,
     // ties broken lexicographically. groupBy + ranking window — the
     // count aggregation is map-side partial, the window shuffles only
@@ -200,6 +222,16 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "r60_gap_fill" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        |           FROM events)
+        |SELECT event_id, user_id, v,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf,
+        |  FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+        |FROM e ORDER BY event_id""".stripMargin,
     "r41_range_window" ->
       """SELECT user_id, event_id,
         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_win,

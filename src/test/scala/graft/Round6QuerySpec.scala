@@ -150,6 +150,65 @@ class Round6QuerySpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("r60 gap fill matches an in-memory LOCF/backfill reference") {
+    val out = graft.queries.TimeSeries.queries("r60_gap_fill")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ev = graft.queries.Tables.t(spark, sf001, "events")
+      .selectExpr("event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    ev.groupBy(_._2).values.foreach { rows =>
+      val sorted = rows.sortBy(r => (r._3.getTime, r._1))
+      val vs = sorted.map { case (id, _, _, v) =>
+        (id, if (id % 3 == 0) None else Some(v))
+      }
+      vs.indices.foreach { i =>
+        val (id, v) = vs(i)
+        val r = out(id)
+        assert(r.isNullAt(2) == v.isEmpty)
+        val locf = vs.take(i + 1).reverse.collectFirst { case (_, Some(x)) => x }
+        val bfill = vs.drop(i).collectFirst { case (_, Some(x)) => x }
+        def chk(col: Int, exp: Option[Double], what: String) = exp match {
+          case Some(x) => assert(!r.isNullAt(col) && r.getDouble(col) == x, s"$what of $id")
+          case None    => assert(r.isNullAt(col), s"$what of $id")
+        }
+        chk(3, locf, "v_locf"); chk(4, bfill, "v_bfill")
+      }
+    }
+  }
+
+  test("x64 dedup pressure: histogram reconciles with the raw shingle counts") {
+    val rows = graft.llm.Dedup.queries("x64_dedup_pressure")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1L) // df
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1), "mass = df * n_shingles")
+    }
+    // fractions partition the total mass (rounded per row)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < rows.length * 1e-6)
+    // Σ n_shingles = corpus distinct shingle count; Σ mass = (doc, shingle) pairs
+    import graft.llm.Frag._
+    val ex = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr(s"explode(${sLet(sTokens, "tk", sShingles)}) as sh")
+    assert(rows.map(_.getLong(1)).sum == ex.distinct().count())
+    assert(rows.map(_.getLong(2)).sum == ex.count())
+  }
+
+  test("x65 JM smoothing: bounded by the MLE score; bigram counts agree with x43") {
+    val jm = graft.llm.TextAnalysis.queries("x65_interpolated_lm")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val mle = graft.llm.TextAnalysis.queries("x43_bigram_logprob")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(jm.keySet == mle.keySet)
+    val ln2 = math.log(2.0)
+    jm.foreach { case (d, (n, nllJm)) =>
+      assert(n == mle(d)._1, s"bigram count of doc $d")
+      assert(nllJm >= 0.0) // p-hat <= 1
+      // p-hat >= λ·p_mle ⇒ nll_jm <= nll_mle + ln 2 (up to per-row rounding)
+      assert(nllJm <= mle(d)._2 + ln2 + 1e-5, s"JM bound violated for doc $d")
+    }
+  }
+
   test("x62 ANN recall: bounds hold and overlaps reconcile with the raw lists") {
     val rows = graft.llm.Similarity.queries("x62_ann_recall")(spark, sf001)
       .collect()
@@ -168,6 +227,23 @@ class Round6QuerySpec extends SparkSpec {
     rows.filter(_.getString(0) == "ivf").foreach { r =>
       assert(r.getLong(3) == byProbe.getOrElse(r.getLong(1), 0).toLong,
         s"ivf overlap of probe ${r.getLong(1)}")
+    }
+  }
+
+  test("x63 minhash calibration: agreement reconciles with the x06 signatures") {
+    val rows = graft.llm.Dedup.queries("x63_minhash_calibration")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    val sigs = graft.llm.Dedup.queries("x06_minhash_sigs")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    rows.foreach { r =>
+      val (a, b, nAgree) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nAgree >= 0 && nAgree <= 16)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0) // estimate
+      val direct = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+      assert(nAgree == direct.toLong, s"agreement of ($a,$b)")
+      // identical shingle sets hash to identical signatures
+      if (r.getDouble(3) == 1.0) assert(nAgree == 16L)
     }
   }
 
