@@ -473,6 +473,52 @@ object Dedup {
       bloomDecontam(s, dir, native = s.catalog.functionExists("bloom_bits"))
     },
 
+    // NEAR-DUP CROSS-SPLIT DECONTAMINATION — x21/x61 catch verbatim
+    // n-gram leakage; this catches the leakage n-grams miss: a test
+    // document that is an exact OR fuzzy copy of a train document
+    // (the GPT-3-report failure mode — eval examples surviving dedup
+    // because they differ by a header). Two levels, mirroring x32's
+    // canonicalization: (1) exact — the test doc's content fingerprint
+    // appears in train; (2) near — the doc's exact-dup representative
+    // has a verified jaccard ≥ 0.5 pair (either recall path of the
+    // shared pair-stats frame) with a representative of ≥ 1 train doc.
+    // Split assignment is x19's stable hash. Everything rides shared
+    // frames (fingerprints, pair stats); new work is fingerprint-keyed
+    // set algebra + one broadcast-sized join on rep ids — the corpus
+    // shuffles once on fp, never pairwise.
+    "x67_neardup_decontam" -> { (s, dir) =>
+      val d = Shared.temp(t(s, dir, "documents")
+        .selectExpr("doc_id", s"md5($sNorm) as fp",
+          s"${sH("concat('split:', doc_id)")} % 100 as bucket")
+        .selectExpr("doc_id", "fp",
+          "case when bucket < 80 then 'train' when bucket < 90 then 'val' else 'test' end as split"))
+      val rep = d.groupBy("fp").agg(min(col("doc_id")).as("rep_id"))
+      val dr = d.join(rep, "fp")
+      val trainFp = d.filter("split = 'train'").select("fp").distinct()
+        .withColumn("ex", lit(true))
+      val trainReps = dr.filter("split = 'train'")
+        .select(col("rep_id").as("nbr")).distinct()
+      val pairs = pairStats(s, dir)
+        .selectExpr("doc_a", "doc_b", s"$sJaccard as jaccard")
+        .filter("jaccard >= 0.5")
+      val sym = pairs.selectExpr("doc_a as ra", "doc_b as nbr", "jaccard")
+        .unionByName(pairs.selectExpr("doc_b as ra", "doc_a as nbr", "jaccard"))
+      val nearRep = sym.join(broadcast(trainReps), "nbr")
+        .groupBy(col("ra").as("rep_id"))
+        .agg(countDistinct(col("nbr")).as("n_near_train"),
+          max(col("jaccard")).as("best_jaccard"))
+      dr.filter("split = 'test'")
+        .join(broadcast(trainFp), Seq("fp"), "left")
+        .join(broadcast(nearRep), Seq("rep_id"), "left")
+        .selectExpr("doc_id",
+          "coalesce(ex, false) as exact_leak",
+          "n_near_train is not null as near_leak",
+          "coalesce(ex, false) or n_near_train is not null as leaked",
+          "coalesce(n_near_train, cast(0 as bigint)) as n_near_train",
+          "coalesce(best_jaccard, cast(0.0 as double)) as best_jaccard")
+        .orderBy("doc_id")
+    },
+
     // DEDUP PRESSURE CURVE — the sizing report read BEFORE running a
     // dedup campaign: the distribution of shingle document-frequencies
     // over the RAW corpus (deliberately not the exact-rep-collapsed
@@ -866,6 +912,49 @@ object Dedup {
          |FROM ngr LEFT JOIN hits ON ngr.doc_id = hits.doc_id
          |ORDER BY ngr.doc_id""".stripMargin
     },
+    "x67_neardup_decontam" ->
+      s"""$dShingled $dSig,
+         |bands AS (
+         |${(0 until 4).map(b => s"  SELECT doc_id, $b AS bi, ${dBandHash(b)} AS bh FROM sig")
+             .mkString("\n  UNION ALL\n")}),
+         |lcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bh = b.bh
+         |               AND a.doc_id < b.doc_id),
+         |rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh) WHERE df <= 8),
+         |rex AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare ON ex.sh = rare.sh),
+         |ecand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM rex a JOIN rex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |cand AS (SELECT doc_a, doc_b FROM lcand UNION SELECT doc_a, doc_b FROM ecand),
+         |st AS (SELECT doc_a, doc_b,
+         |         ${dRound6("CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / CAST(len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)) AS DOUBLE)")} AS jaccard
+         |       FROM cand JOIN shd x ON cand.doc_a = x.doc_id
+         |                 JOIN shd y ON cand.doc_b = y.doc_id),
+         |vp AS (SELECT doc_a, doc_b, jaccard FROM st WHERE jaccard >= 0.5),
+         |d AS (SELECT doc_id, md5($dNorm) AS fp,
+         |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |      FROM (SELECT doc_id, text, ${dH("concat('split:', doc_id)")} % 100 AS b
+         |            FROM documents)),
+         |rep AS (SELECT fp, MIN(doc_id) AS rep_id FROM d GROUP BY fp),
+         |dr AS (SELECT d.doc_id, d.fp, d.split, rep.rep_id FROM d JOIN rep USING (fp)),
+         |trainfp AS (SELECT DISTINCT fp FROM d WHERE split = 'train'),
+         |trainrep AS (SELECT DISTINCT rep_id AS nbr FROM dr WHERE split = 'train'),
+         |sym AS (SELECT doc_a AS ra, doc_b AS nbr, jaccard FROM vp
+         |        UNION ALL SELECT doc_b, doc_a, jaccard FROM vp),
+         |nearrep AS (SELECT ra AS rep_id,
+         |              CAST(COUNT(DISTINCT sym.nbr) AS BIGINT) AS n_near_train,
+         |              MAX(jaccard) AS best_jaccard
+         |            FROM sym JOIN trainrep t ON sym.nbr = t.nbr GROUP BY ra)
+         |SELECT dr.doc_id,
+         |  (tf.fp IS NOT NULL) AS exact_leak,
+         |  (nr.n_near_train IS NOT NULL) AS near_leak,
+         |  (tf.fp IS NOT NULL) OR (nr.n_near_train IS NOT NULL) AS leaked,
+         |  CAST(COALESCE(nr.n_near_train, 0) AS BIGINT) AS n_near_train,
+         |  COALESCE(nr.best_jaccard, 0.0) AS best_jaccard
+         |FROM dr LEFT JOIN trainfp tf ON dr.fp = tf.fp
+         |        LEFT JOIN nearrep nr ON dr.rep_id = nr.rep_id
+         |WHERE dr.split = 'test'
+         |ORDER BY dr.doc_id""".stripMargin,
     "x10_jaccard_pairs" ->
       s"""$dShingled,
          |ex AS (SELECT doc_id, unnest(shs) AS sh FROM shd),

@@ -45,6 +45,21 @@ object TextAnalysis {
       docs(s, dir).groupBy("source").agg(count(lit(1)).as("n_avail"))
     }
 
+  /** Non-overlapping 16-token passage instances — (doc_id, pidx,
+    * 60-bit content hash, token count) — the shared base of the
+    * passage-dedup family (x39 ratios, x60 scrub, x66 span merge).
+    * One tokenize + explode + hash for the whole family; only fixed-
+    * width tuples ever leave it, never passage text. */
+  private def passageFrame(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Shared.shared(s, dir, "passages") {
+      docs(s, dir)
+        .selectExpr("doc_id", s"$sTokens as tk")
+        .selectExpr("doc_id", "size(tk) as n",
+          "posexplode(transform(sequence(0, cast(ceil(size(tk) / 16.0) as int) - 1), i -> concat_ws(' ', slice(tk, i * 16 + 1, 16)))) as (pidx, passage)")
+        .selectExpr("doc_id", "pidx", s"${sH("passage")} as ph",
+          "cast(least(16, n - pidx * 16) as bigint) as ptok")
+    }
+
   /** Corpus bigram stream (doc_id, prev, cur) — the base of the bigram
     * LM family (x43 MLE, x65 Jelinek-Mercer). Tokens cannot contain
     * whitespace (split on \s+), so the pair string splits back
@@ -272,6 +287,33 @@ object TextAnalysis {
           "cast(floor(target_w * mix_total) as bigint) as n_sampled")
         .orderBy("source")
     },
+    // TEMPERATURE-SCALED MIXING — the multilingual/multi-source
+    // rebalancing rule (α-smoothed sampling, as in multilingual BERT /
+    // XLM: p_s ∝ n_s^α with α = 0.5): small sources get boosted above
+    // their natural share, large ones damped, without the hard
+    // uniform-target cliff of x31. Reports each source's natural token
+    // share, its temperature weight, and the boost factor. One keyed
+    // aggregation to source granularity; the α-power normalizer is a
+    // one-row broadcast. Exactness: sqrt is correctly rounded in IEEE
+    // 754 (identical on both engines), and the normalizing sum runs
+    // over decimal-cast terms, so it is order-free.
+    "x68_temperature_mix" -> { (s, dir) =>
+      val base = docs(s, dir)
+        .selectExpr("source", s"size($sTokens) as nt")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .selectExpr("source", "n_docs", "cast(n_tokens as bigint) as n_tokens")
+      val tot = base.agg(
+        sum(col("n_tokens")).as("tot_tokens"),
+        sum(expr("cast(sqrt(cast(n_tokens as double)) as decimal(24,12))"))
+          .cast("double").as("ssum"))
+      base.crossJoin(broadcast(tot))
+        .selectExpr("source", "n_docs", "n_tokens",
+          sRound6("cast(n_tokens as double) / cast(tot_tokens as double)") + " as natural_frac",
+          sRound6("sqrt(cast(n_tokens as double)) / ssum") + " as temp_w",
+          sRound6("(sqrt(cast(n_tokens as double)) / ssum) / (cast(n_tokens as double) / cast(tot_tokens as double))") + " as boost")
+        .orderBy("source")
+    },
     // LM-QUALITY PROXY (CCNet-style perplexity filtering, with a
     // corpus unigram model standing in for the external KenLM): each
     // doc scores mean -ln p(token) under corpus unigram frequencies —
@@ -478,11 +520,7 @@ object TextAnalysis {
     // documents whose CONTENT is borrowed even when the whole doc
     // fingerprint (x04/x05) is unique.
     "x39_passage_dedup" -> { (s, dir) =>
-      val passages = docs(s, dir)
-        .selectExpr("doc_id", s"$sTokens as tk")
-        .selectExpr("doc_id",
-          "posexplode(transform(sequence(0, cast(ceil(size(tk) / 16.0) as int) - 1), i -> concat_ws(' ', slice(tk, i * 16 + 1, 16)))) as (pidx, passage)")
-        .selectExpr("doc_id", "pidx", s"${sH("passage")} as ph")
+      val passages = passageFrame(s, dir)
       val freq = passages.groupBy("ph").agg(count(lit(1)).as("pf"))
       passages.join(freq, "ph")
         .groupBy("doc_id")
@@ -501,12 +539,7 @@ object TextAnalysis {
     // x39 (explode + two hash-keyed aggregations + join-back); only
     // (doc, idx, hash, len) tuples ever shuffle, never text.
     "x60_passage_scrub" -> { (s, dir) =>
-      val p = graft.queries.Shared.temp(docs(s, dir)
-        .selectExpr("doc_id", s"$sTokens as tk")
-        .selectExpr("doc_id", "size(tk) as n",
-          "posexplode(transform(sequence(0, cast(ceil(size(tk) / 16.0) as int) - 1), i -> concat_ws(' ', slice(tk, i * 16 + 1, 16)))) as (pidx, passage)")
-        .selectExpr("doc_id", "pidx", s"${sH("passage")} as ph",
-          "cast(least(16, n - pidx * 16) as bigint) as ptok"))
+      val p = passageFrame(s, dir)
       val firstDoc = p.groupBy("ph").agg(min(col("doc_id")).as("fd"))
       val firstIdx = p.groupBy("ph", "doc_id").agg(min(col("pidx")).as("fi"))
       p.join(firstDoc, "ph").join(firstIdx, Seq("ph", "doc_id"))
@@ -522,6 +555,38 @@ object TextAnalysis {
           "cast(n_tokens as bigint) as n_tokens",
           "cast(kt as bigint) as kept_tokens",
           sRound6("cast(n_tokens - kt as double) / cast(n_tokens as double)") + " as scrub_frac")
+        .orderBy("doc_id")
+    },
+    // DUPLICATED-SPAN MERGE — x39 counts duplicated passages; this
+    // merges ADJACENT duplicated passages into maximal contiguous
+    // spans per document (islands-and-gaps: pidx − dup-local
+    // row_number is constant within a run), the shape substring-dedup
+    // reports need: "this doc contains a 7-passage block seen
+    // elsewhere" reads very differently from "7 scattered dup
+    // passages". Span detection is a per-doc window over the
+    // duplicated rows only (dup rows ≤ passages per doc — partition-
+    // bounded); everything else is x39's shared shapes. Pure integer
+    // counts ⇒ exact.
+    "x66_dup_spans" -> { (s, dir) =>
+      val p = passageFrame(s, dir)
+      val freq = p.groupBy("ph").agg(count(lit(1)).as("pf"))
+      val dups = p.join(freq, "ph").filter("pf > 1")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pidx")
+      val spans = dups
+        .withColumn("grp", col("pidx") - row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(count(lit(1)).as("span_len"), min(col("pidx")).as("span_start"))
+      val perDoc = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          max(col("span_len")).as("max_span"),
+          sum(col("span_len")).as("nd"))
+      p.groupBy("doc_id").agg(count(lit(1)).as("n_passages"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "n_passages",
+          "coalesce(n_spans, cast(0 as bigint)) as n_spans",
+          "cast(coalesce(max_span, cast(0 as bigint)) as bigint) as max_span",
+          "cast(coalesce(nd, cast(0 as bigint)) as bigint) as n_dup_passages")
         .orderBy("doc_id")
     },
     // CORPUS NOVELTY SCORE — per-document fraction of its distinct
@@ -869,6 +934,31 @@ object TextAnalysis {
           sRound6("cast(kept as double) / cast(n_docs as double)") + " as kept_frac")
         .orderBy("source")
     },
+
+    // TOKEN-BUDGET SELECTION — "take the best documents until half the
+    // corpus tokens are spent": rank by quality (x03's score, doc_id
+    // tiebreak), walk the ordered token cumsum, keep while within
+    // budget. The global ordered prefix sum is ExactRank.
+    // withGlobalCumsum — range-repartition + partition-local running
+    // sums + an O(P) broadcast offset scan, never a partitionless
+    // window (a corpus-wide `SUM() OVER (ORDER BY …)` is the same
+    // one-task cliff as global NTILE). The budget is integer token
+    // arithmetic off the grand total the scan already produced ⇒ the
+    // kept set is engine-exact.
+    "x69_token_budget" -> { (s, dir) =>
+      val q = docs(s, dir)
+        .selectExpr("doc_id", s"$sTokens as tk")
+        .selectExpr("doc_id", "cast(size(tk) as bigint) as n_tokens",
+          "cast(size(array_distinct(tk)) as double) / cast(size(tk) as double) as dr",
+          "least(cast(1 as double), cast(size(tk) as double) / cast(50 as double)) as ls")
+        .selectExpr("doc_id", "n_tokens", sRound6("dr * ls") + " as quality")
+      graft.queries.ExactRank.withGlobalCumsum(q,
+          Seq(col("quality").desc, col("doc_id")), col("n_tokens"))
+        .filter("cum <= v_total div 2")
+        .selectExpr("doc_id", "quality", "n_tokens", "rank as rk",
+          "cum as cum_tokens")
+        .orderBy("doc_id")
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1041,6 +1131,19 @@ object TextAnalysis {
          |  ${dRound6("target_w * mix_total / CAST(n_avail AS DOUBLE)")} AS sample_rate,
          |  CAST(floor(target_w * mix_total) AS BIGINT) AS n_sampled
          |FROM m2 ORDER BY source""".stripMargin,
+    "x68_temperature_mix" ->
+      s"""WITH b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(SUM(len(tk)) AS BIGINT) AS n_tokens
+         |           FROM (SELECT source, $dTokens AS tk FROM documents)
+         |           GROUP BY source),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         |        CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(24,12))) AS DOUBLE) AS ssum
+         |      FROM b)
+         |SELECT source, n_docs, n_tokens,
+         |  ${dRound6("CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)")} AS natural_frac,
+         |  ${dRound6("sqrt(CAST(n_tokens AS DOUBLE)) / ssum")} AS temp_w,
+         |  ${dRound6("(sqrt(CAST(n_tokens AS DOUBLE)) / ssum) / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))")} AS boost
+         |FROM b, t ORDER BY source""".stripMargin,
     "x30_unigram_logprob" ->
       s"""WITH toks AS (SELECT doc_id, unnest($dTokens) AS token FROM documents),
          |t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
@@ -1170,6 +1273,31 @@ object TextAnalysis {
          |  CAST(SUM(kept * ptok) AS BIGINT) AS kept_tokens,
          |  ${dRound6("CAST(SUM(ptok) - SUM(kept * ptok) AS DOUBLE) / CAST(SUM(ptok) AS DOUBLE)")} AS scrub_frac
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x66_dup_spans" ->
+      s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
+         |p AS (SELECT doc_id, i AS pidx,
+         |        ${dH("array_to_string(tk[CAST(i*16+1 AS BIGINT) : CAST(i*16+16 AS BIGINT)], ' ')")} AS ph
+         |      FROM (SELECT doc_id, tk,
+         |              unnest(range(0, CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS i
+         |            FROM tkn)),
+         |freq AS (SELECT ph, CAST(COUNT(*) AS BIGINT) AS pf FROM p GROUP BY ph),
+         |d AS (SELECT p.doc_id, p.pidx FROM p JOIN freq USING (ph) WHERE pf > 1),
+         |g AS (SELECT doc_id, pidx,
+         |        pidx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pidx) AS grp
+         |      FROM d),
+         |sp AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS span_len
+         |       FROM g GROUP BY doc_id, grp),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |         MAX(span_len) AS max_span, SUM(span_len) AS nd
+         |       FROM sp GROUP BY doc_id),
+         |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages
+         |       FROM p GROUP BY doc_id)
+         |SELECT np.doc_id, n_passages,
+         |  CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(max_span, 0) AS BIGINT) AS max_span,
+         |  CAST(COALESCE(nd, 0) AS BIGINT) AS n_dup_passages
+         |FROM np LEFT JOIN pd ON np.doc_id = pd.doc_id
+         |ORDER BY np.doc_id""".stripMargin,
     "x38_sliding_chunks" ->
       s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
          |n1 AS (SELECT doc_id, tk, len(tk) AS n FROM tkn),
@@ -1305,5 +1433,17 @@ object TextAnalysis {
          |  ${dRound6("CAST(SUM(CASE WHEN quality >= thr THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS kept_frac
          |FROM q JOIN thr USING (source)
          |GROUP BY q.source ORDER BY q.source""".stripMargin,
+    "x69_token_budget" ->
+      s"""WITH q AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    ${dRound6("(CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * least(CAST(1 AS DOUBLE), CAST(len(tk) AS DOUBLE) / CAST(50 AS DOUBLE))")} AS quality
+         |  FROM (SELECT doc_id, $dTokens AS tk FROM documents)),
+         |c AS (SELECT doc_id, quality, n_tokens,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rk,
+         |        CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |        CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot
+         |      FROM q)
+         |SELECT doc_id, quality, n_tokens, rk, cum AS cum_tokens
+         |FROM c WHERE cum <= tot // 2 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -47,4 +47,51 @@ object ExactRank {
       .withColumn("rank", col("__off") + col("__lr"))
       .drop("__pid", "__lr", "__off")
   }
+
+  /** Exact global ordered prefix sum of an integer `valueCol` under a
+    * total order — the quota/budget-selection primitive ("take the best
+    * documents until the token budget is spent"), with the same no-
+    * global-window construction as `withGlobalRank`: range-repartition,
+    * a per-partition running sum (partition-bounded window), and an
+    * O(P) exclusive prefix scan over the ≤ P per-partition value sums,
+    * broadcast back. A partitionless `sum().over(Window.orderBy(...))`
+    * would funnel the corpus through one WindowExec task — this shape
+    * never materializes a global ordering anywhere.
+    *
+    * Adds `rank` (1-based bigint), `cum` (inclusive prefix sum of
+    * valueCol, bigint) and `v_total` (the grand total, bigint — the
+    * budget arithmetic usually needs it). Integer-exact by
+    * construction. */
+  def withGlobalCumsum(df: DataFrame, sortCols: Seq[Column],
+      valueCol: Column): DataFrame = {
+    val s = df.sparkSession
+    val base = Shared.temp(df
+      .withColumn("__v", valueCol.cast("bigint"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, sortCols: _*)
+      .withColumn("__pid", spark_partition_id()))
+    val c = base.groupBy("__pid")
+      .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__s"))
+    val offsets = c
+      .agg(sort_array(collect_list(struct(col("__pid"), col("__c"), col("__s")))).as("pc"))
+      .select(
+        expr("""aggregate(pc,
+          |  named_struct('rc', cast(0 as bigint), 'vc', cast(0 as bigint),
+          |    'out', cast(array() as array<struct<__pid:int,__roff:bigint,__voff:bigint>>)),
+          |  (s, x) -> named_struct('rc', s.rc + x.__c, 'vc', s.vc + x.__s,
+          |    'out', array_append(s.out,
+          |      named_struct('__pid', x.__pid, '__roff', s.rc, '__voff', s.vc))),
+          |  s -> s.out)""".stripMargin).as("po"),
+        expr("aggregate(pc, cast(0 as bigint), (s, x) -> s + x.__s)").as("v_total"))
+      .select(explode(col("po")).as("o"), col("v_total"))
+      .select(col("o.__pid").as("__pid"), col("o.__roff").as("__roff"),
+        col("o.__voff").as("__voff"), col("v_total"))
+    val wLocal = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    val wRun = wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("__lr", row_number().over(wLocal))
+      .withColumn("__lc", sum(col("__v")).over(wRun))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("rank", col("__roff") + col("__lr"))
+      .withColumn("cum", col("__voff") + col("__lc"))
+      .drop("__pid", "__lr", "__lc", "__roff", "__voff", "__v")
+  }
 }

@@ -204,6 +204,40 @@ object TimeSeries {
         .orderBy("event_id")
     },
 
+    // LINEAR INTERPOLATION — r60's gap fill upgraded from
+    // nearest-observation carry to time-weighted interpolation
+    // (the resampling repair when readings are continuous-valued):
+    // v(t) = v₀ + (v₁ − v₀)·(t − t₀)/(t₁ − t₀) between the bracketing
+    // non-null readings; LOCF/NOCB at the series edges. Holes are the
+    // same deterministic event_id % 3 set as r60. The bracketing
+    // values AND their timestamps come from four IGNORE NULLS
+    // navigations riding ONE user_id exchange (same-keyed windows
+    // differing only in direction plan one sort). Arithmetic is the
+    // identical IEEE expression text on both engines (integer μs
+    // diffs cast exactly to double), rounded via the decimal cast.
+    "r61_interp_fill" -> { (s, dir) =>
+      val byTs = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val back = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = byTs.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .selectExpr("event_id", "user_id", "ts", "unix_micros(ts) as us",
+          "case when event_id % 3 = 0 then cast(null as double) else value end as v")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("pus",
+          last(when(col("v").isNotNull, col("us")), ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+        .withColumn("nus",
+          first(when(col("v").isNotNull, col("us")), ignoreNulls = true).over(fwd))
+        .selectExpr("event_id", "user_id", "v",
+          """case when v is not null then v
+            |  when pv is null then nv
+            |  when nv is null then pv
+            |  else cast(cast(pv + (nv - pv) * (cast(us - pus as double) / cast(nus - pus as double)) as decimal(16,6)) as double)
+            |end as v_interp""".stripMargin)
+        .orderBy("event_id")
+    },
+
     // PER-GROUP ARGMAX (mode): each user's most frequent event type,
     // ties broken lexicographically. groupBy + ranking window — the
     // count aggregation is map-side partial, the window shuffles only
@@ -222,6 +256,27 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "r61_interp_fill" ->
+      """WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+        |             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        |           FROM events),
+        |n AS (SELECT event_id, user_id, us, v,
+        |  LAST_VALUE(v IGNORE NULLS) OVER wb AS pv,
+        |  LAST_VALUE(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER wb AS pus,
+        |  FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+        |  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER wf AS nus
+        |FROM e
+        |WINDOW wb AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, v,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE CAST(CAST(pv + (nv - pv) * (CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE)) AS DECIMAL(16,6)) AS DOUBLE)
+        |  END AS v_interp
+        |FROM n ORDER BY event_id""".stripMargin,
     "r60_gap_fill" ->
       """WITH e AS (SELECT event_id, user_id, ts,
         |             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v

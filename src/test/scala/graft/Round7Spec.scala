@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Invariants + in-memory references for the round-6 late additions:
+  * r61 linear interpolation, x66 duplicated-span merge, x67 near-dup
+  * cross-split decontamination, x68 temperature-scaled mixing, x69
+  * token-budget selection (the ExactRank.withGlobalCumsum client). */
+class Round7Spec extends SparkSpec {
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("r61 interpolation matches an in-memory reference") {
+    val out = graft.queries.TimeSeries.queries("r61_interp_fill")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ev = graft.queries.Tables.t(spark, sf001, "events")
+      .selectExpr("event_id", "user_id", "unix_micros(ts) as us", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    ev.groupBy(_._2).values.foreach { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val vs = sorted.map { case (id, _, us, v) =>
+        (id, us, if (id % 3 == 0) None else Some(v))
+      }
+      vs.indices.foreach { i =>
+        val (id, us, v) = vs(i)
+        val r = out(id)
+        assert(r.isNullAt(2) == v.isEmpty)
+        val prev = vs.take(i).reverse
+          .collectFirst { case (_, pus, Some(pv)) => (pus, pv) }
+        val next = vs.drop(i + 1)
+          .collectFirst { case (_, nus, Some(nv)) => (nus, nv) }
+        val expect: Option[Double] = v match {
+          case Some(x) => Some(x)
+          case None => (prev, next) match {
+            case (Some((pus, pv)), Some((nus, nv))) =>
+              Some(round6(pv + (nv - pv) *
+                ((us - pus).toDouble / (nus - pus).toDouble)))
+            case (Some((_, pv)), None) => Some(pv)
+            case (None, Some((_, nv))) => Some(nv)
+            case _ => None
+          }
+        }
+        expect match {
+          case Some(x) => assert(!r.isNullAt(3) && r.getDouble(3) == x,
+            s"v_interp of $id")
+          case None => assert(r.isNullAt(3), s"v_interp of $id")
+        }
+      }
+    }
+  }
+
+  test("x66 spans match an in-memory islands reference; reconcile with x39") {
+    import graft.llm.Frag._
+    val out = graft.llm.TextAnalysis.queries("x66_dup_spans")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // recompute duplicated positions from first principles
+    val p = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id", s"$sTokens as tk")
+      .selectExpr("doc_id",
+        "posexplode(transform(sequence(0, cast(ceil(size(tk) / 16.0) as int) - 1), i -> concat_ws(' ', slice(tk, i * 16 + 1, 16)))) as (pidx, passage)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val freq = p.groupBy(_._3).view.mapValues(_.size).toMap
+    p.groupBy(_._1).foreach { case (doc, rows) =>
+      val dups = rows.filter(r => freq(r._3) > 1).map(_._2).sorted
+      // islands: consecutive positions merge into one span
+      val spans = dups.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, i) if i == e0 + 1 => (s0, i) :: rest
+        case (acc, i) => (i, i) :: acc
+      }
+      val r = out(doc)
+      assert(r.getLong(1) == rows.size, s"n_passages of $doc")
+      assert(r.getLong(2) == spans.size, s"n_spans of $doc")
+      val maxSpan = if (spans.isEmpty) 0 else spans.map(s => s._2 - s._1 + 1).max
+      assert(r.getLong(3) == maxSpan, s"max_span of $doc")
+      assert(r.getLong(4) == dups.size, s"n_dup_passages of $doc")
+    }
+    // reconciliation: Σ n_dup_passages ≡ Σ x39.n_dup (same dup universe)
+    val x39 = graft.llm.TextAnalysis.queries("x39_passage_dedup")(spark, sf001)
+      .collect()
+    assert(out.values.map(_.getLong(4)).sum == x39.map(_.getLong(2)).sum)
+  }
+
+  test("x67 decontamination: exact flags reproducible; near implies verified pair") {
+    import graft.llm.Frag._
+    val rows = graft.llm.Dedup.queries("x67_neardup_decontam")(spark, sf001)
+      .collect()
+    val meta = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id", s"md5($sNorm) as fp",
+        s"${sH("concat('split:', doc_id)")} % 100 as bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val testDocs = meta.filter(_._3 >= 90).map(m => m._1 -> m._2).toMap
+    val trainFps = meta.filter(_._3 < 80).map(_._2).toSet
+    // one row per test doc, in order
+    assert(rows.map(_.getLong(0)).toSeq == testDocs.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val (id, exact, near, leaked) =
+        (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))
+      // exact_leak ≡ fingerprint present in train (bidirectional)
+      assert(exact == trainFps.contains(testDocs(id)), s"exact_leak of $id")
+      assert(leaked == (exact || near), s"leaked of $id")
+      if (near) {
+        assert(r.getLong(4) >= 1L, s"n_near_train of $id")
+        assert(r.getDouble(5) >= 0.5, s"best_jaccard of $id")
+      } else {
+        assert(r.getLong(4) == 0L && r.getDouble(5) == 0.0)
+      }
+    }
+    // the planted dup corpus leaks SOMETHING across the split — if this
+    // fires, the fixture moved and the query result is vacuous
+    assert(rows.exists(_.getBoolean(3)), "no leakage found at sf0.001")
+  }
+
+  test("x68 temperature mixing: weights normalize; boost strictly damps size") {
+    val rows = graft.llm.TextAnalysis.queries("x68_temperature_mix")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < n * 1e-6)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < n * 1e-6)
+    // boost = T / (S·√n_tok): strictly decreasing in source size
+    val bySize = rows.sortBy(_.getLong(2))
+    bySize.zip(bySize.tail).foreach { case (a, b) =>
+      if (a.getLong(2) < b.getLong(2))
+        assert(a.getDouble(5) >= b.getDouble(5),
+          s"boost not damping: ${a.getString(0)} vs ${b.getString(0)}")
+    }
+    // token totals reconcile with a direct count
+    val tot = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr(s"size(${graft.llm.Frag.sTokens}) as nt")
+      .agg(org.apache.spark.sql.functions.sum("nt")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum == tot)
+  }
+
+  test("x69 token budget: kept set = maximal quality-ordered prefix within budget") {
+    val out = graft.llm.TextAnalysis.queries("x69_token_budget")(spark, sf001)
+      .collect()
+    // reference: x03's quality, sorted, cumsum, budget = total/2
+    val q = graft.llm.TextAnalysis.queries("x03_quality_score")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(5)))
+    val total = q.map(_._2).sum
+    val budget = total / 2
+    val ordered = q.sortBy { case (id, _, qual) => (-qual, id) }
+    val cums = ordered.scanLeft(0L)(_ + _._2).tail
+    val expect = ordered.zip(cums).zipWithIndex
+      .takeWhile { case (((_, _, _), cum), _) => cum <= budget }
+      .map { case (((id, nt, qual), cum), i) => (id, qual, nt, i + 1L, cum) }
+      .sortBy(_._1)
+    assert(out.length == expect.length, s"${out.length} vs ${expect.length}")
+    out.zip(expect).foreach { case (r, (id, qual, nt, rk, cum)) =>
+      assert(r.getLong(0) == id)
+      assert(r.getDouble(1) == qual)
+      assert(r.getLong(2) == nt)
+      assert(r.getLong(3) == rk, s"rank of $id")
+      assert(r.getLong(4) == cum, s"cum of $id")
+    }
+    // the selection is maximal: the next-ranked doc would blow the budget
+    if (expect.length < q.length) {
+      val next = ordered(expect.length)
+      assert(cums(expect.length) > budget, s"not maximal past ${next._1}")
+    }
+  }
+
+  test("plan shapes: no cartesian products; cumsum offsets join keyed") {
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val p69 = planOf(
+      graft.llm.TextAnalysis.queries("x69_token_budget")(spark, sf001))
+    // the O(P) offset scan must reach the corpus via a keyed broadcast
+    // join — a nested-loop/cartesian means the counts-product regressed
+    assert(!p69.contains("CartesianProduct"), p69.take(2000))
+    assert(!p69.contains("BroadcastNestedLoopJoin"), p69.take(2000))
+    val p61 = planOf(
+      graft.queries.TimeSeries.queries("r61_interp_fill")(spark, sf001))
+    // all four IGNORE NULLS navigations ride ONE user_id exchange
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p61).length
+    assert(exchanges == 1, s"$exchanges user_id exchanges:\n${p61.take(2000)}")
+    for (name <- Seq("x66_dup_spans", "x68_temperature_mix")) {
+      val p = planOf(graft.llm.TextAnalysis.queries(name)(spark, sf001))
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(1500)}")
+    }
+    val p67 = planOf(
+      graft.llm.Dedup.queries("x67_neardup_decontam")(spark, sf001))
+    assert(!p67.contains("CartesianProduct"), p67.take(1500))
+    assert(!p67.contains("BroadcastNestedLoopJoin"), p67.take(1500))
+  }
+}
