@@ -519,6 +519,46 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // DETECTOR AGREEMENT MATRIX — the cross-validation report for the
+    // fuzzy-dedup stack: the Venn decomposition of the pair sets the
+    // three independent detectors flag (J = exact jaccard ≥ 0.5 over
+    // either recall path, S = simhash hamming ≤ 3, C = asymmetric
+    // containment ≥ 0.7). High J∩S with small symmetric differences
+    // says the thresholds are calibrated; a large C-only region says
+    // containment is catching subset dups the symmetric measures miss.
+    // One row out; the inputs are the already-cached pair-stats and
+    // simhash-pair frames, so the query itself is flag algebra over
+    // candidate-pair-sized data. Pure integer counts ⇒ exact.
+    "x70_dedup_agreement" -> { (s, dir) =>
+      val st = pairStats(s, dir)
+        .selectExpr("doc_a", "doc_b", s"$sJaccard as jac",
+          sRound6("cast(inter as double) / cast(na as double)") + " as ca",
+          sRound6("cast(inter as double) / cast(nb as double)") + " as cb")
+      val j = st.filter("jac >= 0.5").selectExpr("doc_a", "doc_b",
+        "1L as j", "0L as sp", "0L as c")
+      val cn = st.filter("ca >= 0.7 or cb >= 0.7").selectExpr("doc_a", "doc_b",
+        "0L as j", "0L as sp", "1L as c")
+      val sh = simhashPairs(s, dir).selectExpr("doc_a", "doc_b",
+        "0L as j", "1L as sp", "0L as c")
+      j.unionByName(cn).unionByName(sh)
+        .groupBy("doc_a", "doc_b")
+        .agg(max(col("j")).as("j"), max(col("sp")).as("sp"),
+          max(col("c")).as("c"))
+        .agg(count(lit(1)).as("n_any"),
+          sum(col("j")).as("n_jaccard"),
+          sum(col("sp")).as("n_simhash"),
+          sum(col("c")).as("n_containment"),
+          sum(col("j") * col("sp")).as("n_js"),
+          sum(col("j") * col("c")).as("n_jc"),
+          sum(col("sp") * col("c")).as("n_sc"),
+          sum(col("j") * col("sp") * col("c")).as("n_jsc"))
+        .selectExpr("n_any", "cast(n_jaccard as bigint) as n_jaccard",
+          "cast(n_simhash as bigint) as n_simhash",
+          "cast(n_containment as bigint) as n_containment",
+          "cast(n_js as bigint) as n_js", "cast(n_jc as bigint) as n_jc",
+          "cast(n_sc as bigint) as n_sc", "cast(n_jsc as bigint) as n_jsc")
+    },
+
     // DEDUP PRESSURE CURVE — the sizing report read BEFORE running a
     // dedup campaign: the distribution of shingle document-frequencies
     // over the RAW corpus (deliberately not the exact-rep-collapsed
@@ -955,6 +995,53 @@ object Dedup {
          |        LEFT JOIN nearrep nr ON dr.rep_id = nr.rep_id
          |WHERE dr.split = 'test'
          |ORDER BY dr.doc_id""".stripMargin,
+    "x70_dedup_agreement" ->
+      s"""$dShingled $dSig,
+         |bits AS (SELECT doc_id, b,
+         |           CASE WHEN 2*SUM((h >> b) & 1) > COUNT(*)
+         |                THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bv
+         |         FROM ex2, range(0, 60) r(b) GROUP BY doc_id, b),
+         |sh2 AS (SELECT doc_id, SUM(bv)::BIGINT AS simhash FROM bits GROUP BY doc_id),
+         |chunks AS (SELECT doc_id, simhash, cc AS ci, (simhash >> (15*cc)) & 32767 AS chunk
+         |           FROM sh2, range(0, 4) r2(cc)),
+         |spairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |           FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+         |                AND a.doc_id < b.doc_id
+         |           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |bands AS (
+         |${(0 until 4).map(b => s"  SELECT doc_id, $b AS bi, ${dBandHash(b)} AS bh FROM sig")
+             .mkString("\n  UNION ALL\n")}),
+         |lcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bh = b.bh
+         |               AND a.doc_id < b.doc_id),
+         |rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh) WHERE df <= 8),
+         |rex AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare ON ex.sh = rare.sh),
+         |ecand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM rex a JOIN rex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |cand AS (SELECT doc_a, doc_b FROM lcand UNION SELECT doc_a, doc_b FROM ecand),
+         |stx AS (SELECT doc_a, doc_b,
+         |          len(list_intersect(x.shs, y.shs)) AS inter,
+         |          len(x.shs) AS na, len(y.shs) AS nb
+         |        FROM cand JOIN shd x ON cand.doc_a = x.doc_id
+         |                  JOIN shd y ON cand.doc_b = y.doc_id),
+         |st2 AS (SELECT doc_a, doc_b,
+         |          ${dRound6("CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)")} AS jac,
+         |          ${dRound6("CAST(inter AS DOUBLE) / CAST(na AS DOUBLE)")} AS ca,
+         |          ${dRound6("CAST(inter AS DOUBLE) / CAST(nb AS DOUBLE)")} AS cb
+         |        FROM stx),
+         |u AS (SELECT doc_a, doc_b, 1 AS j, 0 AS sp, 0 AS c FROM st2 WHERE jac >= 0.5
+         |      UNION ALL SELECT doc_a, doc_b, 0, 0, 1 FROM st2 WHERE ca >= 0.7 OR cb >= 0.7
+         |      UNION ALL SELECT doc_a, doc_b, 0, 1, 0 FROM spairs),
+         |f AS (SELECT doc_a, doc_b, MAX(j) AS j, MAX(sp) AS sp, MAX(c) AS c
+         |      FROM u GROUP BY doc_a, doc_b)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_any,
+         |  CAST(SUM(j) AS BIGINT) AS n_jaccard,
+         |  CAST(SUM(sp) AS BIGINT) AS n_simhash,
+         |  CAST(SUM(c) AS BIGINT) AS n_containment,
+         |  CAST(SUM(j*sp) AS BIGINT) AS n_js, CAST(SUM(j*c) AS BIGINT) AS n_jc,
+         |  CAST(SUM(sp*c) AS BIGINT) AS n_sc, CAST(SUM(j*sp*c) AS BIGINT) AS n_jsc
+         |FROM f""".stripMargin,
     "x10_jaccard_pairs" ->
       s"""$dShingled,
          |ex AS (SELECT doc_id, unnest(shs) AS sh FROM shd),

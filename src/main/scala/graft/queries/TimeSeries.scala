@@ -238,6 +238,30 @@ object TimeSeries {
         .orderBy("event_id")
     },
 
+    // GAPS-AND-ISLANDS (activity streaks): per user, merge consecutive
+    // active calendar days into streaks and report count/longest — the
+    // classic retention/engagement reshaping neither engine has as a
+    // primitive. date − row_number is constant within a consecutive
+    // run, so streaks are one more keyed aggregation after the distinct
+    // — two shuffles total (user_id+day distinct, then user_id), the
+    // ranking window partition-bounded by user. Integer/date arithmetic
+    // only ⇒ engine-exact; the island key never leaves the plan.
+    "r62_day_streaks" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("d"))
+      val days = t(s, dir, "events")
+        .selectExpr("user_id", "cast(ts as date) as d").distinct()
+      days
+        .withColumn("rn", row_number().over(w))
+        .withColumn("grp", expr("date_sub(d, rn)"))
+        .groupBy("user_id", "grp").agg(cnt.as("len"))
+        .groupBy("user_id")
+        .agg(sum(col("len")).as("nd"), cnt.as("n_streaks"),
+          max(col("len")).as("max_streak"))
+        .selectExpr("user_id", "cast(nd as bigint) as n_active_days",
+          "n_streaks", "max_streak")
+        .orderBy("user_id")
+    },
+
     // PER-GROUP ARGMAX (mode): each user's most frequent event type,
     // ties broken lexicographically. groupBy + ranking window — the
     // count aggregation is map-side partial, the window shuffles only
@@ -256,6 +280,16 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "r62_day_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |g AS (SELECT user_id, d,
+        |        d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+        |      FROM d),
+        |st AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        |       FROM g GROUP BY user_id, grp)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks, MAX(len) AS max_streak
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
     "r61_interp_fill" ->
       """WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
         |             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v

@@ -162,6 +162,52 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("r62 streaks match an in-memory gaps-and-islands reference") {
+    val out = graft.queries.TimeSeries.queries("r62_day_streaks")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val days = graft.queries.Tables.t(spark, sf001, "events")
+      .selectExpr("user_id", "cast(ts as date) as d").distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byUser = days.groupBy(_._1)
+    assert(out.keySet == byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val ds = rows.map(_._2).sortBy(_.toEpochDay)
+      // consecutive days extend the current streak, gaps start a new one
+      var lens = List.empty[Long]
+      var prev: Option[java.time.LocalDate] = None
+      ds.foreach { d =>
+        if (prev.contains(d.minusDays(1))) lens = (lens.head + 1) :: lens.tail
+        else lens = 1L :: lens
+        prev = Some(d)
+      }
+      val r = out(u)
+      assert(r.getLong(1) == ds.size, s"n_active_days of $u")
+      assert(r.getLong(2) == lens.size, s"n_streaks of $u")
+      assert(r.getLong(3) == lens.max, s"max_streak of $u")
+    }
+  }
+
+  test("x70 agreement matrix reconciles with the per-detector pair lists") {
+    def pairs(module: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],
+        name: String): Set[(Long, Long)] =
+      module(name)(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val j = pairs(graft.llm.Dedup.queries, "x07_lsh_neardup_pairs") ++
+      pairs(graft.llm.Dedup.queries, "x10_jaccard_pairs")
+    val s = pairs(graft.llm.Dedup.queries, "x09_simhash_neardups")
+    val c = pairs(graft.llm.Dedup.queries, "x46_containment")
+    val r = graft.llm.Dedup.queries("x70_dedup_agreement")(spark, sf001)
+      .collect()(0)
+    assert(r.getLong(0) == (j ++ s ++ c).size, "n_any")
+    assert(r.getLong(1) == j.size, "n_jaccard")
+    assert(r.getLong(2) == s.size, "n_simhash")
+    assert(r.getLong(3) == c.size, "n_containment")
+    assert(r.getLong(4) == (j & s).size, "n_js")
+    assert(r.getLong(5) == (j & c).size, "n_jc")
+    assert(r.getLong(6) == (s & c).size, "n_sc")
+    assert(r.getLong(7) == (j & s & c).size, "n_jsc")
+  }
+
   test("plan shapes: no cartesian products; cumsum offsets join keyed") {
     def planOf(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.executedPlan.toString
