@@ -509,6 +509,57 @@ object TextAnalysis {
           sRound6("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))") + " as corr_xy")
     },
 
+    // HEAPS-LAW FIT — x40's companion corpus statistic: vocabulary
+    // growth V(N) ≈ k·N^β against tokens seen, measured on a 10-point
+    // prefix curve in stable doc_id order. β far from ~0.5 flags
+    // template/synthetic text (β→0: a fixed vocabulary recycled; β→1:
+    // gibberish never repeating). Prefix position comes from
+    // ExactRank (range-repartition, no global window); first-seen
+    // decile per token is one min over the shared tf frame; the
+    // 10-point cumulative runs as an O(10) aggregate scan on ONE
+    // collected row (the ExactRank offset idiom — no partitionless
+    // window, no 10×10 join). Integer counts into ln ⇒ engine-exact;
+    // the fit reuses x40's decimal-exact sufficient statistics.
+    "x71_heaps_law" -> { (s, dir) =>
+      val tf = docTf(s, dir)
+      val ranked = graft.queries.ExactRank.withGlobalRank(
+          docs(s, dir).select("doc_id"), Seq(col("doc_id")))
+        .selectExpr("doc_id", "cast((rank - 1) * 10 div n_total + 1 as bigint) as d")
+      val dtok = tf.groupBy("doc_id").agg(sum(col("tf")).as("nt"))
+      val aPer = ranked.join(dtok, Seq("doc_id"), "left")
+        .groupBy("d").agg(sum(expr("coalesce(nt, cast(0 as bigint))")).as("a"))
+      val vPer = tf.join(ranked, "doc_id")
+        .groupBy("token").agg(min(col("d")).as("fd"))
+        .groupBy(col("fd").as("d")).agg(count(lit(1)).as("v"))
+      val per = aPer.join(vPer, Seq("d"), "left")
+        .selectExpr("d", "a", "coalesce(v, cast(0 as bigint)) as v")
+      val curve = per
+        .agg(sort_array(collect_list(struct(col("d"), col("a"), col("v")))).as("pc"))
+        .selectExpr("""explode(aggregate(pc,
+          |  named_struct('ca', cast(0 as bigint), 'cv', cast(0 as bigint),
+          |    'out', cast(array() as array<struct<d:bigint,ca:bigint,cv:bigint>>)),
+          |  (acc, p) -> named_struct('ca', acc.ca + p.a, 'cv', acc.cv + p.v,
+          |    'out', array_append(acc.out,
+          |      named_struct('d', p.d, 'ca', acc.ca + p.a, 'cv', acc.cv + p.v))),
+          |  acc -> acc.out)) as pt""".stripMargin)
+        .selectExpr("pt.ca as ca", "pt.cv as cv")
+      curve
+        .selectExpr("ln(cast(ca as double)) as x", "ln(cast(cv as double)) as y",
+          "ca", "cv")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(expr("cast(x as decimal(24,12))")).cast("double").as("sx"),
+          sum(expr("cast(y as decimal(24,12))")).cast("double").as("sy"),
+          sum(expr("cast(x * y as decimal(24,12))")).cast("double").as("sxy"),
+          sum(expr("cast(x * x as decimal(24,12))")).cast("double").as("sxx"),
+          sum(expr("cast(y * y as decimal(24,12))")).cast("double").as("syy"),
+          max(col("ca")).as("tokens_total"), max(col("cv")).as("vocab_total"))
+        .selectExpr("cast(n as bigint) as n_points",
+          sRound6("(n * sxy - sx * sy) / (n * sxx - sx * sx)") + " as beta",
+          sRound6("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n") + " as intercept",
+          sRound6("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))") + " as corr_xy",
+          "tokens_total", "vocab_total")
+    },
+
     // PASSAGE-LEVEL EXACT DEDUP (the sub-document dedup CommonCrawl/
     // CCNet pipelines run on lines/paragraphs — here fixed 16-token
     // passages, since the corpus has no sentence punctuation): hash
@@ -1239,6 +1290,39 @@ object TextAnalysis {
          |  ${dRound6("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope,
          |  ${dRound6("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")} AS intercept,
          |  ${dRound6("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS corr_xy
+         |FROM st""".stripMargin,
+    "x71_heaps_law" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($dTokens) AS token FROM documents),
+         |t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         |rk AS (SELECT doc_id,
+         |         ((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) * 10)
+         |           // (COUNT(*) OVER ()) + 1 AS d
+         |       FROM documents),
+         |dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM t2 GROUP BY doc_id),
+         |ap AS (SELECT d, CAST(SUM(COALESCE(nt, 0)) AS BIGINT) AS a
+         |       FROM rk LEFT JOIN dt USING (doc_id) GROUP BY d),
+         |fs AS (SELECT token, MIN(d) AS fd FROM t2 JOIN rk USING (doc_id) GROUP BY token),
+         |vp AS (SELECT fd AS d, CAST(COUNT(*) AS BIGINT) AS v FROM fs GROUP BY fd),
+         |per AS (SELECT ap.d, a, COALESCE(v, 0) AS v FROM ap LEFT JOIN vp ON ap.d = vp.d),
+         |curve AS (SELECT d,
+         |            CAST(SUM(a) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+         |            CAST(SUM(v) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cv
+         |          FROM per),
+         |pts AS (SELECT ln(CAST(ca AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y, ca, cv
+         |        FROM curve),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |         CAST(SUM(CAST(x AS DECIMAL(24,12))) AS DOUBLE) AS sx,
+         |         CAST(SUM(CAST(y AS DECIMAL(24,12))) AS DOUBLE) AS sy,
+         |         CAST(SUM(CAST(x * y AS DECIMAL(24,12))) AS DOUBLE) AS sxy,
+         |         CAST(SUM(CAST(x * x AS DECIMAL(24,12))) AS DOUBLE) AS sxx,
+         |         CAST(SUM(CAST(y * y AS DECIMAL(24,12))) AS DOUBLE) AS syy,
+         |         MAX(ca) AS tokens_total, MAX(cv) AS vocab_total
+         |       FROM pts)
+         |SELECT CAST(n AS BIGINT) AS n_points,
+         |  ${dRound6("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS beta,
+         |  ${dRound6("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")} AS intercept,
+         |  ${dRound6("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS corr_xy,
+         |  tokens_total, vocab_total
          |FROM st""".stripMargin,
     "x39_passage_dedup" ->
       s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),

@@ -238,6 +238,41 @@ object TimeSeries {
         .orderBy("event_id")
     },
 
+    // GRID RESAMPLE (downsample to a regular calendar grid): one
+    // daily snapshot row per user per day in the user's active span,
+    // carrying the latest reading at-or-before each grid point and its
+    // staleness — the irregular→regular conversion every dashboard/
+    // feature-store pipeline runs. Spark-first shape: the grid is a
+    // per-user sequence() explode (no driver-side calendar), and the
+    // as-of fill is r35's tag+union+window — grid points and readings
+    // interleave on ONE user_id shuffle, so no per-grid-point subquery
+    // and no range join. Ties at a grid point resolve by (ts,
+    // event_id), deterministic on both engines (the oracle uses a
+    // LATERAL top-1, a completely different algorithm).
+    "r63_grid_resample" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val grid = e.groupBy("user_id")
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        .selectExpr("user_id",
+          "explode(sequence(date_trunc('DAY', t0), date_trunc('DAY', t1), interval 1 day)) as tm")
+        .selectExpr("user_id", "tm", "cast(1 as int) as tag",
+          "cast(null as double) as v", "cast(null as timestamp) as ets",
+          "cast(null as bigint) as eid")
+      val readings = e.selectExpr("user_id", "ts as tm", "cast(0 as int) as tag",
+        "value as v", "ts as ets", "event_id as eid")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tm"), col("tag"), col("eid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      readings.unionByName(grid)
+        .withColumn("v_asof", last(col("v"), ignoreNulls = true).over(w))
+        .withColumn("asof_ts", last(col("ets"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .selectExpr("user_id", "tm as grid_ts", "v_asof",
+          """case when asof_ts is null then cast(-1 as bigint)
+            |  else unix_micros(tm) - unix_micros(asof_ts) end as age_us""".stripMargin)
+        .orderBy("user_id", "grid_ts")
+    },
+
     // GAPS-AND-ISLANDS (activity streaks): per user, merge consecutive
     // active calendar days into streaks and report count/longest — the
     // classic retention/engagement reshaping neither engine has as a
@@ -280,6 +315,25 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // LATERAL top-1 per grid point — a structurally different
+    // algorithm than the Spark union+window plan (and deterministic
+    // under ts ties, unlike ASOF), so agreement is a real cross-check.
+    "r63_grid_resample" ->
+      """WITH b AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t0,
+        |             MAX(CAST(ts AS TIMESTAMP)) AS t1
+        |           FROM events GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(date_trunc('day', t0),
+        |             date_trunc('day', t1), INTERVAL 1 DAY)) AS grid_ts
+        |         FROM b)
+        |SELECT g.user_id, g.grid_ts, l.v AS v_asof,
+        |  CASE WHEN l.ts0 IS NULL THEN CAST(-1 AS BIGINT)
+        |       ELSE epoch_us(g.grid_ts) - epoch_us(l.ts0) END AS age_us
+        |FROM grid g LEFT JOIN LATERAL (
+        |  SELECT e.value AS v, e.ts AS ts0 FROM events e
+        |  WHERE e.user_id = g.user_id AND e.ts <= g.grid_ts
+        |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) l ON TRUE
+        |ORDER BY g.user_id, g.grid_ts""".stripMargin,
     "r62_day_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |g AS (SELECT user_id, d,

@@ -208,6 +208,85 @@ class Round7Spec extends SparkSpec {
     assert(r.getLong(7) == (j & s & c).size, "n_jsc")
   }
 
+  test("r63 grid resample matches an in-memory as-of reference") {
+    val out = graft.queries.TimeSeries.queries("r63_grid_resample")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime) -> r).toMap
+    val ev = graft.queries.Tables.t(spark, sf001, "events")
+      .selectExpr("event_id", "user_id", "unix_micros(ts) as us", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val dayUs = 86400000000L
+    var checked = 0
+    ev.groupBy(_._2).foreach { case (u, rows) =>
+      val t0 = rows.map(_._3).min / dayUs * dayUs
+      val t1 = rows.map(_._3).max / dayUs * dayUs
+      (t0 to t1 by dayUs).foreach { g =>
+        val r = out((u, g / 1000))
+        val prior = rows.filter(_._3 <= g)
+        if (prior.isEmpty) {
+          assert(r.isNullAt(2) && r.getLong(3) == -1L, s"empty as-of $u@$g")
+        } else {
+          val best = prior.maxBy(e => (e._3, e._1))
+          assert(r.getDouble(2) == best._4, s"v_asof $u@$g")
+          assert(r.getLong(3) == g - best._3, s"age_us $u@$g")
+        }
+        checked += 1
+      }
+    }
+    assert(checked == out.size, s"$checked grid points vs ${out.size} rows")
+  }
+
+  test("x71 Heaps fit reconciles with a from-scratch prefix curve") {
+    val r = graft.llm.TextAnalysis.queries("x71_heaps_law")(spark, sf001)
+      .collect()(0)
+    // rebuild the 10-point curve locally
+    val docs = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id", s"filter(${graft.llm.Frag.sTokens}, x -> x != '') as tk")
+      .collect().map(x => (x.getLong(0), x.getSeq[String](1)))
+      .sortBy(_._1)
+    val n = docs.length
+    def decile(rank: Int) = ((rank - 1) * 10) / n + 1
+    val perA = Array.fill(11)(0L)
+    val firstSeen = scala.collection.mutable.Map.empty[String, Int]
+    docs.zipWithIndex.foreach { case ((_, tk), i) =>
+      val d = decile(i + 1)
+      perA(d) += tk.size
+      tk.foreach(t => if (!firstSeen.contains(t) || firstSeen(t) > d)
+        firstSeen(t) = d)
+    }
+    val perV = Array.fill(11)(0L)
+    firstSeen.values.foreach(d => perV(d) += 1)
+    val (ca, cv) = ((1 to 10).scanLeft(0L)((s, d) => s + perA(d)).tail,
+      (1 to 10).scanLeft(0L)((s, d) => s + perV(d)).tail)
+    assert(r.getLong(0) == 10L)
+    assert(r.getLong(4) == ca.last, "tokens_total")
+    assert(r.getLong(5) == cv.last, "vocab_total")
+    // replicate the decimal-exact fit bit-for-bit
+    def d12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val xs = ca.map(c => math.log(c.toDouble))
+    val ys = cv.map(c => math.log(c.toDouble))
+    val nn = 10.0
+    val sx = xs.map(d12).sum.toDouble
+    val sy = ys.map(d12).sum.toDouble
+    val sxy = xs.zip(ys).map { case (x, y) => d12(x * y) }.sum.toDouble
+    val sxx = xs.map(x => d12(x * x)).sum.toDouble
+    val syy = ys.map(y => d12(y * y)).sum.toDouble
+    val beta = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    assert(r.getDouble(1) == round6(beta), "beta")
+    assert(r.getDouble(2) == round6((sy - beta * sx) / nn), "intercept")
+    assert(r.getDouble(3) == round6((nn * sxy - sx * sy) /
+      math.sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy))), "corr")
+    // Heaps regime: sublinear (β < 1). The synthetic corpus recycles a
+    // closed vocabulary, so β ≈ 0 here — exactly the template-text
+    // signal the statistic exists to flag; a natural corpus sits near
+    // β ≈ 0.5. Curve sanity: tokens strictly grow, vocabulary never
+    // shrinks.
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) < 1.0, s"beta ${r.getDouble(1)}")
+    assert(ca.zip(ca.tail).forall { case (a, b) => b > a }, "ca strictly grows")
+    assert(cv.zip(cv.tail).forall { case (a, b) => b >= a }, "cv non-decreasing")
+  }
+
   test("plan shapes: no cartesian products; cumsum offsets join keyed") {
     def planOf(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.executedPlan.toString
