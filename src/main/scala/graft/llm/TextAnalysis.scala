@@ -173,6 +173,29 @@ object TextAnalysis {
           sRound6("distinct_ratio * length_score") + " >= 0.2 as is_quality")
         .orderBy("doc_id")
     },
+    // CHARACTER-CLASS PROFILE — the script/garbage detector that runs
+    // before tokenization even makes sense (OCR noise, binary spill,
+    // wrong-script contamination): per-doc fractions of alphabetic /
+    // digit / space / other characters over the lowercased text, and
+    // the alpha-floor pass flag (encoding damage shows up as an
+    // "other" spike long before any token statistic moves). Pure
+    // per-row regex counting — codegen'd map, zero shuffle, linear in
+    // input splits. Integer counts into divisions ⇒ exact.
+    "x72_script_profile" -> { (s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", "lower(text) as lt")
+        .selectExpr("doc_id",
+          "cast(length(lt) as bigint) as n_chars",
+          "cast(length(regexp_replace(lt, '[^a-z]', '')) as bigint) as n_alpha",
+          "cast(length(regexp_replace(lt, '[^0-9]', '')) as bigint) as n_digit",
+          "cast(length(regexp_replace(lt, '[^ ]', '')) as bigint) as n_space")
+        .selectExpr("doc_id", "n_chars", "n_alpha", "n_digit", "n_space",
+          "n_chars - n_alpha - n_digit - n_space as n_other",
+          sRound6("cast(n_alpha as double) / cast(n_chars as double)") + " as alpha_frac",
+          sRound6("cast(n_chars - n_alpha - n_digit - n_space as double) / cast(n_chars as double)") + " as other_frac",
+          sRound6("cast(n_alpha as double) / cast(n_chars as double)") + " >= 0.6 as is_clean")
+        .orderBy("doc_id")
+    },
     // GOPHER-STYLE RULE FILTER (Rae et al. 2021, §A1.1 — the composite
     // hand-tuned gate production corpora run before any model-based
     // scoring): token-count bounds, mean-word-length bounds, a
@@ -1291,6 +1314,19 @@ object TextAnalysis {
          |  ${dRound6("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")} AS intercept,
          |  ${dRound6("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS corr_xy
          |FROM st""".stripMargin,
+    "x72_script_profile" ->
+      s"""SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
+         |  n_chars - n_alpha - n_digit - n_space AS n_other,
+         |  ${dRound6("CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)")} AS alpha_frac,
+         |  ${dRound6("CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / CAST(n_chars AS DOUBLE)")} AS other_frac,
+         |  ${dRound6("CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)")} >= 0.6 AS is_clean
+         |FROM (SELECT doc_id,
+         |        CAST(length(lt) AS BIGINT) AS n_chars,
+         |        CAST(length(regexp_replace(lt, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |        CAST(length(regexp_replace(lt, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         |        CAST(length(regexp_replace(lt, '[^ ]', '', 'g')) AS BIGINT) AS n_space
+         |      FROM (SELECT doc_id, lower(text) AS lt FROM documents))
+         |ORDER BY doc_id""".stripMargin,
     "x71_heaps_law" ->
       s"""WITH toks AS (SELECT doc_id, unnest($dTokens) AS token FROM documents),
          |t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),

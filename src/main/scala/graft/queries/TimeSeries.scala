@@ -238,6 +238,27 @@ object TimeSeries {
         .orderBy("event_id")
     },
 
+    // ROLLING MEDIAN (robust smoothing): exact median of the trailing
+    // 5 readings per user — the outlier-resistant alternative to r32's
+    // moving average that one spiked sensor reading cannot drag. Spark
+    // has no holistic window aggregate, so the frame materializes as a
+    // bounded collect_list (≤ 5 values — window state is constant, not
+    // partition-sized) sorted per row; the median is the ⌈n/2⌉-th
+    // order statistic (percentile_disc convention, r42's rule), a pure
+    // value passthrough ⇒ engine-exact. The DuckDB oracle uses its
+    // native QUANTILE_DISC *window* aggregate — a genuinely different
+    // implementation agreeing on the same order statistic.
+    "r64_rolling_median" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
+        .selectExpr("user_id", "event_id", "value",
+          "element_at(arr, cast((size(arr) + 1) div 2 as int)) as med5")
+        .orderBy("event_id")
+    },
+
     // GRID RESAMPLE (downsample to a regular calendar grid): one
     // daily snapshot row per user per day in the user's active span,
     // carrying the latest reading at-or-before each grid point and its
@@ -315,6 +336,12 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "r64_rolling_median" ->
+      """SELECT user_id, event_id, value,
+        |  QUANTILE_DISC(value, 0.5) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+        |FROM events ORDER BY event_id""".stripMargin,
     // LATERAL top-1 per grid point — a structurally different
     // algorithm than the Spark union+window plan (and deterministic
     // under ts ties, unlike ASOF), so agreement is a real cross-check.

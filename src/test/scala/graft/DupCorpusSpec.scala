@@ -76,4 +76,24 @@ class DupCorpusSpec extends SparkSpec {
     assert(duped == unique)
     assert(duped.nonEmpty)
   }
+
+  test("x70 agreement matrix is copy-invariant (all three detectors rep-level)") {
+    val unique = SparkEntry.queries("x70_dedup_agreement")(spark, sf001)
+      .collect()(0)
+    val duped = SparkEntry.queries("x70_dedup_agreement")(spark, dupDir)
+      .collect()(0)
+    (0 until 8).foreach(i =>
+      assert(duped.getLong(i) == unique.getLong(i), s"col $i inflated"))
+  }
+
+  test("x66 on the 3x corpus: every passage is duplicated, spans cover each doc") {
+    val rows = SparkEntry.queries("x66_dup_spans")(spark, dupDir).collect()
+    assert(rows.length == 1500)
+    rows.foreach { r =>
+      // all passages exist 3x corpus-wide -> one full-document span
+      assert(r.getLong(4) == r.getLong(1), s"doc ${r.getLong(0)} not fully dup")
+      assert(r.getLong(2) == 1L, s"doc ${r.getLong(0)} should be one span")
+      assert(r.getLong(3) == r.getLong(1), s"doc ${r.getLong(0)} max span")
+    }
+  }
 }

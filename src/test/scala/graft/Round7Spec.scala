@@ -287,6 +287,43 @@ class Round7Spec extends SparkSpec {
     assert(cv.zip(cv.tail).forall { case (a, b) => b >= a }, "cv non-decreasing")
   }
 
+  test("r64 rolling median matches an in-memory order-statistic reference") {
+    val out = graft.queries.TimeSeries.queries("r64_rolling_median")(spark, sf001)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val ev = graft.queries.Tables.t(spark, sf001, "events")
+      .selectExpr("event_id", "user_id", "unix_micros(ts) as us", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    ev.groupBy(_._2).values.foreach { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      sorted.indices.foreach { i =>
+        val frame = sorted.slice(math.max(0, i - 4), i + 1).map(_._4).sorted
+        val med = frame((frame.length + 1) / 2 - 1)
+        assert(out(sorted(i)._1) == med, s"med5 of event ${sorted(i)._1}")
+      }
+    }
+  }
+
+  test("x72 script profile counts every character exactly once") {
+    val rows = graft.llm.TextAnalysis.queries("x72_script_profile")(spark, sf001)
+      .collect()
+    val texts = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id", "lower(text) as lt").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val lt = texts(r.getLong(0))
+      assert(r.getLong(1) == lt.length.toLong)
+      assert(r.getLong(2) == lt.count(c => c >= 'a' && c <= 'z').toLong)
+      assert(r.getLong(3) == lt.count(c => c >= '0' && c <= '9').toLong)
+      assert(r.getLong(4) == lt.count(_ == ' ').toLong)
+      // the four classes partition the text
+      assert(r.getLong(5) ==
+        r.getLong(1) - r.getLong(2) - r.getLong(3) - r.getLong(4))
+      assert(r.getLong(5) >= 0L)
+    }
+  }
+
   test("plan shapes: no cartesian products; cumsum offsets join keyed") {
     def planOf(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.executedPlan.toString
