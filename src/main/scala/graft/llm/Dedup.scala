@@ -559,6 +559,43 @@ object Dedup {
           "cast(n_sc as bigint) as n_sc", "cast(n_jsc as bigint) as n_jsc")
     },
 
+    // QUALITY×DUPLICATION CALIBRATION CURVE — does low-quality text
+    // duplicate more? Per quality decile (x03's score, ranked via
+    // ExactRank — no global window), the canonical-assignment outcome
+    // mix (survivor / exact-dup / near-dup) and the decile's dedup
+    // rate. If the curve is flat, quality filtering and dedup are
+    // independent signals and both earn their pipeline slot; if dups
+    // concentrate in the bottom deciles, a quality gate FIRST shrinks
+    // the dedup job. Joins the corpus once against two cached frames
+    // (quality is a narrow map; canonical mapping is x32's); output is
+    // 10 rows. Integer counts into exact divisions.
+    "x73_quality_dup_curve" -> { (s, dir) =>
+      val q = t(s, dir, "documents")
+        .selectExpr("doc_id", s"$sTokens as tk")
+        .selectExpr("doc_id",
+          "cast(size(array_distinct(tk)) as double) / cast(size(tk) as double) as dr",
+          "least(cast(1 as double), cast(size(tk) as double) / cast(50 as double)) as ls")
+        .selectExpr("doc_id", sRound6("dr * ls") + " as quality")
+      val ranked = graft.queries.ExactRank.withGlobalRank(q,
+          Seq(col("quality"), col("doc_id")))
+        .selectExpr("doc_id", "quality",
+          "cast((rank - 1) * 10 div n_total + 1 as bigint) as decile")
+      canonicalDocs(s, dir).join(ranked, "doc_id")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("case when reason = 'self' then 1 else 0 end")).as("ns"),
+          sum(expr("case when reason = 'exact' then 1 else 0 end")).as("ne"),
+          sum(expr("case when reason = 'near' then 1 else 0 end")).as("nn"),
+          min(col("quality")).as("q_min"), max(col("quality")).as("q_max"))
+        .selectExpr("decile", "n_docs",
+          "cast(ns as bigint) as n_self",
+          "cast(ne as bigint) as n_exact",
+          "cast(nn as bigint) as n_near",
+          sRound6("cast(n_docs - ns as double) / cast(n_docs as double)") + " as dup_rate",
+          "q_min", "q_max")
+        .orderBy("decile")
+    },
+
     // DEDUP PRESSURE CURVE — the sizing report read BEFORE running a
     // dedup campaign: the distribution of shingle document-frequencies
     // over the RAW corpus (deliberately not the exact-rep-collapsed
@@ -995,6 +1032,22 @@ object Dedup {
          |        LEFT JOIN nearrep nr ON dr.rep_id = nr.rep_id
          |WHERE dr.split = 'test'
          |ORDER BY dr.doc_id""".stripMargin,
+    "x73_quality_dup_curve" ->
+      s"""WITH q AS (SELECT doc_id,
+         |    ${dRound6("(CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * least(CAST(1 AS DOUBLE), CAST(len(tk) AS DOUBLE) / CAST(50 AS DOUBLE))")} AS quality
+         |  FROM (SELECT doc_id, $dTokens AS tk FROM documents)),
+         |rk AS (SELECT doc_id, quality,
+         |         ((ROW_NUMBER() OVER (ORDER BY quality, doc_id) - 1) * 10)
+         |           // (COUNT(*) OVER ()) + 1 AS decile
+         |       FROM q)
+         |SELECT rk.decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(SUM(CASE WHEN reason = 'self' THEN 1 END), 0) AS BIGINT) AS n_self,
+         |  CAST(COALESCE(SUM(CASE WHEN reason = 'exact' THEN 1 END), 0) AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(SUM(CASE WHEN reason = 'near' THEN 1 END), 0) AS BIGINT) AS n_near,
+         |  ${dRound6("CAST(COUNT(*) - COALESCE(SUM(CASE WHEN reason = 'self' THEN 1 END), 0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS dup_rate,
+         |  MIN(rk.quality) AS q_min, MAX(rk.quality) AS q_max
+         |FROM ($x32OracleSql) c JOIN rk ON c.doc_id = rk.doc_id
+         |GROUP BY rk.decile ORDER BY rk.decile""".stripMargin,
     "x70_dedup_agreement" ->
       s"""$dShingled $dSig,
          |bits AS (SELECT doc_id, b,

@@ -182,13 +182,23 @@ object TextAnalysis {
     // per-row regex counting — codegen'd map, zero shuffle, linear in
     // input splits. Integer counts into divisions ⇒ exact.
     "x72_script_profile" -> { (s, dir) =>
-      docs(s, dir)
-        .selectExpr("doc_id", "lower(text) as lt")
-        .selectExpr("doc_id",
-          "cast(length(lt) as bigint) as n_chars",
-          "cast(length(regexp_replace(lt, '[^a-z]', '')) as bigint) as n_alpha",
-          "cast(length(regexp_replace(lt, '[^0-9]', '')) as bigint) as n_digit",
-          "cast(length(regexp_replace(lt, '[^ ]', '')) as bigint) as n_space")
+      // fused one-pass census when GraftExtensions is installed; the
+      // 4-regex-pass composable chain otherwise (identical output —
+      // CharClassSpec proves bit parity)
+      val counts =
+        if (s.catalog.functionExists("charclass_counts"))
+          docs(s, dir)
+            .selectExpr("doc_id", "charclass_counts(lower(text)) as c")
+            .selectExpr("doc_id", "c.n_chars as n_chars", "c.n_alpha as n_alpha",
+              "c.n_digit as n_digit", "c.n_space as n_space")
+        else docs(s, dir)
+          .selectExpr("doc_id", "lower(text) as lt")
+          .selectExpr("doc_id",
+            "cast(length(lt) as bigint) as n_chars",
+            "cast(length(regexp_replace(lt, '[^a-z]', '')) as bigint) as n_alpha",
+            "cast(length(regexp_replace(lt, '[^0-9]', '')) as bigint) as n_digit",
+            "cast(length(regexp_replace(lt, '[^ ]', '')) as bigint) as n_space")
+      counts
         .selectExpr("doc_id", "n_chars", "n_alpha", "n_digit", "n_space",
           "n_chars - n_alpha - n_digit - n_space as n_other",
           sRound6("cast(n_alpha as double) / cast(n_chars as double)") + " as alpha_frac",

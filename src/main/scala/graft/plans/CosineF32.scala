@@ -117,6 +117,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[L2F32F64].getName, "l2_f32f64"),
       (children: Seq[Expression]) => L2F32F64(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("charclass_counts"),
+      new ExpressionInfo(classOf[CharClassCounts].getName, "charclass_counts"),
+      (children: Seq[Expression]) => CharClassCounts(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_bits"),
       new ExpressionInfo(classOf[BloomBitsAgg].getName, "bloom_bits"),
       (children: Seq[Expression]) => {

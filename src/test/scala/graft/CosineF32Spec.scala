@@ -127,4 +127,31 @@ class CosineF32Spec extends SparkSpec {
     assert(df.selectExpr("cosine_f32(a, b)").head.getDouble(0) == 1.0)
     assert(df.selectExpr("cosine_f32(a, cast(null as array<float>))").head.isNullAt(0))
   }
+
+  test("charclass_counts matches the 4-pass regexp chain, incl. multi-byte UTF-8") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    def check(src: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = src
+        .selectExpr("charclass_counts(lower(text)) as c", "lower(text) as lt")
+        .selectExpr("c.n_chars", "c.n_alpha", "c.n_digit", "c.n_space",
+          "cast(length(lt) as bigint) as e_chars",
+          "cast(length(regexp_replace(lt, '[^a-z]', '')) as bigint) as e_alpha",
+          "cast(length(regexp_replace(lt, '[^0-9]', '')) as bigint) as e_digit",
+          "cast(length(regexp_replace(lt, '[^ ]', '')) as bigint) as e_space")
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getLong(0) == r.getLong(4), "n_chars")
+        assert(r.getLong(1) == r.getLong(5), "n_alpha")
+        assert(r.getLong(2) == r.getLong(6), "n_digit")
+        assert(r.getLong(3) == r.getLong(7), "n_space")
+      }
+    }
+    check(df)
+    // multi-byte codepoints (2-, 3-, 4-byte sequences), digits, tabs,
+    // empty string — the byte-census must agree with the regex engine
+    import spark.implicits._
+    check(Seq("", "abc 123", "héllo wörld", "日本語 text 42",
+      "emoji 🙂 mix\t9z", "   ").toDF("text"))
+  }
 }

@@ -324,6 +324,27 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("x73 quality-dup curve reconciles with the x52 scorecard") {
+    val rows = graft.llm.Dedup.queries("x73_quality_dup_curve")(spark, sf001)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val score = graft.llm.Dedup.queries("x52_dedup_scorecard")(spark, sf001)
+      .collect()(0)
+    assert(rows.map(_.getLong(1)).sum == score.getLong(0), "Σ n_docs")
+    assert(rows.map(_.getLong(3)).sum == score.getLong(2), "Σ n_exact")
+    assert(rows.map(_.getLong(4)).sum == score.getLong(3), "Σ n_near")
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == r.getLong(1),
+        s"decile ${r.getLong(0)} outcome partition")
+      assert(r.getDouble(6) <= r.getDouble(7), "q_min <= q_max")
+    }
+    // deciles are quality-ordered: each decile's max <= the next's min
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getDouble(7) <= b.getDouble(6),
+        s"deciles ${a.getLong(0)}/${b.getLong(0)} out of order")
+    }
+  }
+
   test("plan shapes: no cartesian products; cumsum offsets join keyed") {
     def planOf(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.executedPlan.toString
