@@ -913,6 +913,42 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // TOKEN DRIFT — distribution-shift triage between two corpus
+    // snapshots (here: first vs second half in stable doc_id order,
+    // standing in for consecutive crawls): per token, the Laplace-
+    // smoothed log-odds ratio with Monroe et al.'s z normalization
+    // (ln-odds / √(1/(c₁+1) + 1/(c₂+1))), top-20 movers by |z|. This
+    // is what you read before retraining on a new crawl — a mover
+    // list, not a single KL number (x54's role). Half assignment is
+    // ExactRank (no global window); counts ride the shared tf frame;
+    // the ranking filter is the row_number idiom TopKRewrite plans as
+    // the native global top-k over the vocabulary-sized score frame.
+    // Integer counts → ln/sqrt on identical expression text ⇒ exact.
+    "x74_token_drift" -> { (s, dir) =>
+      val ranked = graft.queries.ExactRank.withGlobalRank(
+          docs(s, dir).select("doc_id"), Seq(col("doc_id")))
+        .selectExpr("doc_id",
+          "case when rank <= n_total div 2 then 0 else 1 end as h")
+      val per = docTf(s, dir).join(ranked, "doc_id")
+        .groupBy("token")
+        .agg(sum(expr("case when h = 0 then tf else 0 end")).as("ca"),
+          sum(expr("case when h = 1 then tf else 0 end")).as("cb"))
+      val tot = per.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("v"))
+      val lodds = "ln((cast(ca + 1 as double) / cast(na + v as double)) " +
+        "/ (cast(cb + 1 as double) / cast(nb + v as double)))"
+      val scored = per.crossJoin(broadcast(tot))
+        .selectExpr("token", "cast(ca as bigint) as ca", "cast(cb as bigint) as cb",
+          sRound6(lodds) + " as lor",
+          sRound6(s"$lodds / sqrt(1.0d / cast(ca + 1 as double) + 1.0d / cast(cb + 1 as double))") + " as z")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("az").desc, col("token"))
+      scored.withColumn("az", expr("abs(z)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select("rk", "token", "ca", "cb", "lor", "z")
+        .orderBy("rk")
+    },
     // CHARACTER ENTROPY + TYPE-TOKEN RATIO — two classic corpus-quality
     // signals: low char-entropy flags repeated-symbol junk and binary
     // spillover, low TTR (distinct/total tokens) flags template spam.
@@ -1324,6 +1360,31 @@ object TextAnalysis {
          |  ${dRound6("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")} AS intercept,
          |  ${dRound6("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS corr_xy
          |FROM st""".stripMargin,
+    "x74_token_drift" -> {
+      val lodds = "ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)) " +
+        "/ (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))"
+      s"""WITH rk AS (SELECT doc_id,
+         |         CASE WHEN ROW_NUMBER() OVER (ORDER BY doc_id)
+         |                   <= (COUNT(*) OVER ()) // 2 THEN 0 ELSE 1 END AS h
+         |       FROM documents),
+         |t2 AS (SELECT doc_id, token
+         |       FROM (SELECT doc_id, unnest($dTokens) AS token FROM documents)
+         |       WHERE token <> ''),
+         |per AS (SELECT token,
+         |          CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |          CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |        FROM t2 JOIN rk USING (doc_id) GROUP BY token),
+         |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         |          CAST(COUNT(*) AS BIGINT) AS v FROM per),
+         |sc AS (SELECT token, ca, cb,
+         |         ${dRound6(lodds)} AS lor,
+         |         ${dRound6(s"$lodds / sqrt(1.0 / CAST(ca + 1 AS DOUBLE) + 1.0 / CAST(cb + 1 AS DOUBLE))")} AS z
+         |       FROM per, tot)
+         |SELECT rk, token, ca, cb, lor, z FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY abs(z) DESC, token) AS BIGINT) AS rk
+         |  FROM sc)
+         |WHERE rk <= 20 ORDER BY rk""".stripMargin
+    },
     "x72_script_profile" ->
       s"""SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
          |  n_chars - n_alpha - n_digit - n_space AS n_other,

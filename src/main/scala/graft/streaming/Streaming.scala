@@ -268,4 +268,61 @@ object Streaming {
       out.result().iterator
     }
   }
+
+  // ── streaming grid snapshots (r63's streaming twin) ──
+
+  final case class SnapState(lastMs: Long, lastVal: Double, emittedDayMs: Long)
+  final case class Snapshot(user_id: Long, day: Timestamp, v_asof: Double)
+
+  private val DayMs = 86400000L
+  private def dayFloor(ms: Long): Long = math.floorDiv(ms, DayMs) * DayMs
+
+  /** Streaming daily as-of snapshots: as a user's event time crosses
+    * each midnight boundary, emit one (user, day, latest-reading-at-or-
+    * before-day-start) row — the incrementally-maintained form of the
+    * r63 batch grid resample (same inclusive as-of semantics: a
+    * reading exactly AT the boundary wins it). State per user is three
+    * scalars — bounded by key cardinality, never by history — and a
+    * boundary can only emit once (monotone `emittedDayMs` guard), so
+    * replays of already-seen days are absorbed. No timers needed: the
+    * next event itself proves the day closed. Late events older than
+    * an already-emitted boundary update the running value but cannot
+    * rewrite history — the at-least-once contract the batch form gets
+    * for free by rescanning. */
+  def dailySnapshots(events: Dataset[Evt]): Dataset[Snapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SnapState, Snapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evts: Iterator[Evt], state: GroupState[SnapState]) =>
+          val sorted = evts.toSeq.sortBy(_.ts.getTime)
+          val out = Seq.newBuilder[Snapshot]
+          var st = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case None =>
+                // first observation: the day it lands in is open; only
+                // LATER boundaries can emit
+                st = Some(SnapState(t, e.value, dayFloor(t)))
+              case Some(prev) =>
+                var d = prev.emittedDayMs + DayMs
+                while (d <= dayFloor(t)) {
+                  // as-of at boundary d: the new event wins iff it sits
+                  // exactly on the boundary (inclusive semantics)
+                  out += Snapshot(uid, new Timestamp(d),
+                    if (t == d) e.value else prev.lastVal)
+                  d += DayMs
+                }
+                val emitted = math.max(prev.emittedDayMs, dayFloor(t))
+                st = Some(
+                  if (t >= prev.lastMs) SnapState(t, e.value, emitted)
+                  else prev.copy(emittedDayMs = emitted))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

@@ -345,6 +345,26 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("x74 token drift: ranked movers consistent, counts reproducible") {
+    val rows = graft.llm.TextAnalysis.queries("x74_token_drift")(spark, sf001)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 20L))
+    // |z| non-increasing down the ranking; z and lor agree in sign
+    val zs = rows.map(_.getDouble(5))
+    zs.zip(zs.tail).foreach { case (a, b) => assert(math.abs(a) >= math.abs(b)) }
+    rows.foreach(r => assert(r.getDouble(4) * r.getDouble(5) >= 0.0))
+    // reproduce the top mover's half-counts from first principles
+    val docs = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id", s"filter(${graft.llm.Frag.sTokens}, x -> x != '') as tk")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+    val half = docs.length / 2
+    val top = rows.head.getString(1)
+    val ca = docs.take(half).map(_._2.count(_ == top)).sum.toLong
+    val cb = docs.drop(half).map(_._2.count(_ == top)).sum.toLong
+    assert(rows.head.getLong(2) == ca, s"ca of '$top'")
+    assert(rows.head.getLong(3) == cb, s"cb of '$top'")
+  }
+
   test("plan shapes: no cartesian products; cumsum offsets join keyed") {
     def planOf(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.executedPlan.toString

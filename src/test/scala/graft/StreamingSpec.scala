@@ -276,4 +276,41 @@ class StreamingSpec extends SparkSpec {
     assert(out(1) == Session(1, ts("2026-01-01 11:00:00"), ts("2026-01-01 11:00:00"), 1, 4.0))
     assert(out(2) == Session(2, ts("2026-01-01 09:00:00"), ts("2026-01-01 09:00:00"), 1, 8.0))
   }
+
+  test("dailySnapshots emits one as-of row per crossed day boundary, exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming.Snapshot
+    implicit val sqlCtx = spark.sqlContext
+    val dayMs = 86400000L
+    def floor(t: Timestamp) = math.floorDiv(t.getTime, dayMs) * dayMs
+    val t1 = ts("2026-01-01 10:00:00")
+    val t2 = ts("2026-01-03 09:00:00") // crosses 2 boundaries
+    val t3 = ts("2026-01-03 11:00:00") // same day: no boundary
+    val t4 = ts("2026-01-04 01:00:00") // crosses 1 more
+    val mem = MemoryStream[Evt]
+    val q = Streaming.dailySnapshots(mem.toDS())
+      .writeStream.format("memory").queryName("snaps")
+      .outputMode("append").start()
+    mem.addData(Evt(1, t1, 5.0))
+    q.processAllAvailable()
+    assert(spark.table("snaps").count() == 0) // first day still open
+    mem.addData(Evt(1, t2, 7.0), Evt(1, t3, 9.0))
+    q.processAllAvailable()
+    val afterB2 = spark.table("snaps").as[Snapshot].collect().sortBy(_.day.getTime)
+    // two boundaries closed, both carrying the value from before them
+    assert(afterB2.length == 2)
+    assert(afterB2.map(_.day.getTime).toSeq ==
+      Seq(floor(t1) + dayMs, floor(t1) + 2 * dayMs))
+    assert(afterB2.forall(_.v_asof == 5.0))
+    // batch 3: one more boundary; value as-of is t3's reading. A replay
+    // of t2 in the same batch must not re-emit already-closed days.
+    mem.addData(Evt(1, t4, 11.0), Evt(1, t2, 7.0))
+    q.processAllAvailable()
+    val all = spark.table("snaps").as[Snapshot].collect().sortBy(_.day.getTime)
+    assert(all.length == 3)
+    assert(all.last.day.getTime == floor(t4))
+    assert(all.last.v_asof == 9.0)
+    q.stop()
+  }
 }
