@@ -949,6 +949,60 @@ object TextAnalysis {
         .select("rk", "token", "ca", "cb", "lor", "z")
         .orderBy("rk")
     },
+
+    // SOURCE CAP (domain capping): keep only the 10 highest-quality
+    // documents per source — the C4/RefinedWeb guard against one
+    // domain flooding the corpus, phrased as quality-ranked per-key
+    // selection rather than random downsampling (x20's hash cap).
+    // Rides the native TopKPerKey operator: quality (x03's score,
+    // 6 dp) scales to an exact BIGINT micro-unit key, so map-side
+    // bounded heaps ship ≤ k·sources·partitions rows to the exchange
+    // instead of the corpus — the shape that survives a 10⁹-document
+    // crawl with a heavy-tailed domain distribution. The only float
+    // op after ranking is one division on identical operands.
+    "x75_source_cap" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .selectExpr("doc_id", "source", s"$sTokens as tk")
+        .selectExpr("doc_id", "source",
+          "cast(size(array_distinct(tk)) as double) / cast(size(tk) as double) as dr",
+          "least(cast(1 as double), cast(size(tk) as double) / cast(50 as double)) as ls")
+        .selectExpr("doc_id", "source",
+          // micro-units via DECIMAL(16,6) × 10⁶: exact on both engines
+          // (double→bigint cast semantics differ: Spark truncates,
+          // DuckDB rounds — so never cast a float product directly)
+          "cast(cast(dr * ls as decimal(16,6)) * 1000000 as bigint) as qm")
+      graft.plans.TopKPerKey.topKDesc(d, Seq("source"), "qm", Seq("doc_id"), 10)
+        .selectExpr("source", "rk", "doc_id",
+          "cast(qm as double) / 1000000.0d as quality")
+        .orderBy("source", "rk")
+    },
+
+    // BPE MERGE STATISTICS (the tokenizer-learning inner loop): the
+    // corpus-wide top-20 adjacent character pairs, each weighted by
+    // its word's total occurrence count — exactly the statistic a
+    // Sennrich-style BPE learner maximizes per merge iteration. The
+    // aggregation runs over the DISTINCT vocabulary (the shared tf
+    // frame reduced once to word counts), not the token stream:
+    // pair-candidate generation is O(vocab × word-length) however
+    // large the corpus, with corpus size entering only through the
+    // integer counts. Ranking is the row_number idiom TopKRewrite
+    // plans as the native global top-k. Integer counts ⇒ exact.
+    "x76_bpe_pairs" -> { (s, dir) =>
+      val vocab = docTf(s, dir).groupBy("token")
+        .agg(sum(col("tf")).as("cnt"))
+      val pairs = vocab
+        .filter(length(col("token")) >= 2)
+        .selectExpr("cnt",
+          "explode(transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))) as pair")
+        .groupBy("pair").agg(sum(col("cnt")).as("n_occ"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occ").desc, col("pair"))
+      pairs
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select("rk", "pair", "n_occ")
+        .orderBy("rk")
+    },
     // CHARACTER ENTROPY + TYPE-TOKEN RATIO — two classic corpus-quality
     // signals: low char-entropy flags repeated-symbol junk and binary
     // spillover, low TTR (distinct/total tokens) flags template spam.
@@ -1385,6 +1439,29 @@ object TextAnalysis {
          |  FROM sc)
          |WHERE rk <= 20 ORDER BY rk""".stripMargin
     },
+    "x75_source_cap" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |         CAST(CAST((CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * least(CAST(1 AS DOUBLE), CAST(len(tk) AS DOUBLE) / CAST(50 AS DOUBLE)) AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS qm
+         |       FROM (SELECT doc_id, source, $dTokens AS tk FROM documents))
+         |SELECT source, rk, doc_id, CAST(qm AS DOUBLE) / 1000000.0 AS quality
+         |FROM (SELECT source, doc_id, qm,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY qm DESC, doc_id) AS BIGINT) AS rk
+         |      FROM q)
+         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "x76_bpe_pairs" ->
+      s"""WITH tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM (SELECT unnest($dTokens) AS token FROM documents)
+         |        WHERE token <> '' GROUP BY token),
+         |p AS (SELECT unnest(list_transform(range(1, length(token)),
+         |          i -> token[i:i+1])) AS pair, cnt
+         |      FROM tf WHERE length(token) >= 2),
+         |agg AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_occ
+         |        FROM p GROUP BY pair)
+         |SELECT rk, pair, n_occ FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, pair) AS BIGINT) AS rk
+         |  FROM agg)
+         |WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "x72_script_profile" ->
       s"""SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
          |  n_chars - n_alpha - n_digit - n_space AS n_other,

@@ -259,6 +259,45 @@ object TimeSeries {
         .orderBy("event_id")
     },
 
+    // TRAILING EWMA (recency-weighted smoothing): exponentially
+    // weighted average of the trailing 10 readings per user (α = 0.8
+    // decay, normalized) — r32's moving average with a memory that
+    // fades instead of a cliff at the window edge. Spark has no
+    // order-aware window fold, so the frame materializes as a bounded
+    // collect_list (≤ 10 values, constant window state) and a
+    // positional decimal fold applies the weights. Cross-engine
+    // exactness without matching float summation order: weights 0.8^j
+    // are finite decimals (≤ 9 dp), values pre-round to DECIMAL(20,6),
+    // so both engines form EXACT, order-free decimal sums — the only
+    // float op is one final division on identical operands. The oracle
+    // is a structurally different algorithm (rn self-join against a
+    // weights VALUES table vs. positional array fold).
+    "r65_ewma_smooth" -> { (s, dir) =>
+      val w8 = BigDecimal("0.8")
+      val W = (0 to 9).map(j => s"cast(${w8.pow(j)} as decimal(12,9))")
+        .mkString("array(", ", ", ")")
+      // den(m) = Σ_{j<m} 0.8^j = 5·(1 − 0.8^m), exact decimal
+      val DENS = (1 to 10)
+        .map(m => s"cast(${(BigDecimal(1) - w8.pow(m)) * 5} as decimal(12,9))")
+        .mkString("array(", ", ", ")")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("l",
+          collect_list(expr("cast(value as decimal(20,6))")).over(w))
+        .selectExpr("user_id", "event_id", "value",
+          // the merge re-cast keeps the accumulator type fixed (decimal
+          // + grows precision by 1 per step); scale stays 15 and the
+          // sum needs < 15 integral digits, so the cast is lossless
+          s"""aggregate(sequence(1, size(l)), cast(0 as decimal(30,15)),
+             |  (acc, i) -> cast(acc + element_at(l, i) * element_at($W, size(l) - i + 1) as decimal(30,15))) as num""".stripMargin,
+          s"element_at($DENS, size(l)) as den")
+        .selectExpr("user_id", "event_id", "value",
+          "cast(cast(cast(num as double) / cast(den as double) as decimal(16,6)) as double) as ewma10")
+        .orderBy("event_id")
+    },
+
     // GRID RESAMPLE (downsample to a regular calendar grid): one
     // daily snapshot row per user per day in the user's active span,
     // carrying the latest reading at-or-before each grid point and its
@@ -342,6 +381,27 @@ object TimeSeries {
         |    ORDER BY ts, event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
         |FROM events ORDER BY event_id""".stripMargin,
+    // rn self-join + weights VALUES table — order-free exact decimal
+    // sums, same as the Spark side's positional fold (see scaladoc).
+    "r65_ewma_smooth" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
+        |       FROM events),
+        |w(j, wt) AS (VALUES
+        |  (0, CAST(1.0 AS DECIMAL(12,9))), (1, CAST(0.8 AS DECIMAL(12,9))),
+        |  (2, CAST(0.64 AS DECIMAL(12,9))), (3, CAST(0.512 AS DECIMAL(12,9))),
+        |  (4, CAST(0.4096 AS DECIMAL(12,9))), (5, CAST(0.32768 AS DECIMAL(12,9))),
+        |  (6, CAST(0.262144 AS DECIMAL(12,9))), (7, CAST(0.2097152 AS DECIMAL(12,9))),
+        |  (8, CAST(0.16777216 AS DECIMAL(12,9))), (9, CAST(0.134217728 AS DECIMAL(12,9))))
+        |SELECT a.user_id, a.event_id, a.value,
+        |  CAST(CAST(CAST(SUM(CAST(b.value AS DECIMAL(20,6)) * w.wt) AS DOUBLE)
+        |    / CAST(SUM(w.wt) AS DOUBLE) AS DECIMAL(16,6)) AS DOUBLE) AS ewma10
+        |FROM r a JOIN r b ON a.user_id = b.user_id
+        |  AND b.rn BETWEEN a.rn - 9 AND a.rn
+        |JOIN w ON w.j = a.rn - b.rn
+        |GROUP BY a.user_id, a.event_id, a.value
+        |ORDER BY a.event_id""".stripMargin,
     // LATERAL top-1 per grid point — a structurally different
     // algorithm than the Spark union+window plan (and deterministic
     // under ts ties, unlike ASOF), so agreement is a real cross-check.

@@ -365,6 +365,68 @@ class Round7Spec extends SparkSpec {
     assert(rows.head.getLong(3) == cb, s"cb of '$top'")
   }
 
+  test("r65 ewma matches an in-memory exact-decimal reference") {
+    val out = graft.queries.TimeSeries.queries("r65_ewma_smooth")(spark, sf001)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val ev = graft.queries.Tables.t(spark, sf001, "events")
+      .selectExpr("event_id", "user_id", "unix_micros(ts) as us", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val w8 = BigDecimal("0.8")
+    ev.groupBy(_._2).values.foreach { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      sorted.indices.foreach { i =>
+        val frame = sorted.slice(math.max(0, i - 9), i + 1).map(_._4)
+        val m = frame.length
+        val num = frame.zipWithIndex.map { case (v, j) =>
+          BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+            w8.pow(m - 1 - j)
+        }.sum
+        val den = (0 until m).map(w8.pow).sum
+        val exp = round6(num.toDouble / den.toDouble)
+        assert(out(sorted(i)._1) == exp, s"ewma10 of event ${sorted(i)._1}")
+      }
+    }
+  }
+
+  test("x75 source cap keeps exactly the 10 best-quality docs per source") {
+    val rows = graft.llm.TextAnalysis.queries("x75_source_cap")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id", "source", "trim(lower(text)) as t").collect()
+      .map { r =>
+        val tk = r.getString(2).split("\\s+", -1).toSeq
+        val dr = tk.distinct.size.toDouble / tk.size.toDouble
+        val ls = math.min(1.0, tk.size.toDouble / 50.0)
+        val qm = (BigDecimal(dr * ls)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+        (r.getLong(0), r.getString(1), qm)
+      }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy(d => (-d._3, d._1)).take(10).zipWithIndex.map {
+        case ((id, _, qm), i) => (src, i + 1L, id, qm.toDouble / 1000000.0)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == expected)
+  }
+
+  test("x76 bpe pair statistics reproduce from first principles") {
+    val rows = graft.llm.TextAnalysis.queries("x76_bpe_pairs")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val toks = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("trim(lower(text)) as t").collect()
+      .flatMap(_.getString(0).split("\\s+")).filter(_.nonEmpty)
+    val wordCnt = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val pairCnt = wordCnt.toSeq.filter(_._1.length >= 2)
+      .flatMap { case (t, c) =>
+        (0 until t.length - 1).map(i => t.substring(i, i + 2) -> c)
+      }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val expTop = pairCnt.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+      .zipWithIndex.map { case ((p, n), i) => (i + 1L, p, n) }
+    assert(rows.toSeq == expTop)
+  }
+
   test("plan shapes: no cartesian products; cumsum offsets join keyed") {
     def planOf(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.executedPlan.toString
@@ -388,5 +450,15 @@ class Round7Spec extends SparkSpec {
       graft.llm.Dedup.queries("x67_neardup_decontam")(spark, sf001))
     assert(!p67.contains("CartesianProduct"), p67.take(1500))
     assert(!p67.contains("BroadcastNestedLoopJoin"), p67.take(1500))
+    // x75 must route through the native per-key top-k (map-side bounded
+    // heaps), not the window fallback; x76's global ranking must be
+    // rewritten onto it by TopKRewrite
+    val p75 = planOf(
+      graft.llm.TextAnalysis.queries("x75_source_cap")(spark, sf001))
+    assert(p75.contains("PartialTopK") && p75.contains("FinalTopK"),
+      p75.take(2000))
+    val p76 = planOf(
+      graft.llm.TextAnalysis.queries("x76_bpe_pairs")(spark, sf001))
+    assert(p76.contains("FinalTopK"), p76.take(2000))
   }
 }
