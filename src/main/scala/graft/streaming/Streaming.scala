@@ -325,4 +325,51 @@ object Streaming {
           out.result().iterator
       }
   }
+
+  // ── streaming trailing EWMA (r65's streaming twin) ──
+
+  final case class EwmaState(buf: Seq[(Long, Double)])
+  final case class EwmaPoint(user_id: Long, ts: Timestamp, value: Double,
+      ewma10: Double)
+
+  private val Alpha = BigDecimal("0.8")
+  private val AlphaPow = (0 to 9).map(Alpha.pow).toArray
+
+  /** Incrementally-maintained trailing-10 EWMA per user (α = 0.8,
+    * normalized) — one smoothed point per event, exactly r65's batch
+    * numbers on in-order streams: state is the last ≤ 10 readings in
+    * event-time order (bounded per key, never history-sized), and the
+    * fold repeats r65's exact-decimal arithmetic (6-dp value rounding,
+    * finite-decimal weights, one final double division), so batch and
+    * stream cannot drift in the last ulp. A late event inserts into
+    * the retained buffer — its own emitted point uses only readings
+    * at-or-before it — but already-emitted points are never rewritten
+    * (append mode), the same no-retraction contract as
+    * [[dailySnapshots]]. */
+  def ewmaSmooth(events: Dataset[Evt]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evts: Iterator[Evt], state: GroupState[EwmaState]) =>
+          var buf = state.getOption.map(_.buf).getOrElse(Seq.empty)
+          val out = evts.toSeq.sortBy(_.ts.getTime).map { e =>
+            val t = e.ts.getTime
+            buf = ((buf :+ (t -> e.value)).sortBy(_._1)).takeRight(10)
+            val frame = buf.filter(_._1 <= t).map(_._2)
+            val m = frame.length
+            val num = frame.zipWithIndex.map { case (v, j) =>
+              BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+                AlphaPow(m - 1 - j)
+            }.sum
+            val den = AlphaPow.take(m).sum
+            val ewma = BigDecimal(num.toDouble / den.toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            EwmaPoint(uid, e.ts, e.value, ewma)
+          }
+          state.update(EwmaState(buf))
+          out.iterator
+      }
+  }
 }

@@ -313,4 +313,46 @@ class StreamingSpec extends SparkSpec {
     assert(all.last.v_asof == 9.0)
     q.stop()
   }
+
+  test("ewmaSmooth matches the r65 exact-decimal fold across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming.EwmaPoint
+    implicit val sqlCtx = spark.sqlContext
+    val w8 = BigDecimal("0.8")
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 14 in-order readings for one user crossing the 10-deep window,
+    // plus a second user interleaved (state isolation)
+    val vals = Seq(5.0, 7.25, 3.125, 9.0, 2.5, 8.875, 1.0, 6.5, 4.75,
+      10.125, 0.625, 7.0, 3.5, 11.25)
+    val evts = vals.zipWithIndex.map { case (v, i) =>
+      Evt(1, ts(f"2026-01-01 10:${i}%02d:00"), v)
+    } ++ Seq(Evt(2, ts("2026-01-01 10:05:30"), 100.0))
+    val mem = MemoryStream[Evt]
+    val q = Streaming.ewmaSmooth(mem.toDS())
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode("append").start()
+    mem.addData(evts.take(6): _*)
+    q.processAllAvailable()
+    mem.addData(evts.drop(6): _*)
+    q.processAllAvailable()
+    val got = spark.table("ewma").as[EwmaPoint].collect()
+      .filter(_.user_id == 1).sortBy(_.ts.getTime)
+    assert(got.length == vals.length)
+    vals.indices.foreach { i =>
+      val frame = vals.slice(math.max(0, i - 9), i + 1)
+      val m = frame.length
+      val num = frame.zipWithIndex.map { case (v, j) =>
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+          w8.pow(m - 1 - j)
+      }.sum
+      val den = (0 until m).map(w8.pow).sum
+      assert(got(i).ewma10 == round6(num.toDouble / den.toDouble),
+        s"point $i")
+    }
+    val u2 = spark.table("ewma").as[EwmaPoint].collect().filter(_.user_id == 2)
+    assert(u2.length == 1 && u2.head.ewma10 == 100.0)
+    q.stop()
+  }
 }
