@@ -114,6 +114,103 @@ object Multimodal {
     }
   }
 
+  /** Resized-image features: output dims + per-channel means after
+    * nearest-neighbor downsampling. */
+  final case class ResizedFeatures(
+      doc_id: Long,
+      out_w: Int,
+      out_h: Int,
+      n_pixels: Long,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
+
+  /** Nearest-neighbor factor-2 downsample: out(y, x, c) = in(2y, 2x, c).
+    * The standard pre-model thumbnail step — a real pixel-space kernel
+    * (row-major index arithmetic over the decoded buffer), not a
+    * metadata rewrite. Output dims ⌈w/2⌉ × ⌈h/2⌉. */
+  def resizeHalf(w: Int, h: Int, px: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+    val out = new Array[Byte](w2 * h2 * 3)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = ((2 * y) * w + 2 * x) * 3
+        val dst = (y * w2 + x) * 3
+        out(dst) = px(src); out(dst + 1) = px(src + 1); out(dst + 2) = px(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    (w2, h2, out)
+  }
+
+  /** Per-partition decode → resize → feature extraction (the thumbnail
+    * branch of the pipeline): same narrow-map scale shape as
+    * [[extractFeatures]], with the resize kernel between decode and
+    * stats. Integer sums into one double division ⇒ oracle-exact. */
+  def extractResized(media: Dataset[MediaRow]): Dataset[ResizedFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _, px) = decodePpm(r.payload)
+        val (w2, h2, out) = resizeHalf(w, h, px)
+        val n = w2.toLong * h2
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < out.length) { sums(i % 3) += out(i) & 0xff; i += 1 }
+        ResizedFeatures(r.doc_id, w2, h2, n,
+          sums(0).toDouble / n.toDouble,
+          sums(1).toDouble / n.toDouble,
+          sums(2).toDouble / n.toDouble)
+      }
+    }
+  }
+
+  /** One sampled video frame: index + per-channel means. */
+  final case class FrameFeatures(
+      doc_id: Long,
+      frame_idx: Long,
+      frame_rows: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
+
+  /** Rows per synthetic video frame (a 16×4 slice of the pixel grid). */
+  private val FrameRows = 4
+
+  /** Frame sampling (the video-preprocessing pattern): treat each
+    * payload as a frame sequence — consecutive 16×4 row-blocks of the
+    * pixel grid — and keep every `step`-th frame (temporal stride
+    * sampling, the standard decode-budget guard for video corpora),
+    * emitting per-frame channel means. flatMap in the same narrow
+    * per-partition pipeline: one decode per payload serves all its
+    * frames, no shuffle until presentation. The last frame may be
+    * short (h not divisible by 4) — its mean divides by its REAL pixel
+    * count. */
+  def sampleFrames(media: Dataset[MediaRow], step: Int = 3): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (w, h, _, px) = decodePpm(r.payload)
+        val nFrames = (h + FrameRows - 1) / FrameRows
+        (0 until nFrames by step).iterator.map { f =>
+          val rf = math.min(FrameRows, h - f * FrameRows)
+          val n = w.toLong * rf
+          val sums = new Array[Long](3)
+          val start = f * FrameRows * w * 3
+          var i = 0
+          while (i < n * 3) { sums(i % 3) += px(start + i) & 0xff; i += 1 }
+          FrameFeatures(r.doc_id, f.toLong, rf,
+            sums(0).toDouble / n.toDouble,
+            sums(1).toDouble / n.toDouble,
+            sums(2).toDouble / n.toDouble)
+        }
+      }
+    }
+  }
+
   /** documents.text → P6 PPM payload (the corpus text's bytes as the
     * pixel buffer, so the oracle can verify the full decode path from
     * the source column). */
@@ -133,6 +230,19 @@ object Multimodal {
     // binary decode → feature extraction via per-partition pipeline
     "x15_media_features" -> { (s, dir) =>
       extractFeatures(mediaTable(s, dir)).toDF().orderBy("doc_id")
+    },
+    // decode → nearest-neighbor half-resize → features: the thumbnail
+    // branch every vision-pretraining pipeline runs before the model
+    // sees a pixel. Same narrow-map shape as x15 with a real pixel-
+    // space kernel in the middle.
+    "x77_media_resize" -> { (s, dir) =>
+      extractResized(mediaTable(s, dir)).toDF().orderBy("doc_id")
+    },
+    // decode → temporal stride sampling → per-frame features: the
+    // video form of the same pipeline — every 3rd 16×4-row frame,
+    // one decode amortized over all of a payload's frames.
+    "x78_frame_sample" -> { (s, dir) =>
+      sampleFrames(mediaTable(s, dir)).toDF().orderBy("doc_id", "frame_idx")
     },
     // TILING (the image-patch / video-frame-slice pattern): each payload
     // is cut into fixed 32-byte tiles addressed by index; per-tile
@@ -222,6 +332,45 @@ object Multimodal {
          |  ${mean(1)} AS mean_g,
          |  ${mean(2)} AS mean_b
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // resize oracle: out(y,x,c) = in(2y,2x,c); source pixel index
+    // 32·y + 2·x, channel c at text position 3·pix + c + 1 (1-based),
+    // zero beyond the text (padding)
+    "x77_media_resize" -> {
+      val h = "greatest(1, CAST(ceil(strlen(text) / 48.0) AS BIGINT))"
+      val h2 = s"(($h + 1) // 2)"
+      def mean(c: Int) =
+        s"""CAST(COALESCE(list_sum(list_transform(range(0, 8 * $h2), k ->
+           |    CASE WHEN 3 * (32 * (k // 8) + 2 * (k % 8)) + ${c + 1} <= strlen(text)
+           |         THEN ascii(substring(text, CAST(3 * (32 * (k // 8) + 2 * (k % 8)) + ${c + 1} AS INT), 1))
+           |         ELSE 0 END)), 0) AS DOUBLE) / CAST(8 * $h2 AS DOUBLE)""".stripMargin
+      s"""SELECT doc_id,
+         |  8 AS out_w,
+         |  CAST($h2 AS INT) AS out_h,
+         |  CAST(8 * $h2 AS BIGINT) AS n_pixels,
+         |  ${mean(0)} AS mean_r,
+         |  ${mean(1)} AS mean_g,
+         |  ${mean(2)} AS mean_b
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // frame oracle: frame f = pixel rows [4f, 4f+rf), rf = min(4, h−4f);
+    // frame pixels are row-major contiguous from pixel 64·f, so channel
+    // c sums text positions 3·(64·f + k) + c + 1, k < 16·rf
+    "x78_frame_sample" -> {
+      def mean(c: Int) =
+        s"""CAST(COALESCE(list_sum(list_transform(range(0, 16 * rf), k ->
+           |    CASE WHEN 3 * (64 * f + k) + ${c + 1} <= strlen(text)
+           |         THEN ascii(substring(text, CAST(3 * (64 * f + k) + ${c + 1} AS INT), 1))
+           |         ELSE 0 END)), 0) AS DOUBLE) / CAST(16 * rf AS DOUBLE)""".stripMargin
+      s"""SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(rf AS INT) AS frame_rows,
+         |  ${mean(0)} AS mean_r, ${mean(1)} AS mean_g, ${mean(2)} AS mean_b
+         |FROM (SELECT doc_id, text, f, least(4, h - 4 * f) AS rf
+         |      FROM (SELECT doc_id, text, h,
+         |              unnest(range(0, (h + 3) // 4, 3)) AS f
+         |            FROM (SELECT doc_id, text,
+         |                    greatest(1, CAST(ceil(strlen(text) / 48.0) AS BIGINT)) AS h
+         |                  FROM documents)))
+         |ORDER BY doc_id, frame_idx""".stripMargin
     },
     "x27_tile_fingerprints" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS tile_idx,

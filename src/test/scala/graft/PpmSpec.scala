@@ -71,4 +71,41 @@ class PpmSpec extends SparkSpec {
       }
     }
   }
+
+  test("resizeHalf: every output pixel equals the source at (2y, 2x)") {
+    for ((w, h) <- Seq((16, 1), (16, 2), (16, 5), (2, 2), (3, 3))) {
+      val px = Array.tabulate(w * h * 3)(i => ((i * 11 + 5) % 256).toByte)
+      val (w2, h2, out) = Multimodal.resizeHalf(w, h, px)
+      assert(w2 == (w + 1) / 2 && h2 == (h + 1) / 2)
+      assert(out.length == w2 * h2 * 3)
+      for (y <- 0 until h2; x <- 0 until w2; c <- 0 until 3)
+        assert(out((y * w2 + x) * 3 + c) == px(((2 * y) * w + 2 * x) * 3 + c),
+          s"($y,$x,$c) of ${w}x$h")
+    }
+  }
+
+  test("sampleFrames: stride-3 indices, short last frame, exact means") {
+    import spark.implicits._
+    // 11 pixel rows → 3 frames (rows 4, 4, 3); stride 3 keeps frame 0 only;
+    // 21 rows → 6 frames, keeps 0 and 3
+    for (nRows <- Seq(11, 21)) {
+      val raw = Array.tabulate(16 * nRows * 3)(i => ((i * 13 + 1) % 256).toByte)
+      val media = Seq(Multimodal.MediaRow(7L,
+        Multimodal.encodePpm(7L, raw), "image/x-portable-pixmap")).toDS()
+      val got = Multimodal.sampleFrames(media).collect().sortBy(_.frame_idx)
+      val nFrames = (nRows + 3) / 4
+      val expIdx = (0 until nFrames by 3).map(_.toLong)
+      assert(got.map(_.frame_idx).toSeq == expIdx)
+      got.foreach { fr =>
+        val rf = math.min(4, nRows - fr.frame_idx.toInt * 4)
+        assert(fr.frame_rows == rf)
+        val start = fr.frame_idx.toInt * 4 * 16 * 3
+        val sums = new Array[Long](3)
+        (0 until 16 * rf * 3).foreach(i => sums(i % 3) += raw(start + i) & 0xff)
+        val n = (16L * rf).toDouble
+        assert(fr.mean_r == sums(0) / n && fr.mean_g == sums(1) / n &&
+          fr.mean_b == sums(2) / n, s"frame ${fr.frame_idx} of $nRows rows")
+      }
+    }
+  }
 }
