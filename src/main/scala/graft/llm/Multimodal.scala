@@ -211,6 +211,120 @@ object Multimodal {
     }
   }
 
+  // ── audio branch: a real RIFF/WAV codec (PCM-8 mono) ──
+
+  /** Decoded-audio features over the sample buffer (unsigned 8-bit PCM:
+    * amplitude = sample − 128). */
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      mean_amp: Double,
+      rms: Double,
+      peak_abs: Long)
+
+  /** Encode raw bytes as a real RIFF/WAVE file: `RIFF` size `WAVE`,
+    * a spec-complete 16-byte PCM `fmt ` chunk (format 1, mono, 8 kHz,
+    * 8-bit), a `LIST` metadata chunk decoders must SKIP (that's what
+    * makes chunk-walking real), then `data`. All sizes little-endian,
+    * exactly as the RIFF grammar demands. */
+  def encodeWav(docId: Long, samples: Array[Byte]): Array[Byte] = {
+    val meta = s"INFOdoc $docId".getBytes("US-ASCII")
+    val metaPad = meta.length + (meta.length & 1) // RIFF chunks pad to even
+    val dataPad = samples.length + (samples.length & 1)
+    val riffSize = 4 + (8 + 16) + (8 + metaPad) + (8 + dataPad)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)           // PCM, mono
+      .putInt(8000).putInt(8000)         // sample rate, byte rate
+      .putShort(1).putShort(8)           // block align, bits/sample
+    out.put("LIST".getBytes("US-ASCII")).putInt(meta.length).put(meta)
+    if ((meta.length & 1) == 1) out.put(0.toByte)
+    out.put("data".getBytes("US-ASCII")).putInt(samples.length).put(samples)
+    if ((samples.length & 1) == 1) out.put(0.toByte)
+    out.array()
+  }
+
+  /** Real RIFF/WAV parser: validates `RIFF`/`WAVE` magic, walks the
+    * chunk list honoring even-byte padding, reads the PCM `fmt `
+    * fields, and returns (sampleRate, samples) from the `data` chunk.
+    * Throws on bad magic, missing chunks, or non-PCM-8-mono streams —
+    * the same grammar-first rigor as [[decodePpm]]. */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Byte]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def magic(s: String): Unit = {
+      val b = new Array[Byte](4); bb.get(b)
+      require(new String(b, "US-ASCII") == s, s"WAV: expected '$s'")
+    }
+    magic("RIFF"); bb.getInt(); magic("WAVE")
+    var rate = -1; var data: Array[Byte] = null
+    while (bb.remaining() >= 8 && (rate < 0 || data == null)) {
+      val id = new Array[Byte](4); bb.get(id)
+      val size = bb.getInt()
+      require(size >= 0 && bb.remaining() >= size, "WAV: truncated chunk")
+      new String(id, "US-ASCII") match {
+        case "fmt " =>
+          require(size >= 16, "WAV: short fmt chunk")
+          val p0 = bb.position()
+          require(bb.getShort() == 1, "WAV: not PCM")
+          require(bb.getShort() == 1, "WAV: not mono")
+          rate = bb.getInt()
+          bb.getInt(); bb.getShort() // byte rate, block align
+          require(bb.getShort() == 8, "WAV: not 8-bit")
+          bb.position(p0 + size + (size & 1))
+        case "data" =>
+          data = new Array[Byte](size); bb.get(data)
+          if ((size & 1) == 1 && bb.remaining() > 0) bb.get()
+        case _ => // skip unknown chunks (LIST etc.), honoring padding
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(rate > 0, "WAV: missing fmt chunk")
+    require(data != null, "WAV: missing data chunk")
+    (rate, data)
+  }
+
+  /** Per-partition decode + audio feature extraction: amplitude stats
+    * over the PCM-8 buffer (amp = sample − 128). Integer sums into
+    * single double ops (one division; one division + sqrt) ⇒
+    * oracle-exact. */
+  def extractAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, smp) = decodeWav(r.payload)
+        val n = math.max(1L, smp.length.toLong)
+        var sum = 0L; var sumsq = 0L; var peak = 0L
+        var i = 0
+        while (i < smp.length) {
+          val a = (smp(i) & 0xff) - 128
+          sum += a; sumsq += a.toLong * a
+          if (math.abs(a) > peak) peak = math.abs(a)
+          i += 1
+        }
+        AudioFeatures(r.doc_id, rate, smp.length.toLong,
+          sum.toDouble / n.toDouble,
+          math.sqrt(sumsq.toDouble / n.toDouble), peak)
+      }
+    }
+  }
+
+  /** documents.text → WAV payload (text bytes as PCM-8 samples). */
+  def audioTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRow(id, encodeWav(id, text.getBytes("UTF-8")), "audio/wav")
+      }
+  }
+
   /** documents.text → P6 PPM payload (the corpus text's bytes as the
     * pixel buffer, so the oracle can verify the full decode path from
     * the source column). */
@@ -243,6 +357,12 @@ object Multimodal {
     // one decode amortized over all of a payload's frames.
     "x78_frame_sample" -> { (s, dir) =>
       sampleFrames(mediaTable(s, dir)).toDF().orderBy("doc_id", "frame_idx")
+    },
+    // decode → amplitude statistics: the audio branch — a real RIFF
+    // chunk-walking parser (fmt validation, metadata-chunk skipping)
+    // in the same narrow per-partition pipeline.
+    "x79_audio_features" -> { (s, dir) =>
+      extractAudio(audioTable(s, dir)).toDF().orderBy("doc_id")
     },
     // TILING (the image-patch / video-frame-slice pattern): each payload
     // is cut into fixed 32-byte tiles addressed by index; per-tile
@@ -332,6 +452,27 @@ object Multimodal {
          |  ${mean(1)} AS mean_g,
          |  ${mean(2)} AS mean_b
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // audio oracle: sample i is the text's i-th byte (ASCII corpus),
+    // amplitude = byte − 128; integer sums into one division (mean),
+    // one division + sqrt (rms) — identical single float ops on
+    // identical exact operands
+    "x79_audio_features" -> {
+      val amp = "ascii(substring(text, CAST(i AS INT), 1)) - 128"
+      s"""SELECT doc_id, 8000 AS sample_rate,
+         |  CAST(strlen(text) AS BIGINT) AS n_samples,
+         |  CAST(s AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_amp,
+         |  sqrt(CAST(sq AS DOUBLE) / CAST(n1 AS DOUBLE)) AS rms,
+         |  CAST(pk AS BIGINT) AS peak_abs
+         |FROM (SELECT doc_id, text, greatest(1, strlen(text)) AS n1,
+         |        COALESCE(list_sum(list_transform(range(1, strlen(text) + 1),
+         |          i -> $amp)), 0) AS s,
+         |        COALESCE(list_sum(list_transform(range(1, strlen(text) + 1),
+         |          i -> ($amp) * ($amp))), 0) AS sq,
+         |        COALESCE(list_max(list_transform(range(1, strlen(text) + 1),
+         |          i -> abs($amp))), 0) AS pk
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
     },
     // resize oracle: out(y,x,c) = in(2y,2x,c); source pixel index
     // 32·y + 2·x, channel c at text position 3·pix + c + 1 (1-based),
