@@ -549,6 +549,48 @@ object Similarity {
         .selectExpr("label", "cast(dim as bigint) as dim", "centroid", "n")
         .orderBy("label", "dim")
     },
+
+    // EMBEDDING DRIFT MONITOR (x74's embedding-space companion): per
+    // label, the L2 distance between its centroid over the first and
+    // second corpus halves (stable vec_id order standing in for
+    // consecutive snapshots) — the before-retraining check that the
+    // representation a curriculum/dedup decision was tuned on still
+    // describes the incoming data. Centroids are x14's exact-decimal
+    // means (order-free, partitioning-independent); the cross-dim norm
+    // is a left-to-right 64-slot fold in dim order on BOTH engines
+    // (the dDot discipline), so the single sqrt sees identical bits.
+    // Everything after the one posexplode aggregation is
+    // label×dim-sized — corpus volume never reaches the join or fold.
+    "x80_embedding_drift" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val ranked = graft.queries.ExactRank.withGlobalRank(
+          emb.select("vec_id"), Seq(col("vec_id")))
+        .selectExpr("vec_id",
+          "case when rank <= n_total div 2 then 0 else 1 end as h")
+      val withH = emb.join(ranked, "vec_id")
+      val cents = withH
+        .selectExpr("label", "h", "posexplode(embedding) as (dim, v)")
+        .groupBy("label", "h", "dim")
+        .agg((sum(col("v").cast("double").cast(DecimalType(20, 8))).cast("double") /
+          count(lit(1)).cast("double")).as("c"))
+      val delta = cents.filter(col("h") === 0)
+        .select(col("label"), col("dim"), col("c").as("c0"))
+        .join(cents.filter(col("h") === 1)
+          .select(col("label"), col("dim"), col("c").as("c1")),
+          Seq("label", "dim"))
+        .selectExpr("label", "dim", "c1 - c0 as delta")
+      val drift = delta.groupBy("label")
+        .agg(sort_array(collect_list(struct(col("dim"), col("delta")))).as("a"))
+        .selectExpr("label",
+          "sqrt(aggregate(transform(a, t -> t.delta * t.delta), cast(0 as double), (acc, x) -> acc + x)) as drift")
+      withH.groupBy("label")
+        .agg(sum(expr("case when h = 0 then 1 else 0 end")).as("nf"),
+          sum(expr("case when h = 1 then 1 else 0 end")).as("ns"))
+        .join(drift, "label")
+        .selectExpr("label", "cast(nf as bigint) as n_first",
+          "cast(ns as bigint) as n_second", "drift")
+        .orderBy("label")
+    },
   )
 
   /** x11/x12/x17/x49 oracle texts, factored out so the x62 recall
@@ -792,5 +834,29 @@ object Similarity {
         |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
         |      FROM embeddings)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "x80_embedding_drift" -> {
+      val chain = (1 to Dim).map(i => s"ds[$i]*ds[$i]").mkString(" + ")
+      s"""WITH rk AS (SELECT vec_id,
+         |         CASE WHEN ROW_NUMBER() OVER (ORDER BY vec_id)
+         |              <= (COUNT(*) OVER ()) // 2 THEN 0 ELSE 1 END AS h
+         |       FROM embeddings),
+         |e AS (SELECT label, h, generate_subscripts(embedding, 1) - 1 AS dim,
+         |        unnest(embedding) AS v
+         |      FROM embeddings JOIN rk USING (vec_id)),
+         |c AS (SELECT label, h, dim,
+         |        CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE)
+         |          / CAST(COUNT(*) AS DOUBLE) AS c
+         |      FROM e GROUP BY 1, 2, 3),
+         |d AS (SELECT a.label, a.dim, b.c - a.c AS delta
+         |      FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+         |        AND a.h = 0 AND b.h = 1),
+         |arr AS (SELECT label, list(delta ORDER BY dim) AS ds FROM d GROUP BY label),
+         |n AS (SELECT label,
+         |        CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+         |        CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+         |      FROM embeddings JOIN rk USING (vec_id) GROUP BY label)
+         |SELECT label, n_first, n_second, sqrt($chain) AS drift
+         |FROM n JOIN arr USING (label) ORDER BY label""".stripMargin
+    },
   )
 }

@@ -977,6 +977,35 @@ object TextAnalysis {
         .orderBy("source", "rk")
     },
 
+    // CURRICULUM ORDER (the training-order planner): a deterministic
+    // global ordering that round-robins sources while quality descends
+    // — each source's best document before any source's second-best —
+    // so early training never over-samples one domain (the mixing
+    // complement of x75's cap). Per-source ranking is a partition-
+    // bounded window; the GLOBAL interleave position is ExactRank over
+    // (rk, source) — range-repartition + O(P) offsets, never a
+    // partitionless window sorting the corpus through one task. Output
+    // is the first 100 positions (the curriculum's head is what you
+    // inspect; the full ordering exists without materializing).
+    "x81_curriculum_order" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .selectExpr("doc_id", "source", s"$sTokens as tk")
+        .selectExpr("doc_id", "source",
+          "cast(size(array_distinct(tk)) as double) / cast(size(tk) as double) as dr",
+          "least(cast(1 as double), cast(size(tk) as double) / cast(50 as double)) as ls")
+        .selectExpr("doc_id", "source",
+          "cast(cast(dr * ls as decimal(16,6)) * 1000000 as bigint) as qm")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("qm").desc, col("doc_id"))
+      val ranked = d.withColumn("rk", row_number().over(w).cast("long"))
+      graft.queries.ExactRank.withGlobalRank(ranked,
+          Seq(col("rk"), col("source")))
+        .filter(col("rank") <= 100)
+        .selectExpr("rank as pos", "doc_id", "source", "rk",
+          "cast(qm as double) / 1000000.0d as quality")
+        .orderBy("pos")
+    },
+
     // BPE MERGE STATISTICS (the tokenizer-learning inner loop): the
     // corpus-wide top-20 adjacent character pairs, each weighted by
     // its word's total occurrence count — exactly the statistic a
@@ -1449,6 +1478,18 @@ object TextAnalysis {
          |          ORDER BY qm DESC, doc_id) AS BIGINT) AS rk
          |      FROM q)
          |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "x81_curriculum_order" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |         CAST(CAST((CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * least(CAST(1 AS DOUBLE), CAST(len(tk) AS DOUBLE) / CAST(50 AS DOUBLE)) AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS qm
+         |       FROM (SELECT doc_id, source, $dTokens AS tk FROM documents)),
+         |r AS (SELECT doc_id, source, qm,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY qm DESC, doc_id) AS BIGINT) AS rk
+         |      FROM q)
+         |SELECT pos, doc_id, source, rk, CAST(qm AS DOUBLE) / 1000000.0 AS quality
+         |FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rk, source) AS BIGINT) AS pos
+         |      FROM r)
+         |WHERE pos <= 100 ORDER BY pos""".stripMargin,
     "x76_bpe_pairs" ->
       s"""WITH tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
          |        FROM (SELECT unnest($dTokens) AS token FROM documents)

@@ -298,6 +298,28 @@ object TimeSeries {
         .orderBy("event_id")
     },
 
+    // PEAK DRAWDOWN (running-max decline): per user, the largest
+    // peak-to-trough drop of the reading series — the cumulative-
+    // extreme analytic (risk/regression detection) that needs a
+    // RUNNING max, not r32's frame average. One user_id-bounded window
+    // carries the running peak; drawdown = peak − value is a single
+    // float subtraction on identical operands and max/count are
+    // order-free, so the whole query is engine-exact with no rounding.
+    "r66_drawdown" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("peak", max(col("value")).over(w))
+        .selectExpr("user_id", "peak", "peak - value as dd")
+        .groupBy("user_id")
+        .agg(cnt.as("n_events"), max(col("peak")).as("max_value"),
+          max(col("dd")).as("max_drawdown"))
+        .selectExpr("user_id", "cast(n_events as bigint) as n_events",
+          "max_value", "max_drawdown")
+        .orderBy("user_id")
+    },
+
     // GRID RESAMPLE (downsample to a regular calendar grid): one
     // daily snapshot row per user per day in the user's active span,
     // carrying the latest reading at-or-before each grid point and its
@@ -381,6 +403,14 @@ object TimeSeries {
         |    ORDER BY ts, event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
         |FROM events ORDER BY event_id""".stripMargin,
+    "r66_drawdown" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MAX(peak) AS max_value, MAX(peak - value) AS max_drawdown
+        |FROM (SELECT user_id, value,
+        |        MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |      FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // rn self-join + weights VALUES table — order-free exact decimal
     // sums, same as the Spark side's positional fold (see scaladoc).
     "r65_ewma_smooth" ->

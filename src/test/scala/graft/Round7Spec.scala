@@ -410,6 +410,77 @@ class Round7Spec extends SparkSpec {
     assert(rows.toSeq == expected)
   }
 
+  test("r66 drawdown matches an in-memory running-max reference") {
+    val out = graft.queries.TimeSeries.queries("r66_drawdown")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ev = graft.queries.Tables.t(spark, sf001, "events")
+      .selectExpr("event_id", "user_id", "unix_micros(ts) as us", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.size == ev.map(_._2).distinct.length)
+    ev.groupBy(_._2).foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1)).map(_._4)
+      var peak = Double.NegativeInfinity; var dd = Double.NegativeInfinity
+      sorted.foreach { v => peak = math.max(peak, v); dd = math.max(dd, peak - v) }
+      assert(out(uid) == ((sorted.length.toLong, peak, dd)), s"user $uid")
+    }
+  }
+
+  test("x81 curriculum head round-robins sources in quality order") {
+    val rows = graft.llm.TextAnalysis.queries("x81_curriculum_order")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (1L to 100L))
+    // within the head, rk is non-decreasing, and within one rk wave the
+    // sources appear in ascending order (the interleave invariant)
+    rows.sliding(2).foreach { case Array((_, _, s1, k1, _), (_, _, s2, k2, _)) =>
+      assert(k2 > k1 || (k2 == k1 && s2 > s1))
+    }
+    // each doc in a wave really is its source's k-th best by quality:
+    // no doc of the same source outside the head has higher quality
+    // than a head doc of the same source at a later rank
+    rows.groupBy(_._3).foreach { case (_, ds) =>
+      val byRk = ds.sortBy(_._4)
+      byRk.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 >= b._5 || (a._5 == b._5 && a._2 < b._2))
+        case _ =>
+      }
+    }
+  }
+
+  test("x80 embedding drift reproduces from first-principles half centroids") {
+    val rows = graft.llm.Similarity.queries("x80_embedding_drift")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val embs = graft.queries.Tables.t(spark, sf001, "embeddings")
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+      .sortBy(_._1)
+    val half = embs.length / 2
+    val byHalf = embs.zipWithIndex.map { case ((id, lb, v), i) =>
+      (lb, if (i < half) 0 else 1, v)
+    }
+    val expected = byHalf.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (lb, vs) =>
+        val h0 = vs.filter(_._2 == 0).map(_._3)
+        val h1 = vs.filter(_._2 == 1).map(_._3)
+        if (h0.isEmpty || h1.isEmpty) None
+        else {
+          def cent(g: Seq[Seq[Float]], d: Int): Double = {
+            val s = g.map(v => BigDecimal(v(d).toDouble)
+              .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum
+            s.toDouble / g.size.toDouble
+          }
+          // same left-to-right dim-order fold as both engines
+          var acc = 0.0
+          (0 until 64).foreach { d =>
+            val delta = cent(h1, d) - cent(h0, d); acc += delta * delta
+          }
+          Some((lb, h0.size.toLong, h1.size.toLong, math.sqrt(acc)))
+        }
+    }
+    assert(rows.toSeq == expected)
+  }
+
   test("x76 bpe pair statistics reproduce from first principles") {
     val rows = graft.llm.TextAnalysis.queries("x76_bpe_pairs")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
