@@ -250,8 +250,16 @@ object Dedup {
     * every iteration and the loop goes quadratic in rounds). The
     * improvement flag rides in the same pass, so the convergence probe
     * is a filter over checkpointed data — one distributed job per
-    * round, one boolean to the driver. */
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    * round, one boolean to the driver.
+    *
+    * Shared-tier frame: the converged cluster assignment is reused by
+    * x24/x32/x52/x73 (and transitively by every canonical-mapping
+    * consumer) — in a real dedup campaign it IS a persisted table, so
+    * the propagation loop runs once per corpus, not once per report. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "cluster_labels")(clusterLabelsBuild(s, dir))
+
+  private def clusterLabelsBuild(s: SparkSession, dir: String): DataFrame = {
     val pairs = simhashPairs(s, dir).select("doc_a", "doc_b")
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -759,7 +767,10 @@ object Dedup {
     * x52 scorecard): every document → its canonical doc through the
     * exact-dup representative (min doc_id per content fingerprint) and
     * the representative's near-dup cluster label. */
-  private def canonicalDocs(s: SparkSession, dir: String): DataFrame = {
+  private def canonicalDocs(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "canonical_docs")(canonicalDocsBuild(s, dir))
+
+  private def canonicalDocsBuild(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     val rep = t(s, dir, "documents")
       .selectExpr("doc_id", s"md5($sNorm) as fp")

@@ -162,6 +162,21 @@ object Similarity {
   private val dCos: String =
     dRound6(s"(${dDot("a.embedding", "b.embedding")}) / sqrt(a.sq * b.sq)")
 
+  /** Per-label centroid ARRAYS (label cl, 64-slot double cv) — x14's
+    * exact-decimal means assembled in dim order. Shared tier: ≤ |labels|
+    * rows, the broadcast side of every assignment-shaped pass (x82
+    * margins, x87 affinity). */
+  private def labelCentroidArrays(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "label_centroids") {
+      t(s, dir, "embeddings")
+        .selectExpr("label", "posexplode(embedding) as (dim, v)")
+        .groupBy("label", "dim")
+        .agg((sum(col("v").cast("double").cast(DecimalType(20, 8))).cast("double") /
+          count(lit(1)).cast("double")).as("c"))
+        .groupBy(col("label").as("cl"))
+        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)").as("cv"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // brute-force cosine top-k: broadcast the probe set, stream the corpus
@@ -591,6 +606,87 @@ object Similarity {
           "cast(ns as bigint) as n_second", "drift")
         .orderBy("label")
     },
+
+    // CENTROID-MARGIN MISLABEL AUDIT (the label-noise screen run before
+    // any label-conditioned curation decision — x14's centroids turned
+    // into a per-vector confidence report): for every vector, squared
+    // L2 to its OWN label centroid vs the NEAREST other-label centroid;
+    // a negative margin (closer to a foreign centroid than to its own)
+    // flags a candidate mislabel for re-annotation. Same shape as one
+    // Lloyd assignment (x51): centroids are label×dim exact-decimal
+    // means assembled into a broadcast of ≤ |labels| rows, the corpus
+    // crossJoins that broadcast and collapses immediately via map-side
+    // min-struct — corpus volume crosses the network exactly once, and
+    // the fused l2_f32f64 kernel keeps the |labels|×64 hot loop in
+    // codegen. Ties break to the smaller label on both engines.
+    "x82_centroid_margin" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      emb.crossJoin(broadcast(labelCentroidArrays(s, dir)))
+        .selectExpr("vec_id", "label", "cl",
+          s"${sL2In(s, "embedding", "cv")} as d2")
+        .groupBy("vec_id", "label")
+        .agg(max(expr("case when cl = label then d2 end")).as("down"),
+          expr("min(case when cl <> label then struct(d2, cl) end)").as("m"))
+        .selectExpr("vec_id", "label", "m.cl as nearest_other",
+          sRound6("down") + " as d_own2",
+          sRound6("m.d2") + " as d_other2",
+          sRound6("m.d2 - down") + " as margin",
+          "m.d2 < down as suspect")
+        .orderBy("vec_id")
+    },
+
+    // PER-DIMENSION WHITENING STATISTICS (the normalization table
+    // computed before any cosine/L2 index is built — dead or
+    // degenerate dimensions waste code budget in PQ (x49) and distort
+    // IVF cell shapes (x17)): mean and population variance per
+    // embedding slot, plus the standard deviation the whitening
+    // transform would divide by. ONE posexplode aggregation over the
+    // corpus; everything after is 64 rows. Sums are exact decimals
+    // (order-free under any partitioning — the same discipline as
+    // x14's centroid means), so var = E[v²] − E[v]² sees identical
+    // bits on both engines before the one sqrt.
+    "x84_embedding_whiten" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .selectExpr("posexplode(embedding) as (dim, v)")
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("double").cast(DecimalType(20, 8)))
+            .cast("double").as("sv"),
+          sum(expr("cast(cast(v as double) * cast(v as double) as decimal(24,12))"))
+            .cast("double").as("sq"))
+        .selectExpr("cast(dim as bigint) as dim", "cast(n as bigint) as n",
+          sRound6("sv / cast(n as double)") + " as mean_v",
+          sRound6("sq / cast(n as double) - (sv / cast(n as double)) * (sv / cast(n as double))") + " as var_v",
+          sRound6("sqrt(greatest(sq / cast(n as double) - (sv / cast(n as double)) * (sv / cast(n as double)), cast(0 as double)))") + " as std_v")
+        .orderBy("dim")
+    },
+
+    // LABEL-AFFINITY MATRIX — which classes are geometrically
+    // confusable (the pair-level companion of x82's per-vector audit:
+    // a pair with high centroid cosine / small centroid L2 is where
+    // mislabels concentrate and where a classifier needs margin): for
+    // every unordered label pair, the cosine and L2 between their
+    // centroids. The corpus is reduced ONCE by the shared x14
+    // aggregation; this query itself joins |labels|² rows — constant
+    // work at any corpus width. Folds run left-to-right in dim order
+    // on both engines (the dDot discipline), so cosine and distance
+    // see identical bits before the one rounding.
+    "x87_label_affinity" -> { (s, dir) =>
+      val cents = labelCentroidArrays(s, dir)
+      val a = cents.select(col("cl").as("label_a"), col("cv").as("va"))
+      val b = cents.select(col("cl").as("label_b"), col("cv").as("vb"))
+      a.crossJoin(broadcast(b))
+        .filter(col("label_a") < col("label_b"))
+        .selectExpr("label_a", "label_b",
+          "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, t) -> acc + t) as dab",
+          "aggregate(zip_with(va, va, (x, y) -> x * y), cast(0 as double), (acc, t) -> acc + t) as daa",
+          "aggregate(zip_with(vb, vb, (x, y) -> x * y), cast(0 as double), (acc, t) -> acc + t) as dbb",
+          "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, t) -> acc + t) as dl2")
+        .selectExpr("label_a", "label_b",
+          sRound6("dab / (sqrt(daa) * sqrt(dbb))") + " as cosine",
+          sRound6("sqrt(dl2)") + " as l2_dist")
+        .orderBy("label_a", "label_b")
+    },
   )
 
   /** x11/x12/x17/x49 oracle texts, factored out so the x62 recall
@@ -857,6 +953,64 @@ object Similarity {
          |      FROM embeddings JOIN rk USING (vec_id) GROUP BY label)
          |SELECT label, n_first, n_second, sqrt($chain) AS drift
          |FROM n JOIN arr USING (label) ORDER BY label""".stripMargin
+    },
+    "x82_centroid_margin" -> {
+      def dL2(e: String, cv: String): String =
+        (1 to Dim).map(i =>
+          s"(CAST($e[$i] AS DOUBLE)-$cv[$i])*(CAST($e[$i] AS DOUBLE)-$cv[$i])")
+          .mkString(" + ")
+      s"""WITH cm AS (SELECT label AS cl, dim,
+         |        CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE)
+         |          / CAST(COUNT(*) AS DOUBLE) AS c
+         |      FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         |              unnest(embedding) AS v FROM embeddings)
+         |      GROUP BY label, dim),
+         |cent AS (SELECT cl, list(c ORDER BY dim) AS cv FROM cm GROUP BY cl),
+         |d AS (SELECT e.vec_id, e.label, c.cl,
+         |        ${dL2("e.embedding", "c.cv")} AS d2
+         |      FROM embeddings e CROSS JOIN cent c),
+         |own AS (SELECT vec_id, label, d2 AS down FROM d WHERE cl = label),
+         |oth AS (SELECT vec_id, cl, d2,
+         |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |        FROM d WHERE cl <> label)
+         |SELECT o.vec_id, o.label, t.cl AS nearest_other,
+         |  ${dRound6("down")} AS d_own2,
+         |  ${dRound6("t.d2")} AS d_other2,
+         |  ${dRound6("t.d2 - down")} AS margin,
+         |  t.d2 < down AS suspect
+         |FROM own o JOIN oth t ON o.vec_id = t.vec_id AND t.rn = 1
+         |ORDER BY o.vec_id""".stripMargin
+    },
+    "x84_embedding_whiten" ->
+      s"""WITH e AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         |        unnest(embedding) AS v FROM embeddings),
+         |a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) AS sv,
+         |        CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(24,12))) AS DOUBLE) AS sq
+         |      FROM e GROUP BY dim)
+         |SELECT CAST(dim AS BIGINT) AS dim, n,
+         |  ${dRound6("sv / CAST(n AS DOUBLE)")} AS mean_v,
+         |  ${dRound6("sq / CAST(n AS DOUBLE) - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE))")} AS var_v,
+         |  ${dRound6("sqrt(GREATEST(sq / CAST(n AS DOUBLE) - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE)), CAST(0 AS DOUBLE)))")} AS std_v
+         |FROM a ORDER BY dim""".stripMargin,
+    "x87_label_affinity" -> {
+      def chain(f: Int => String): String = (1 to Dim).map(f).mkString(" + ")
+      val dab = chain(i => s"a.cv[$i]*b.cv[$i]")
+      val daa = chain(i => s"a.cv[$i]*a.cv[$i]")
+      val dbb = chain(i => s"b.cv[$i]*b.cv[$i]")
+      val dl2 = chain(i => s"(a.cv[$i]-b.cv[$i])*(a.cv[$i]-b.cv[$i])")
+      s"""WITH cm AS (SELECT label AS cl, dim,
+         |        CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE)
+         |          / CAST(COUNT(*) AS DOUBLE) AS c
+         |      FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         |              unnest(embedding) AS v FROM embeddings)
+         |      GROUP BY label, dim),
+         |cent AS (SELECT cl, list(c ORDER BY dim) AS cv FROM cm GROUP BY cl)
+         |SELECT a.cl AS label_a, b.cl AS label_b,
+         |  ${dRound6(s"($dab) / (sqrt($daa) * sqrt($dbb))")} AS cosine,
+         |  ${dRound6(s"sqrt($dl2)")} AS l2_dist
+         |FROM cent a JOIN cent b ON a.cl < b.cl
+         |ORDER BY label_a, label_b""".stripMargin
     },
   )
 }

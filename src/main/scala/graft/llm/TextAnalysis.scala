@@ -1162,6 +1162,111 @@ object TextAnalysis {
           "cum as cum_tokens")
         .orderBy("doc_id")
     },
+
+    // TOKENIZER FERTILITY BY LANGUAGE — the tokenizer-evaluation table
+    // (how many subword tokens a language pays per whitespace word /
+    // per character) that decides whether a shared BPE vocabulary
+    // taxes some languages with longer sequences: per lang, total
+    // whitespace tokens, total BPE-ish pieces (x28's alpha/digit/mark
+    // decomposition — the same proxy, so the two reports reconcile),
+    // total characters, and the two ratios. Pure narrow map + one
+    // 5-row aggregation of exact bigints; ratios are the only doubles
+    // and they divide identical integers on both engines.
+    "x83_token_fertility" -> { (s, dir) =>
+      docs(s, dir)
+        .selectExpr("lang",
+          "cast(size(regexp_extract_all(lower(text), '[a-z]+', 0)) as bigint) + " +
+            "cast(size(regexp_extract_all(lower(text), '[0-9]+', 0)) as bigint) + " +
+            "cast(size(regexp_extract_all(lower(text), '[^a-z0-9\\\\s]', 0)) as bigint) as nb",
+          s"cast(size(filter($sTokens, x -> x != '')) as bigint) as nw",
+          "cast(length(text) as bigint) as nc")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_ws"),
+          sum(col("nb")).as("n_bpeish"), sum(col("nc")).as("n_chars"))
+        .selectExpr("lang", "cast(n_docs as bigint) as n_docs",
+          "cast(n_ws as bigint) as n_ws_tokens",
+          "cast(n_bpeish as bigint) as n_bpeish_tokens",
+          "cast(n_chars as bigint) as n_chars",
+          sRound6("case when n_ws > 0 then cast(n_bpeish as double) / cast(n_ws as double) else 0.0d end") + " as fertility",
+          sRound6("case when n_ws > 0 then cast(n_chars as double) / cast(n_ws as double) else 0.0d end") + " as chars_per_token")
+        .orderBy("lang")
+    },
+
+    // OOV-RATE BY SOURCE — vocabulary-coverage audit before committing
+    // a tokenizer: fix the vocabulary to the corpus-wide top-K tokens
+    // (K = 16 here ≈ half this synthetic corpus's vocabulary; 32k–100k
+    // in production — K is the knob, the plan does not change), then
+    // per source report the occurrence- and type-level out-of-vocab
+    // rates. The token-count frame is vocabulary-sized, ranked by the
+    // native global top-k (TopKRewrite's operator — no one-task global
+    // window); the per-(source, token) aggregate is
+    // sources×vocabulary-bounded, and the corpus-sized (doc, token)
+    // stream is the shared cached tf frame, touched exactly once.
+    "x85_oov_rate" -> { (s, dir) =>
+      val counts = docTf(s, dir)
+        .groupBy("token").agg(sum(col("tf")).as("n"))
+      val vocab = graft.plans.TopKPerKey
+        .topKDesc(counts, Seq.empty, "n", Seq("token"), 16)
+        .select(col("token"), lit(1).as("in_v"))
+      val st = docs(s, dir).select("doc_id", "source")
+        .join(docTf(s, dir), "doc_id")
+        .groupBy("source", "token").agg(sum(col("tf")).as("c"))
+      st.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("source")
+        .agg(sum(col("c")).as("nt"),
+          sum(expr("case when in_v is null then c else 0L end")).as("no"),
+          count(lit(1)).as("ty"),
+          sum(expr("case when in_v is null then 1L else 0L end")).as("tyo"))
+        .selectExpr("source", "cast(nt as bigint) as n_tokens",
+          "cast(no as bigint) as n_oov_tokens",
+          sRound6("cast(no as double) / cast(nt as double)") + " as oov_rate",
+          "cast(ty as bigint) as n_types",
+          "cast(tyo as bigint) as n_oov_types",
+          sRound6("cast(tyo as double) / cast(ty as double)") + " as type_oov_rate")
+        .orderBy("source")
+    },
+
+    // RENDEZVOUS (HRW) RESHARDING — the elasticity audit for sharded
+    // corpus storage: assign every document to one of 8 workers by
+    // highest-random-weight hashing (argmax over md5(doc_id:worker)),
+    // then remove worker 7 and measure what moves. HRW's defining
+    // property — ONLY the lost worker's documents reassign, everyone
+    // else's placement is stable (n_7 = n_8 + gained per survivor) —
+    // is what makes incremental rebalancing affordable at 100 TB,
+    // versus mod-N hashing where removing one worker moves (N−1)/N of
+    // the corpus. The scoring is a pure narrow map (8 derived hashes
+    // per row, no shuffle until the 8-row aggregate); md5 ties are
+    // impossible, so the argmax is deterministic on both engines.
+    "x86_rendezvous_shards" -> { (s, dir) =>
+      Tables.t(s, dir, "documents").select("doc_id")
+        .selectExpr(
+          s"transform(sequence(0, 7), w -> ${sH("concat(cast(doc_id as string), ':', cast(w as string))")}) as sc")
+        .selectExpr("sc", "array_max(sc) as m8",
+          "array_max(slice(sc, 1, 7)) as m7")
+        .selectExpr(
+          "element_at(filter(sequence(0, 7), w -> element_at(sc, w + 1) = m8), 1) as a8",
+          "element_at(filter(sequence(0, 6), w -> element_at(sc, w + 1) = m7), 1) as a7")
+        // both per-worker tallies in ONE corpus pass: each row emits its
+        // 8-worker and 7-worker assignment as two counted events (an
+        // explode of a 2-struct array, not a self-union re-scanning the
+        // corpus), and the map-side partial aggregation collapses
+        // everything to ≤ 8 rows per task before the only exchange
+        .selectExpr(
+          """explode(array(
+            |  struct(a8 as worker, 1L as c8, 0L as c7, 0L as cg),
+            |  struct(a7 as worker, 0L as c8, 1L as c7,
+            |    case when a8 = 7 then 1L else 0L end as cg))) as e""".stripMargin)
+        .selectExpr("e.worker as worker", "e.c8 as c8", "e.c7 as c7", "e.cg as cg")
+        .groupBy("worker")
+        .agg(sum(col("c8")).as("n8"), sum(col("c7")).as("n7"),
+          sum(col("cg")).as("ng"))
+        .selectExpr("cast(worker as bigint) as worker",
+          "cast(n8 as bigint) as n_assigned_8",
+          "cast(n7 as bigint) as n_assigned_7",
+          "cast(ng as bigint) as n_gained",
+          sRound6("case when n7 > 0 then cast(ng as double) / cast(n7 as double) else 0.0d end") + " as gained_frac")
+        .orderBy("worker")
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1754,5 +1859,56 @@ object TextAnalysis {
          |      FROM q)
          |SELECT doc_id, quality, n_tokens, rk, cum AS cum_tokens
          |FROM c WHERE cum <= tot // 2 ORDER BY doc_id""".stripMargin,
+    "x83_token_fertility" ->
+      s"""WITH c AS (SELECT lang,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+         |      + CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT)
+         |      + CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT) AS nb,
+         |    CAST(len(list_filter($dTokens, x -> x <> '')) AS BIGINT) AS nw,
+         |    CAST(length(text) AS BIGINT) AS nc
+         |  FROM documents)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nw) AS BIGINT) AS n_ws_tokens,
+         |  CAST(SUM(nb) AS BIGINT) AS n_bpeish_tokens,
+         |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+         |  ${dRound6("CASE WHEN SUM(nw) > 0 THEN CAST(SUM(nb) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE) ELSE 0.0 END")} AS fertility,
+         |  ${dRound6("CASE WHEN SUM(nw) > 0 THEN CAST(SUM(nc) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE) ELSE 0.0 END")} AS chars_per_token
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "x85_oov_rate" ->
+      s"""WITH tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |      FROM (SELECT doc_id, unnest($dTokens) AS token FROM documents)
+         |      WHERE token <> '' GROUP BY doc_id, token),
+         |cnt AS (SELECT token, SUM(tf) AS n FROM tf GROUP BY token),
+         |vocab AS (SELECT token FROM cnt ORDER BY n DESC, token LIMIT 16),
+         |st AS (SELECT d.source, tf.token, CAST(SUM(tf) AS BIGINT) AS c
+         |       FROM tf JOIN documents d USING (doc_id)
+         |       GROUP BY d.source, tf.token)
+         |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN v.token IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov_tokens,
+         |  ${dRound6("CAST(SUM(CASE WHEN v.token IS NULL THEN c ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)")} AS oov_rate,
+         |  CAST(COUNT(*) AS BIGINT) AS n_types,
+         |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_types,
+         |  ${dRound6("CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS type_oov_rate
+         |FROM st LEFT JOIN vocab v USING (token)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "x86_rendezvous_shards" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |        list_transform(range(0, 8),
+         |          w -> ${dH("concat(CAST(doc_id AS VARCHAR), ':', CAST(w AS VARCHAR))")}) AS sc
+         |      FROM documents),
+         |m AS (SELECT doc_id, sc, list_max(sc) AS m8, list_max(sc[1:7]) AS m7 FROM sc),
+         |asg AS (SELECT doc_id,
+         |          list_filter(range(0, 8), w -> sc[w + 1] = m8)[1] AS a8,
+         |          list_filter(range(0, 7), w -> sc[w + 1] = m7)[1] AS a7
+         |        FROM m),
+         |u AS (SELECT a8 AS worker, 1::BIGINT AS c8, 0::BIGINT AS c7, 0::BIGINT AS cg FROM asg
+         |      UNION ALL
+         |      SELECT a7, 0, 1, CASE WHEN a8 = 7 THEN 1 ELSE 0 END FROM asg)
+         |SELECT CAST(worker AS BIGINT) AS worker,
+         |  CAST(SUM(c8) AS BIGINT) AS n_assigned_8,
+         |  CAST(SUM(c7) AS BIGINT) AS n_assigned_7,
+         |  CAST(SUM(cg) AS BIGINT) AS n_gained,
+         |  ${dRound6("CASE WHEN SUM(c7) > 0 THEN CAST(SUM(cg) AS DOUBLE) / CAST(SUM(c7) AS DOUBLE) ELSE 0.0 END")} AS gained_frac
+         |FROM u GROUP BY worker ORDER BY worker""".stripMargin,
   )
 }

@@ -617,6 +617,27 @@ object Relational {
           cnt.as("n"))
         .orderBy("c_mktsegment")
     },
+
+    // quantified comparisons — `> ALL` / `> ANY` correlated subqueries
+    // (the remaining subquery dialect gap after r05 EXISTS / r34 scalar
+    // / r55 NOT IN): Spark-first as extreme-value algebra — ALL ≡
+    // compare against the group max, ANY ≡ against the group min, with
+    // the vacuous-truth edge (a nation with NO suppliers ⇒ ALL true,
+    // ANY false) carried by the left join's null. The 25-row extreme
+    // table broadcasts; the oracle runs the REAL quantified subqueries.
+    // Doubles pass through untouched (max/min are order-free selections
+    // of input values — no arithmetic, no rounding needed).
+    "r67_quantified_compare" -> { (s, dir) =>
+      val sup = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(max(col("s_acctbal")).as("mx"), min(col("s_acctbal")).as("mn"))
+      t(s, dir, "customer")
+        .join(broadcast(sup), col("c_nationkey") === col("nk"), "left")
+        .selectExpr("c_custkey", "c_nationkey", "c_acctbal",
+          "coalesce(c_acctbal > mx, true) as beats_all",
+          "coalesce(c_acctbal > mn, false) as beats_any")
+        .orderBy("c_custkey")
+    },
   )
 
   /** Bit-exact 6-dp presentation rounding (same contract as
@@ -996,5 +1017,12 @@ object Relational {
         |  bool_or(c_acctbal > 9000) AS any_rich,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "r67_quantified_compare" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  c_acctbal > ALL (SELECT s_acctbal FROM supplier
+        |                   WHERE s_nationkey = c_nationkey) AS beats_all,
+        |  c_acctbal > ANY (SELECT s_acctbal FROM supplier
+        |                   WHERE s_nationkey = c_nationkey) AS beats_any
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }
