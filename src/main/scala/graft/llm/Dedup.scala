@@ -761,6 +761,30 @@ object Dedup {
           sRound6("cast(n_docs as double) / cast(n0 as double)") + " as doc_retention")
         .orderBy("stage")
     },
+
+    // LEAKAGE-FREE SPLIT — the split assignment a dedup-aware pipeline
+    // actually ships (x19 hashes raw doc_ids, so two near-identical
+    // documents can straddle train/test — exactly the leak x73/x67
+    // then have to MEASURE): hash the CANONICAL id instead, so every
+    // exact/near-dup group lands in one split by construction and
+    // cross-split duplicate leakage is structurally impossible, not
+    // post-hoc filtered. Rides the shared canonical mapping (the
+    // propagation loop runs once per corpus); the per-doc work is two
+    // derived hashes — a narrow map. `rescued` marks docs whose naive
+    // doc_id-hash split differs from the group split: each is a
+    // leakage path the canonical rule closed.
+    "x88_leakage_free_split" -> { (s, dir) =>
+      canonicalDocs(s, dir)
+        .selectExpr("doc_id", "canonical_id",
+          s"${sH("concat('split:', canonical_id)")} % 100 as cb",
+          s"${sH("concat('split:', doc_id)")} % 100 as nb")
+        .selectExpr("doc_id", "canonical_id",
+          "case when cb < 80 then 'train' when cb < 90 then 'val' else 'test' end as split",
+          "case when nb < 80 then 'train' when nb < 90 then 'val' else 'test' end as naive_split")
+        .selectExpr("doc_id", "canonical_id", "split", "naive_split",
+          "split != naive_split as rescued")
+        .orderBy("doc_id")
+    },
   )
 
   /** Canonical-survivor assignment (x32's body, also aggregated by the
@@ -1292,5 +1316,16 @@ object Dedup {
          |SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs, n_tokens,
          |  ${dRound6("CAST(n_docs AS DOUBLE) / n0")} AS doc_retention
          |FROM fun, nz ORDER BY stage""".stripMargin,
+    "x88_leakage_free_split" ->
+      s"""SELECT doc_id, canonical_id,
+         |  CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val' ELSE 'test' END AS split,
+         |  CASE WHEN nb < 80 THEN 'train' WHEN nb < 90 THEN 'val' ELSE 'test' END AS naive_split,
+         |  (CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val' ELSE 'test' END)
+         |    <> (CASE WHEN nb < 80 THEN 'train' WHEN nb < 90 THEN 'val' ELSE 'test' END) AS rescued
+         |FROM (SELECT doc_id, canonical_id,
+         |        ${dH("concat('split:', canonical_id)")} % 100 AS cb,
+         |        ${dH("concat('split:', doc_id)")} % 100 AS nb
+         |      FROM ($x32OracleSql))
+         |ORDER BY doc_id""".stripMargin,
   )
 }

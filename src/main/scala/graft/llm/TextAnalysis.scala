@@ -1267,6 +1267,46 @@ object TextAnalysis {
           sRound6("case when n7 > 0 then cast(ng as double) / cast(n7 as double) else 0.0d end") + " as gained_frac")
         .orderBy("worker")
     },
+
+    // POPULATION STABILITY INDEX (the distribution-drift alarm run on
+    // every incoming batch — x74/x80's length-distribution sibling,
+    // scored with the standard industry metric): per source, PSI
+    // between the even- and odd-doc_id halves (two deterministic
+    // snapshots) over 10 fixed length bins, Laplace-smoothed over the
+    // FULL bin grid so empty bins contribute their prior on both
+    // engines. Corpus work is one narrow map + one sources×bins
+    // aggregation; the PSI sum folds the 10 bin terms in bin order
+    // (collect-sort-fold, the x80 discipline) so the float additions
+    // run in one fixed sequence — never engine-partition order.
+    "x89_source_psi" -> { (s, dir) =>
+      val counts = docs(s, dir)
+        .selectExpr("source", "doc_id % 2 as half",
+          "least(n_chars div 60, 9L) as bin")
+        .groupBy("source", "bin")
+        .agg(sum(expr("case when half = 0 then 1L else 0L end")).as("ca"),
+          sum(expr("case when half = 1 then 1L else 0L end")).as("cb"))
+      val grid = counts.select("source").distinct()
+        .selectExpr("source", "explode(sequence(0L, 9L)) as bin")
+      grid.join(counts, Seq("source", "bin"), "left")
+        .selectExpr("source", "bin",
+          "coalesce(ca, 0L) as ca", "coalesce(cb, 0L) as cb")
+        .withColumn("na", sum(col("ca")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")))
+        .withColumn("nb", sum(col("cb")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")))
+        .selectExpr("source", "bin", "ca", "cb", "na", "nb",
+          "(cast(ca as double) + 1.0d) / (cast(na as double) + 10.0d) as pa",
+          "(cast(cb as double) + 1.0d) / (cast(nb as double) + 10.0d) as pb")
+        .selectExpr("source", "bin", "na", "nb",
+          "(pa - pb) * ln(pa / pb) as term")
+        .groupBy("source")
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          expr("aggregate(transform(sort_array(collect_list(struct(bin, term))), t -> t.term), cast(0 as double), (acc, x) -> acc + x)").as("psi0"))
+        .selectExpr("source", "cast(na as bigint) as n_first",
+          "cast(nb as bigint) as n_second",
+          sRound6("psi0") + " as psi")
+        .orderBy("source")
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1910,5 +1950,34 @@ object TextAnalysis {
          |  CAST(SUM(cg) AS BIGINT) AS n_gained,
          |  ${dRound6("CASE WHEN SUM(c7) > 0 THEN CAST(SUM(cg) AS DOUBLE) / CAST(SUM(c7) AS DOUBLE) ELSE 0.0 END")} AS gained_frac
          |FROM u GROUP BY worker ORDER BY worker""".stripMargin,
+    "x89_source_psi" -> {
+      val chain = (1 to 10).map(i => s"ts[$i]").mkString(" + ")
+      s"""WITH d AS (SELECT source, doc_id % 2 AS half,
+         |        LEAST(n_chars // 60, 9) AS bin FROM documents),
+         |c AS (SELECT source, bin,
+         |        CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |        CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |      FROM d GROUP BY source, bin),
+         |g AS (SELECT source, r.range AS bin
+         |      FROM (SELECT DISTINCT source FROM documents), range(0, 10) r),
+         |f AS (SELECT g.source, g.bin,
+         |        COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+         |      FROM g LEFT JOIN c ON g.source = c.source AND g.bin = c.bin),
+         |w AS (SELECT source, bin, ca, cb,
+         |        SUM(ca) OVER (PARTITION BY source) AS na,
+         |        SUM(cb) OVER (PARTITION BY source) AS nb
+         |      FROM f),
+         |p AS (SELECT source, bin, na, nb,
+         |        (CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + 10.0) AS pa,
+         |        (CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + 10.0) AS pb
+         |      FROM w),
+         |arr AS (SELECT source, MAX(na) AS na, MAX(nb) AS nb,
+         |          list((pa - pb) * ln(pa / pb) ORDER BY bin) AS ts
+         |        FROM p GROUP BY source)
+         |SELECT source, CAST(na AS BIGINT) AS n_first,
+         |  CAST(nb AS BIGINT) AS n_second,
+         |  ${dRound6(s"$chain")} AS psi
+         |FROM arr ORDER BY source""".stripMargin
+    },
   )
 }

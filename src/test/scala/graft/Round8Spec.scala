@@ -237,6 +237,58 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("x88 split: no canonical group straddles splits; rescues are real") {
+    val out = graft.llm.Dedup.queries("x88_leakage_free_split")(spark, sf001)
+      .collect()
+    // structural leak-freedom: one split per canonical group
+    out.groupBy(_.getLong(1)).foreach { case (cid, rows) =>
+      assert(rows.map(_.getString(2)).distinct.length == 1,
+        s"canonical group $cid spans splits")
+    }
+    // reconciles with x32's canonical mapping
+    val x32 = graft.llm.Dedup.queries("x32_canonical_docs")(spark, sf001)
+      .select("doc_id", "canonical_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(x32(r.getLong(0)) == r.getLong(1)))
+    // the rescued flag is exactly the naive/canonical disagreement, and
+    // the duplicated fixture corpus must exercise it
+    out.foreach(r =>
+      assert(r.getBoolean(4) == (r.getString(2) != r.getString(3))))
+    val rescued = out.count(_.getBoolean(4))
+    assert(rescued > 0, "no leakage path closed — fixture should have dups")
+    // every rescued doc is a non-representative member of its group
+    out.filter(_.getBoolean(4)).foreach(r =>
+      assert(r.getLong(0) != r.getLong(1), s"rep ${r.getLong(0)} rescued?"))
+  }
+
+  test("x89 PSI matches a fixed-order in-memory reference") {
+    val out = graft.llm.TextAnalysis.queries("x89_source_psi")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val docs = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._1)
+    assert(out.size == bySrc.size)
+    bySrc.foreach { case (src, rows) =>
+      val bins = rows.map { case (_, id, nc) =>
+        (id % 2, math.min(nc / 60, 9L))
+      }
+      val na = bins.count(_._1 == 0L).toLong
+      val nb = bins.count(_._1 == 1L).toLong
+      var psi = 0.0
+      (0L to 9L).foreach { b =>
+        val ca = bins.count(p => p._1 == 0L && p._2 == b).toLong
+        val cb = bins.count(p => p._1 == 1L && p._2 == b).toLong
+        val pa = (ca.toDouble + 1.0) / (na.toDouble + 10.0)
+        val pb = (cb.toDouble + 1.0) / (nb.toDouble + 10.0)
+        psi += (pa - pb) * math.log(pa / pb)
+      }
+      val o = out(src)
+      assert(o.getLong(1) == na && o.getLong(2) == nb, s"halves of $src")
+      assert(o.getDouble(3) == round6(psi), s"psi of $src")
+    }
+  }
+
   test("r67 quantified compare matches first principles incl. vacuous truth") {
     val out = graft.queries.Relational.queries("r67_quantified_compare")(spark, sf001)
       .collect().map(r => r.getLong(0) -> r).toMap
