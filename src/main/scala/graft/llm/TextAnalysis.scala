@@ -1307,6 +1307,111 @@ object TextAnalysis {
           sRound6("psi0") + " as psi")
         .orderBy("source")
     },
+
+    // BM25 RETRIEVAL SCORING (Robertson–Spärck Jones probabilistic
+    // ranking, Lucene-form idf = ln(1 + (N−df+0.5)/(df+0.5)) so every
+    // matched term contributes positively): top-20 documents for a
+    // fixed query, k1=1.2 b=0.75 — the keyword-retrieval side of the
+    // curation stack (x11's lexical sibling; how eval probes and
+    // contamination audits find candidate documents without an
+    // embedding index). Rides the shared tf frame: the corpus-sized
+    // frame is filtered to the query's terms BEFORE any join, so the
+    // scored frame is (matched docs × ≤5 terms); doc lengths are one
+    // more aggregate off the same cached frame; df/N/avgdl are
+    // constant-size broadcasts. Per-doc term sum is decimal-cast
+    // (order-free); ranking orders the ROUNDED score (both engines
+    // rank identical bits) and auto-plans as the native global top-k.
+    "x90_bm25" -> { (s, dir) =>
+      val qTerms = Seq("spark", "window", "merge", "vector", "hash")
+      val inList = qTerms.map(t => s"'$t'").mkString(", ")
+      val tf = docTf(s, dir)
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val ad = dl.agg(
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+          .as("avgdl"))
+      val qtf = tf.filter(s"token in ($inList)")
+      val df = qtf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val term = "ln(1.0d + (cast(n_docs as double) - cast(df as double) + 0.5d) / (cast(df as double) + 0.5d))" +
+        " * (cast(tf as double) * 2.2d)" +
+        " / (cast(tf as double) + 1.2d * (0.25d + 0.75d * cast(dl as double) / avgdl))"
+      val scored = qtf
+        .join(broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(ad))
+        .selectExpr("doc_id", s"cast($term as decimal(24,12)) as t")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("t")).cast("double").as("score0"))
+        .selectExpr("doc_id", "n_terms", sRound6("score0") + " as score_r")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_r").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .selectExpr("cast(rk as bigint) as rk", "doc_id", "n_terms", "score_r")
+        .orderBy("rk")
+    },
+
+    // FEATURE HASHING (Weinberger et al. 2009 — the hashing trick): a
+    // fixed 64-dim bag-of-words vector per document with no vocabulary
+    // dictionary at all — dim = h(token) & 63, sign = parity of an
+    // independent salted hash (the unbiased two-hash variant). This is
+    // the featurizer that needs NO corpus-wide fit step, which is what
+    // makes it the 100-TB default for quality classifiers (fastText-
+    // style linear probes): every executor hashes its own rows, the
+    // only shuffle is the per-(doc,dim) combine off the shared tf
+    // frame. Weights stay INTEGERS (signed term counts) end to end, so
+    // nnz/l2/checksum are exact in both engines — the one sqrt is over
+    // an exact integer.
+    "x91_feature_hash" -> { (s, dir) =>
+      val tf = docTf(s, dir)
+      val perDim = tf
+        .selectExpr("doc_id", s"(${sH("token")} & 63L) as dim",
+          s"case when (${sH("concat('fs_', token)")} & 1L) = 1L then tf else -tf end as sw")
+        .groupBy("doc_id", "dim").agg(sum("sw").as("w"))
+        .filter("w != 0")
+      val perDoc = perDim.groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"), sum(expr("w * w")).as("ssq"),
+          sum(expr("dim * w")).as("chk"))
+      docs(s, dir).select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "coalesce(nnz, 0L) as nnz",
+          sRound6("sqrt(cast(coalesce(ssq, 0L) as double))") + " as l2_r",
+          "coalesce(chk, 0L) as chk")
+        .orderBy("doc_id")
+    },
+
+    // PMI COLLOCATION MINING (Church & Hanks 1990): top-20 adjacent
+    // token pairs by pointwise mutual information ln(p(ab)/(p(a)p(b))),
+    // min pair count 5 (PMI's low-count pathology gate) — the phrase
+    // detector behind tokenizer/vocab curation (Mikolov-style phrase
+    // merging decides from exactly this table). Rides the shared
+    // bigram stream (x43/x65/x76's base) and the shared tf frame; the
+    // unigram joins are UNHINTED on purpose (the x54 rule: distinct-
+    // token tables grow with the corpus — let the planner shuffle on
+    // the vocabulary key), the two grand totals are one-row broadcasts.
+    // PMI is ranked on rounded bits, ties broken lexically; the rank
+    // filter auto-plans as the native global top-k.
+    "x92_pmi_collocations" -> { (s, dir) =>
+      val bs = bigramStream(s, dir)
+      val bg = bs.groupBy("prev", "cur").agg(count(lit(1)).as("c_ab"))
+        .filter("c_ab >= 5")
+      val uni = docTf(s, dir).groupBy("token").agg(sum("tf").as("c_u"))
+      val uTot = uni.agg(sum("c_u").as("u_tot"))
+      val bTot = bs.agg(count(lit(1)).as("b_tot"))
+      val pmi = "ln((cast(c_ab as double) / cast(b_tot as double)) / " +
+        "((cast(c_a as double) / cast(u_tot as double)) * (cast(c_b as double) / cast(u_tot as double))))"
+      val scored = bg
+        .join(uni.selectExpr("token as prev", "c_u as c_a"), "prev")
+        .join(uni.selectExpr("token as cur", "c_u as c_b"), "cur")
+        .crossJoin(broadcast(uTot)).crossJoin(broadcast(bTot))
+        .selectExpr("prev", "cur", "c_ab", sRound6(pmi) + " as pmi_r")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pmi_r").desc, col("prev"), col("cur"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .selectExpr("cast(rk as bigint) as rk", "prev", "cur", "c_ab", "pmi_r")
+        .orderBy("rk")
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1978,6 +2083,71 @@ object TextAnalysis {
          |  CAST(nb AS BIGINT) AS n_second,
          |  ${dRound6(s"$chain")} AS psi
          |FROM arr ORDER BY source""".stripMargin
+    },
+    "x90_bm25" -> {
+      val term = "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
+        " * (CAST(tf AS DOUBLE) * 2.2)" +
+        " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($dTokens) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY doc_id, token),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+         |qtf AS (SELECT * FROM tf WHERE token IN ('spark', 'window', 'merge', 'vector', 'hash')),
+         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY token),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |         CAST(SUM(CAST($term AS DECIMAL(24,12))) AS DOUBLE) AS score0
+         |       FROM qtf JOIN df USING (token) JOIN dl USING (doc_id), n, ad
+         |       GROUP BY doc_id),
+         |r AS (SELECT doc_id, n_terms, ${dRound6("score0")} AS score_r FROM sc)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_r DESC, doc_id) AS BIGINT) AS rk,
+         |  doc_id, n_terms, score_r
+         |FROM r ORDER BY score_r DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "x91_feature_hash" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($dTokens) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY doc_id, token),
+         |pd AS (SELECT doc_id, ${dH("token")} & 63 AS dim,
+         |         CAST(SUM(CASE WHEN (${dH("concat('fs_', token)")} & 1) = 1
+         |                       THEN tf ELSE -tf END) AS BIGINT) AS w
+         |       FROM tf GROUP BY 1, 2),
+         |nz AS (SELECT * FROM pd WHERE w <> 0),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nnz,
+         |          CAST(SUM(w * w) AS BIGINT) AS ssq,
+         |          CAST(SUM(dim * w) AS BIGINT) AS chk
+         |        FROM nz GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(nnz, 0) AS nnz,
+         |  ${dRound6("sqrt(CAST(COALESCE(ssq, 0) AS DOUBLE))")} AS l2_r,
+         |  COALESCE(chk, 0) AS chk
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "x92_pmi_collocations" -> {
+      val pmi = "ln((CAST(c_ab AS DOUBLE) / CAST(b_tot AS DOUBLE)) / " +
+        "((CAST(a.c_u AS DOUBLE) / CAST(u_tot AS DOUBLE)) * (CAST(b.c_u AS DOUBLE) / CAST(u_tot AS DOUBLE))))"
+      s"""WITH tkn AS (SELECT doc_id, list_filter($dTokens, x -> x <> '') AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |          i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS gs
+         |      FROM tkn),
+         |bg AS (SELECT split_part(g2, ' ', 1) AS prev, split_part(g2, ' ', 2) AS cur
+         |       FROM (SELECT doc_id, unnest(gs) AS g2 FROM g)),
+         |cbg AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |        FROM bg GROUP BY prev, cur HAVING COUNT(*) >= 5),
+         |uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_u
+         |        FROM (SELECT unnest($dTokens) AS token FROM documents)
+         |        WHERE token <> '' GROUP BY token),
+         |ut AS (SELECT CAST(SUM(c_u) AS BIGINT) AS u_tot FROM uni),
+         |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_tot FROM bg),
+         |sc AS (SELECT prev, cur, c_ab, ${dRound6(pmi)} AS pmi_r
+         |       FROM cbg JOIN uni a ON cbg.prev = a.token
+         |                JOIN uni b ON cbg.cur = b.token, ut, bt)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi_r DESC, prev, cur) AS BIGINT) AS rk,
+         |  prev, cur, c_ab, pmi_r
+         |FROM sc ORDER BY pmi_r DESC, prev, cur LIMIT 20""".stripMargin
     },
   )
 }

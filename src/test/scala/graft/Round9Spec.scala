@@ -1,0 +1,125 @@
+package graft
+
+/** In-memory references for the round-6 retrieval/featurizer trio:
+  * x90 BM25 top-20, x91 feature-hashing vectors, x92 PMI collocations.
+  *
+  * Each reference recomputes the answer from the raw `documents` rows
+  * with plain Scala collections, replicating the engine's exact
+  * arithmetic (decimal-cast rounding, md5-based 60-bit hashing,
+  * left-to-right folds) so every equality below is exact — no
+  * tolerances. */
+class Round9Spec extends SparkSpec {
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def h64(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private def toks(t: String): Array[String] =
+    t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  private def docTexts(): Array[(Long, String)] =
+    graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  test("x90 BM25 top-20 matches an exact-decimal reference ranking") {
+    val docs = docTexts()
+    val qTerms = Seq("spark", "window", "merge", "vector", "hash")
+    val tf = docs.map { case (id, t) =>
+      id -> toks(t).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    }.toMap
+    val dl = tf.map { case (id, m) => id -> m.values.sum }
+    val avgdl = dl.values.sum.toDouble / dl.size.toDouble
+    val df = qTerms.map(q => q -> tf.values.count(_.contains(q)).toLong).toMap
+    val n = docs.length.toDouble
+    val ref = tf.toSeq.flatMap { case (id, m) =>
+      val hits = qTerms.filter(m.contains)
+      if (hits.isEmpty) None
+      else {
+        val sum = hits.map { q =>
+          val idf = math.log(1.0 + (n - df(q).toDouble + 0.5) / (df(q).toDouble + 0.5))
+          val s = idf * (m(q).toDouble * 2.2) /
+            (m(q).toDouble + 1.2 * (0.25 + 0.75 * dl(id).toDouble / avgdl))
+          BigDecimal(s).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        Some((id, hits.length.toLong, round6(sum.toDouble)))
+      }
+    }.sortBy { case (id, _, s) => (-s, id) }.take(20)
+    assert(ref.length == 20, "fixture must match ≥20 docs on the query terms")
+    val out = graft.llm.TextAnalysis.queries("x90_bm25")(spark, sf001).collect()
+    assert(out.length == ref.length)
+    out.zip(ref).zipWithIndex.foreach { case ((o, (id, nt, s)), i) =>
+      assert(o.getLong(0) == i + 1L, s"rank at $i")
+      assert(o.getLong(1) == id, s"doc at rank ${i + 1}")
+      assert(o.getLong(2) == nt, s"n_terms of $id")
+      assert(o.getDouble(3) == s, s"score of $id")
+    }
+    // scores must actually discriminate (not all-equal ranking)
+    assert(ref.map(_._3).distinct.length > 1)
+  }
+
+  test("x91 feature-hash vectors: integer-exact nnz/l2/checksum per doc") {
+    val docs = docTexts()
+    val out = graft.llm.TextAnalysis.queries("x91_feature_hash")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == docs.length)
+    var collisions = 0
+    docs.foreach { case (id, t) =>
+      val tfm = toks(t).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val byDim = tfm.toSeq.map { case (tok, c) =>
+        val w = if ((h64("fs_" + tok) & 1L) == 1L) c else -c
+        (h64(tok) & 63L) -> w
+      }.groupBy(_._1).map { case (d, ws) => d -> ws.map(_._2).sum }
+        .filter(_._2 != 0L)
+      if (byDim.size < tfm.size) collisions += 1
+      val nnz = byDim.size.toLong
+      val ssq = byDim.values.map(w => w * w).sum
+      val chk = byDim.map { case (d, w) => d * w }.sum
+      val o = out(id)
+      assert(o.getLong(1) == nnz, s"nnz of $id")
+      assert(o.getDouble(2) == round6(math.sqrt(ssq.toDouble)), s"l2 of $id")
+      assert(o.getLong(3) == chk, s"checksum of $id")
+    }
+    // 64 dims over a larger vocabulary: the hashing trick's collisions
+    // must actually occur, or the test exercises nothing interesting
+    assert(collisions > 0, "no dimension collisions — widen the fixture")
+  }
+
+  test("x92 PMI collocations match a first-principles top-20") {
+    val docs = docTexts()
+    val uni = docs.flatMap(d => toks(d._2)).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val uTot = uni.values.sum.toDouble
+    val bigrams = docs.flatMap { d =>
+      val tk = toks(d._2)
+      if (tk.length >= 2) tk.sliding(2).map(p => (p(0), p(1))).toSeq
+      else Seq.empty
+    }
+    val bTot = bigrams.length.toDouble
+    val ref = bigrams.groupBy(identity)
+      .map { case (p, xs) => p -> xs.length.toLong }
+      .filter(_._2 >= 5L)
+      .toSeq.map { case ((a, b), cab) =>
+        val pmi = math.log((cab.toDouble / bTot) /
+          ((uni(a).toDouble / uTot) * (uni(b).toDouble / uTot)))
+        (a, b, cab, round6(pmi))
+      }
+      .sortBy { case (a, b, _, p) => (-p, a, b) }.take(20)
+    assert(ref.nonEmpty, "fixture has no bigram with count >= 5")
+    val out = graft.llm.TextAnalysis.queries("x92_pmi_collocations")(spark, sf001)
+      .collect()
+    assert(out.length == ref.length)
+    out.zip(ref).zipWithIndex.foreach { case ((o, (a, b, c, p)), i) =>
+      assert(o.getLong(0) == i + 1L, s"rank at $i")
+      assert(o.getString(1) == a && o.getString(2) == b, s"pair at rank ${i + 1}")
+      assert(o.getLong(3) == c, s"count of ($a,$b)")
+      assert(o.getDouble(4) == p, s"pmi of ($a,$b)")
+    }
+  }
+}
