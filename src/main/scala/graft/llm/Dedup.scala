@@ -785,7 +785,67 @@ object Dedup {
           "split != naive_split as rescued")
         .orderBy("doc_id")
     },
+
+    // WINNOWING FINGERPRINTS (Schleimer–Wilkerson–Aiken, SIGMOD'03 —
+    // the MOSS algorithm): per doc, hash every ordered token 3-gram,
+    // keep the MINIMUM of each sliding window of 4 gram hashes, dedup.
+    // Guarantees any shared run of ≥ 6 tokens contributes a shared
+    // fingerprint (the winnowing coverage theorem), at ~2/(w+1) the
+    // density of the full gram set — the position-robust local
+    // fingerprinting scheme x04's global hash can't give. Pairs come
+    // from the same bounded inverted-index expansion as x10: hot
+    // fingerprints (df > 8) pruned from CANDIDATE GENERATION only,
+    // per-bucket pair fan-out ≤ C(8,2) computed locally off a sorted
+    // posting list (never a corpus self-join); the verify filter then
+    // scores the FULL fingerprint sets of the ≤|candidates| survivors.
+    // Window minima are taken over md5-derived 60-bit values, so
+    // tie-breaks never matter in either engine (distinct grams ⇒
+    // distinct hashes w.p. 1 − 2⁻⁶⁰).
+    "x93_winnowing" -> { (s, dir) =>
+      val fpd = winnowFps(s, dir)
+      val ex = fpd.selectExpr("doc_id", "explode(fps) as fp")
+      val cand = ex.groupBy("fp")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 8))
+        .selectExpr("posexplode(ids) as (i, doc_a)", "ids")
+        .selectExpr("doc_a", "explode(slice(ids, i + 2, size(ids))) as doc_b")
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_rare"))
+        .filter(col("n_rare") >= 2)
+        .select("doc_a", "doc_b")
+      cand
+        .join(fpd.select(col("doc_id").as("doc_a"), col("fps").as("fa")), "doc_a")
+        .join(fpd.select(col("doc_id").as("doc_b"), col("fps").as("fb")), "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "cast(size(fa) as bigint) as n_fp_a",
+          "cast(size(fb) as bigint) as n_fp_b",
+          "cast(size(array_intersect(fa, fb)) as bigint) as n_shared")
+        .withColumn("overlap_r",
+          expr(sRound6("cast(n_shared as double) / cast(least(n_fp_a, n_fp_b) as double)")))
+        .filter(col("overlap_r") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
   )
+
+  /** doc_id + distinct winnowing fingerprint set (window-of-4 minima
+    * over ordered 3-gram hashes). Shared tier: the x93 candidate scan
+    * and payload verify both read it, one cached copy. */
+  private def winnowFps(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "winnow_fps") {
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("doc_id",
+          sLet(s"filter($sTokens, x -> x != '')", "tk",
+            sLet(
+              "case when size(tk) >= 3 then transform(sequence(1, size(tk)-2), i -> " +
+                sH("concat_ws(' ', slice(tk, i, 3))") +
+                ") else cast(array() as array<bigint>) end", "hs",
+              """case when size(hs) >= 4
+                |  then array_distinct(transform(sequence(1, size(hs)-3),
+                |    j -> array_min(slice(hs, j, 4))))
+                |when size(hs) >= 1 then array(array_min(hs))
+                |else cast(array() as array<bigint>) end""".stripMargin)) + " as fps")
+        .filter("size(fps) > 0")
+    }
 
   /** Canonical-survivor assignment (x32's body, also aggregated by the
     * x52 scorecard): every document → its canonical doc through the
@@ -1327,5 +1387,37 @@ object Dedup {
          |        ${dH("concat('split:', doc_id)")} % 100 AS nb
          |      FROM ($x32OracleSql))
          |ORDER BY doc_id""".stripMargin,
+    "x93_winnowing" ->
+      s"""WITH tkn AS (SELECT doc_id, list_filter($dTokens, x -> x <> '') AS tk FROM documents),
+         |hsq AS (SELECT doc_id,
+         |          CASE WHEN len(tk) >= 3
+         |            THEN list_transform(range(1, len(tk)-1),
+         |                   i -> ${dH("array_to_string(tk[i:i+2], ' ')")})
+         |            ELSE [] END AS hs
+         |        FROM tkn),
+         |fpd AS (SELECT doc_id,
+         |          CASE WHEN len(hs) >= 4
+         |            THEN list_distinct(list_transform(range(1, len(hs)-2),
+         |                   j -> list_min(hs[j:j+3])))
+         |          WHEN len(hs) >= 1 THEN [list_min(hs)]
+         |          ELSE [] END AS fps
+         |        FROM hsq
+         |        WHERE len(hs) >= 1),
+         |ex AS (SELECT doc_id, unnest(fps) AS fp FROM fpd),
+         |rare AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM ex GROUP BY fp)
+         |         WHERE df BETWEEN 2 AND 8),
+         |rex AS (SELECT ex.doc_id, ex.fp FROM ex JOIN rare ON ex.fp = rare.fp),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM rex a JOIN rex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT doc_a, doc_b, n_fp_a, n_fp_b, n_shared, overlap_r FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(x.fps) AS BIGINT) AS n_fp_a,
+         |    CAST(len(y.fps) AS BIGINT) AS n_fp_b,
+         |    CAST(len(list_intersect(x.fps, y.fps)) AS BIGINT) AS n_shared,
+         |    ${dRound6("CAST(len(list_intersect(x.fps, y.fps)) AS DOUBLE) / CAST(least(len(x.fps), len(y.fps)) AS DOUBLE)")} AS overlap_r
+         |  FROM cand JOIN fpd x ON cand.doc_a = x.doc_id
+         |            JOIN fpd y ON cand.doc_b = y.doc_id)
+         |WHERE overlap_r >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

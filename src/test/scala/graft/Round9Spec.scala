@@ -91,6 +91,55 @@ class Round9Spec extends SparkSpec {
     assert(collisions > 0, "no dimension collisions — widen the fixture")
   }
 
+  test("x93 winnowing pairs match a first-principles reference") {
+    val docs = docTexts()
+    def fps(t: String): Set[Long] = {
+      val tk = toks(t)
+      if (tk.length < 3) {
+        if (tk.isEmpty) Set.empty
+        else Set.empty // no 3-gram => no hash => excluded upstream
+      } else {
+        val hs = tk.sliding(3).map(g => h64(g.mkString(" "))).toArray
+        if (hs.length >= 4) hs.sliding(4).map(_.min).toSet
+        else Set(hs.min)
+      }
+    }
+    val byDoc = docs.map { case (id, t) => id -> fps(t) }.filter(_._2.nonEmpty)
+    val df = byDoc.flatMap(_._2).groupBy(identity)
+      .map { case (fp, xs) => fp -> xs.length }
+    val rare = df.filter { case (_, d) => d >= 2 && d <= 8 }.keySet
+    val ids = byDoc.toMap
+    val sortedDocs = byDoc.sortBy(_._1)
+    val ref = (for {
+      i <- sortedDocs.indices
+      j <- (i + 1) until sortedDocs.length
+      (a, fa) = sortedDocs(i)
+      (b, fb) = sortedDocs(j)
+      shared = fa.intersect(fb)
+      if shared.count(rare) >= 2
+      ov = round6(shared.size.toDouble / math.min(fa.size, fb.size).toDouble)
+      if ov >= 0.5
+    } yield (a, b, fa.size.toLong, fb.size.toLong, shared.size.toLong, ov))
+      .sortBy(p => (p._1, p._2))
+    assert(ref.nonEmpty, "dup fixture must produce winnowing pairs")
+    val out = graft.llm.Dedup.queries("x93_winnowing")(spark, sf001).collect()
+    assert(out.length == ref.length)
+    out.zip(ref).foreach { case (o, (a, b, na, nb, sh, ov)) =>
+      assert(o.getLong(0) == a && o.getLong(1) == b, s"pair ($a,$b)")
+      assert(o.getLong(2) == na && o.getLong(3) == nb, s"fp sizes of ($a,$b)")
+      assert(o.getLong(4) == sh, s"shared of ($a,$b)")
+      assert(o.getDouble(5) == ov, s"overlap of ($a,$b)")
+    }
+    // the winnowing guarantee on the fixture's exact dup pairs: full
+    // containment => overlap exactly 1.0 for at least one pair
+    assert(ref.exists(_._6 == 1.0), "no fully-overlapping dup pair")
+    // density sanity: expected ~2/(w+1) of gram count, never above 1
+    byDoc.foreach { case (id, f) =>
+      val tkn = toks(docs.find(_._1 == id).get._2).length
+      assert(f.size <= math.max(tkn - 2, 1), s"fp density of $id")
+    }
+  }
+
   test("x92 PMI collocations match a first-principles top-20") {
     val docs = docTexts()
     val uni = docs.flatMap(d => toks(d._2)).groupBy(identity)
