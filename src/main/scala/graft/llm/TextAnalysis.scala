@@ -78,6 +78,21 @@ object TextAnalysis {
           "split_part(g, ' ', 2) as cur")
     }
 
+  /** Hashed 64-dim signed bag-of-words features — (doc_id, dim, x)
+    * with x a nonzero signed integer count (x91's hashing trick:
+    * dim = h(token) & 63, sign from an independent salted hash).
+    * Shared tier: the x91 vector report and the x94 trained probe both
+    * read it; NO corpus-wide fit step, so the frame is a narrow map +
+    * one (doc,dim) combine regardless of corpus size. */
+  private def hashedFeats(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Shared.shared(s, dir, "feat_hash64") {
+      docTf(s, dir)
+        .selectExpr("doc_id", s"(${sH("token")} & 63L) as dim",
+          s"case when (${sH("concat('fs_', token)")} & 1L) = 1L then tf else -tf end as sw")
+        .groupBy("doc_id", "dim").agg(sum("sw").as("x"))
+        .filter("x != 0")
+    }
+
   private val langs = Seq(
     "en" -> Seq("the", "a", "and", "of", "to"),
     "fr" -> Seq("le", "la", "les", "et", "une"),
@@ -1364,13 +1379,8 @@ object TextAnalysis {
     // nnz/l2/checksum are exact in both engines — the one sqrt is over
     // an exact integer.
     "x91_feature_hash" -> { (s, dir) =>
-      val tf = docTf(s, dir)
-      val perDim = tf
-        .selectExpr("doc_id", s"(${sH("token")} & 63L) as dim",
-          s"case when (${sH("concat('fs_', token)")} & 1L) = 1L then tf else -tf end as sw")
-        .groupBy("doc_id", "dim").agg(sum("sw").as("w"))
-        .filter("w != 0")
-      val perDoc = perDim.groupBy("doc_id")
+      val perDoc = hashedFeats(s, dir).withColumnRenamed("x", "w")
+        .groupBy("doc_id")
         .agg(count(lit(1)).as("nnz"), sum(expr("w * w")).as("ssq"),
           sum(expr("dim * w")).as("chk"))
       docs(s, dir).select("doc_id").join(perDoc, Seq("doc_id"), "left")
@@ -1411,6 +1421,57 @@ object TextAnalysis {
         .filter(col("rk") <= 20)
         .selectExpr("cast(rk as bigint) as rk", "prev", "cur", "c_ab", "pmi_r")
         .orderBy("rk")
+    },
+
+    // TRAINED LINEAR PROBE (fastText-style: Joulin et al. 2016 over
+    // Weinberger hashed features): 3 full-batch gradient-descent
+    // epochs of a linear classifier (64 hashed dims + bias, lr=0.05,
+    // target lang=='en') run ENTIRELY in the engine — the quality/
+    // language-probe training step a curation pipeline runs after
+    // featurization, expressed as 3 rounds of join + aggregate.
+    // Determinism contract: the squashing function is Elliott's
+    // rational sigmoid 0.5·(1+z/(1+|z|)) — only +,−,×,÷,|·|, all IEEE
+    // correctly rounded, so there is NO transcendental-library
+    // variance between engines; weights are 6-dp decimals, the w·x
+    // accumulation is decimal×integer (exact, order-free), and
+    // per-example gradient terms are decimal(24,12)-cast before the
+    // order-free decimal sum. Scale shape: each epoch is one broadcast
+    // join (65-row weight frame) + one shuffle on 64 dim keys with
+    // map-side partial aggregation — iteration cost is linear in the
+    // corpus with constant epoch count, the same shape as x51's Lloyd
+    // iterations.
+    "x94_linear_probe" -> { (s, dir) =>
+      val feats = hashedFeats(s, dir)
+      val lbl = docs(s, dir).selectExpr("doc_id",
+        "case when lang = 'en' then cast(1 as double) else cast(0 as double) end as y")
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      def epoch(w: DataFrame): DataFrame = {
+        val wd = w.filter("dim >= 0")
+        val wb = w.filter("dim = -1").select(col("w").as("wb"))
+        val zs = feats.join(broadcast(wd), "dim")
+          .selectExpr("doc_id", "w * x as t")
+          .groupBy("doc_id").agg(sum("t").as("zs"))
+        val p = lbl.join(zs, Seq("doc_id"), "left")
+          .crossJoin(broadcast(wb))
+          .selectExpr("doc_id", "y",
+            "cast(coalesce(zs, cast(0 as decimal(16,6))) + wb as double) as z")
+          .selectExpr("doc_id", "y",
+            "0.5d * (cast(1 as double) + z / (cast(1 as double) + abs(z))) as p")
+        val gd = feats.join(p, "doc_id")
+          .selectExpr("dim", "cast((p - y) * cast(x as double) as decimal(24,12)) as g")
+          .groupBy("dim").agg(sum("g").as("gs"))
+        val gb = p
+          .selectExpr("cast(-1 as bigint) as dim", "cast(p - y as decimal(24,12)) as g")
+          .groupBy("dim").agg(sum("g").as("gs"))
+        w.join(gd.unionByName(gb), Seq("dim"), "left")
+          .crossJoin(broadcast(n))
+          .selectExpr("dim",
+            "cast(cast(w as double) - cast(0.05 as double) * cast(coalesce(gs, cast(0 as decimal(24,12))) as double) / cast(n_docs as double) as decimal(16,6)) as w")
+      }
+      var w: DataFrame = s.range(-1, 64)
+        .selectExpr("id as dim", "cast(0 as decimal(16,6)) as w")
+      for (_ <- 1 to 3) w = epoch(w)
+      w.selectExpr("dim", "cast(w as double) as w_r").orderBy("dim")
     },
   )
 
@@ -2148,6 +2209,45 @@ object TextAnalysis {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi_r DESC, prev, cur) AS BIGINT) AS rk,
          |  prev, cur, c_ab, pmi_r
          |FROM sc ORDER BY pmi_r DESC, prev, cur LIMIT 20""".stripMargin
+    },
+    "x94_linear_probe" -> {
+      def ep(k: Int): String = {
+        val pw = s"w${k - 1}"
+        s"""z$k AS (SELECT l.doc_id, l.y,
+           |    CAST(COALESCE(s.zs, CAST(0 AS DECIMAL(16,6))) + b.wb AS DOUBLE) AS z
+           |  FROM lbl l
+           |  LEFT JOIN (SELECT doc_id, SUM(w * x) AS zs
+           |             FROM feats JOIN $pw USING (dim) WHERE dim >= 0
+           |             GROUP BY doc_id) s ON l.doc_id = s.doc_id,
+           |  (SELECT w AS wb FROM $pw WHERE dim = -1) b),
+           |p$k AS (SELECT doc_id, y,
+           |    CAST(0.5 AS DOUBLE) * (CAST(1 AS DOUBLE) + z / (CAST(1 AS DOUBLE) + abs(z))) AS p
+           |  FROM z$k),
+           |g$k AS (SELECT dim, SUM(CAST((p - y) * CAST(x AS DOUBLE) AS DECIMAL(24,12))) AS gs
+           |  FROM feats JOIN p$k USING (doc_id) GROUP BY dim
+           |  UNION ALL
+           |  SELECT CAST(-1 AS BIGINT), SUM(CAST(p - y AS DECIMAL(24,12))) FROM p$k),
+           |w$k AS (SELECT pv.dim,
+           |    CAST(CAST(pv.w AS DOUBLE) - CAST(0.05 AS DOUBLE) * CAST(COALESCE(g.gs, CAST(0 AS DECIMAL(24,12))) AS DOUBLE) / CAST(n.n_docs AS DOUBLE) AS DECIMAL(16,6)) AS w
+           |  FROM $pw pv LEFT JOIN g$k g ON pv.dim = g.dim, n)""".stripMargin
+      }
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($dTokens) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY doc_id, token),
+         |feats AS (SELECT * FROM (
+         |  SELECT doc_id, ${dH("token")} & 63 AS dim,
+         |    CAST(SUM(CASE WHEN (${dH("concat('fs_', token)")} & 1) = 1
+         |                  THEN tf ELSE -tf END) AS BIGINT) AS x
+         |  FROM tf GROUP BY 1, 2) WHERE x <> 0),
+         |lbl AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+         |  FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |w0 AS (SELECT CAST(range AS BIGINT) AS dim, CAST(0 AS DECIMAL(16,6)) AS w
+         |       FROM range(-1, 64)),
+         |${(1 to 3).map(ep).mkString(",\n")}
+         |SELECT dim, CAST(w AS DOUBLE) AS w_r FROM w3 ORDER BY dim""".stripMargin
     },
   )
 }

@@ -140,6 +140,60 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("x94 probe weights match exact 3-epoch reference; probe learns") {
+    val rows = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val feats: Map[Long, Map[Long, Long]] = rows.map { case (id, t, _) =>
+      id -> toks(t).groupBy(identity)
+        .map { case (k, v) => k -> v.length.toLong }.toSeq
+        .map { case (tok, c) =>
+          val w = if ((h64("fs_" + tok) & 1L) == 1L) c else -c
+          (h64(tok) & 63L) -> w
+        }.groupBy(_._1).map { case (d, ws) => d -> ws.map(_._2).sum }
+        .filter(_._2 != 0L)
+    }.toMap
+    val y = rows.map { case (id, _, l) => id -> (if (l == "en") 1.0 else 0.0) }.toMap
+    val n = rows.length.toDouble
+    def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def d12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var w: Map[Long, BigDecimal] = (-1L to 63L).map(_ -> BigDecimal(0).setScale(6)).toMap
+    def zOf(id: Long, wm: Map[Long, BigDecimal]): Double = {
+      val zs = feats(id).map { case (d, x) => wm(d) * BigDecimal(x) }
+        .foldLeft(BigDecimal(0))(_ + _)
+      (zs + wm(-1L)).toDouble
+    }
+    for (_ <- 1 to 3) {
+      val p = rows.map { case (id, _, _) =>
+        val z = zOf(id, w)
+        id -> 0.5 * (1.0 + z / (1.0 + math.abs(z)))
+      }.toMap
+      val gd = rows.flatMap { case (id, _, _) =>
+        feats(id).map { case (d, x) => d -> d12((p(id) - y(id)) * x.toDouble) }
+      }.groupBy(_._1).map { case (d, gs) => d -> gs.map(_._2).sum }
+      val gb = rows.map { case (id, _, _) => d12(p(id) - y(id)) }.sum
+      w = w.map { case (d, wv) =>
+        val gs = if (d == -1L) gb else gd.getOrElse(d, BigDecimal(0))
+        d -> d6(wv.toDouble - 0.05 * gs.toDouble / n)
+      }
+    }
+    val out = graft.llm.TextAnalysis.queries("x94_linear_probe")(spark, sf001)
+      .collect()
+    assert(out.length == 65)
+    out.foreach { o =>
+      val d = o.getLong(0)
+      assert(o.getDouble(1) == w(d).toDouble, s"weight of dim $d")
+    }
+    // the probe must actually learn: sign(z) accuracy after training
+    // beats the majority-class baseline on the fixture
+    val acc = rows.count { case (id, _, _) =>
+      (zOf(id, w) > 0.0) == (y(id) == 1.0)
+    }.toDouble / n
+    val base = math.max(y.values.sum, n - y.values.sum) / n
+    assert(acc > base, s"probe accuracy $acc <= baseline $base")
+    assert(w.values.count(_.abs > 0) > 32, "probe weights mostly zero")
+  }
+
   test("x92 PMI collocations match a first-principles top-20") {
     val docs = docTexts()
     val uni = docs.flatMap(d => toks(d._2)).groupBy(identity)
