@@ -109,12 +109,24 @@ object Bench {
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
     val total = ms(if (results.nonEmpty) results.values.map(_.sec).sum else 0.0)
     // The harness keeps only the last ~2000 chars of stdout, so the JSON
-    // line must stay short: query keys are compacted to their unique id
-    // prefix (r01, x17, …) and values rounded to ms. Full names,
-    // precision, and per-query job/stage counts go to BENCH_DETAIL.json
-    // beside the repo.
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v.sec) }
-      .mkString("{", ",", "}")
+    // line must stay short — at 161 queries the full per-query map
+    // outgrew that window and the driver's parse lost the line's start
+    // (BENCH_r06 "parsed": null). Emit the slowest queries first (they
+    // are the ones worth reading from the summary line) and stop before
+    // a fixed length budget; the complete per-query map with job/stage
+    // counts always goes to BENCH_DETAIL.json beside the repo.
+    val qs = {
+      val budget = 1200 // chars for the queries object; total line ≪ 2000
+      val entries = results.toSeq.sortBy(-_._2.sec)
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v.sec) }
+      val keep = scala.collection.mutable.ArrayBuffer[String]()
+      var len = 2 // braces
+      entries.foreach { e =>
+        if (len + e.length + 1 <= budget) { keep += e; len += e.length + 1 }
+      }
+      val omitted = entries.length - keep.length
+      (keep :+ ("\"_omitted\":" + omitted)).mkString("{", ",", "}")
+    }
     val detail = results.map { case (k, v) =>
       "\"" + k + "\":{\"sec\":" + v.sec + ",\"jobs\":" + v.jobs +
         ",\"stages\":" + v.stages + "}"

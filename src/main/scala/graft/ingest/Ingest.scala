@@ -148,6 +148,32 @@ object Ingest {
     graft.queries.Shared.invalidate(landingPath)
   }
 
+  /** Bucketed landing store — the shuffle-free path for the latest-
+    * version views at scale (SCALE.md §2). Partitions by type and
+    * hash-buckets by id: a bucketed scan reports HashPartitioning(id),
+    * and id is a subset of every downstream clustering key — the R1
+    * window (type,id,version), the PK-restoring dropDuplicates, and
+    * the R2 window (type,id) — so the whole latestAllVersions/latest
+    * pipeline runs WITHOUT A SINGLE EXCHANGE over the landing store
+    * (BucketingSpec proves it on the physical plan). On a 100 TB
+    * landing that exchange is the dominant cost of every view refresh;
+    * bucketing pays it once at write time, amortized across every
+    * subsequent read. Reference semantics unchanged
+    * (snowflake.go:264-287); bucket count is fixed at table-create
+    * time — size it to ~(expected store size / 128 MB).
+    *
+    * Spark only honors bucketing through the catalog, so this writes a
+    * TABLE (with optional explicit location), not a bare path. */
+  def appendBatchBucketed(df: DataFrame, table: String,
+      nBuckets: Int = 32, location: Option[String] = None): Unit = {
+    val w = df.write.mode("append").format("parquet")
+      .partitionBy("type")
+      .bucketBy(nBuckets, "id")
+      .sortBy("id", "version")
+    location.fold(w)(p => w.option("path", p)).saveAsTable(table)
+    df.sparkSession.catalog.refreshTable(table)
+  }
+
   /** Read the landing store back with the canonical schema (required:
     * schema-on-read keeps json/csv stores type-exact). */
   def readLanding(spark: SparkSession, landingPath: String,

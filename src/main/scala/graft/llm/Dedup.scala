@@ -76,7 +76,7 @@ object Dedup {
       t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .selectExpr("doc_id",
-          s"${sH("concat('split:', doc_id)")} % 100 as bucket",
+          s"${sSplitBucket("doc_id")} as bucket",
           s"${sLet(sTokens, "tk", sGrams8)} as gs")
     }
 
@@ -497,7 +497,7 @@ object Dedup {
     "x67_neardup_decontam" -> { (s, dir) =>
       val d = Shared.temp(t(s, dir, "documents")
         .selectExpr("doc_id", s"md5($sNorm) as fp",
-          s"${sH("concat('split:', doc_id)")} % 100 as bucket")
+          s"${sSplitBucket("doc_id")} as bucket")
         .selectExpr("doc_id", "fp",
           "case when bucket < 80 then 'train' when bucket < 90 then 'val' else 'test' end as split"))
       val rep = d.groupBy("fp").agg(min(col("doc_id")).as("rep_id"))
@@ -581,8 +581,8 @@ object Dedup {
       val q = t(s, dir, "documents")
         .selectExpr("doc_id", s"$sTokens as tk")
         .selectExpr("doc_id",
-          "cast(size(array_distinct(tk)) as double) / cast(size(tk) as double) as dr",
-          "least(cast(1 as double), cast(size(tk) as double) / cast(50 as double)) as ls")
+          s"$sDistinctRatio as dr",
+          s"$sLengthScore as ls")
         .selectExpr("doc_id", sRound6("dr * ls") + " as quality")
       val ranked = graft.queries.ExactRank.withGlobalRank(q,
           Seq(col("quality"), col("doc_id")))
@@ -776,8 +776,8 @@ object Dedup {
     "x88_leakage_free_split" -> { (s, dir) =>
       canonicalDocs(s, dir)
         .selectExpr("doc_id", "canonical_id",
-          s"${sH("concat('split:', canonical_id)")} % 100 as cb",
-          s"${sH("concat('split:', doc_id)")} % 100 as nb")
+          s"${sSplitBucket("canonical_id")} as cb",
+          s"${sSplitBucket("doc_id")} as nb")
         .selectExpr("doc_id", "canonical_id",
           "case when cb < 80 then 'train' when cb < 90 then 'val' else 'test' end as split",
           "case when nb < 80 then 'train' when nb < 90 then 'val' else 'test' end as naive_split")
@@ -1004,7 +1004,7 @@ object Dedup {
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "x21_contamination" ->
       s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
-         |g0 AS (SELECT doc_id, ${dH("concat('split:', doc_id)")} % 100 AS bucket,
+         |g0 AS (SELECT doc_id, ${dSplitBucket("doc_id")} AS bucket,
          |         $dGrams8 AS gs FROM tkn),
          |train AS (SELECT DISTINCT unnest(gs) AS g FROM g0 WHERE bucket < 80),
          |testex AS (SELECT doc_id, unnest(gs) AS g FROM g0 WHERE bucket >= 90),
@@ -1061,7 +1061,7 @@ object Dedup {
     "x61_bloom_decontam" -> {
       val m = BloomM; val k = BloomK
       s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
-         |g0 AS (SELECT doc_id, ${dH("concat('split:', doc_id)")} % 100 AS bucket,
+         |g0 AS (SELECT doc_id, ${dSplitBucket("doc_id")} AS bucket,
          |         $dGrams8 AS gs FROM tkn),
          |tg AS (SELECT DISTINCT unnest(gs) AS g FROM g0 WHERE bucket >= 90),
          |th AS (SELECT ${dH("g")} AS h FROM tg),
@@ -1105,7 +1105,7 @@ object Dedup {
          |vp AS (SELECT doc_a, doc_b, jaccard FROM st WHERE jaccard >= 0.5),
          |d AS (SELECT doc_id, md5($dNorm) AS fp,
          |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-         |      FROM (SELECT doc_id, text, ${dH("concat('split:', doc_id)")} % 100 AS b
+         |      FROM (SELECT doc_id, text, ${dSplitBucket("doc_id")} AS b
          |            FROM documents)),
          |rep AS (SELECT fp, MIN(doc_id) AS rep_id FROM d GROUP BY fp),
          |dr AS (SELECT d.doc_id, d.fp, d.split, rep.rep_id FROM d JOIN rep USING (fp)),
@@ -1129,7 +1129,7 @@ object Dedup {
          |ORDER BY dr.doc_id""".stripMargin,
     "x73_quality_dup_curve" ->
       s"""WITH q AS (SELECT doc_id,
-         |    ${dRound6("(CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * least(CAST(1 AS DOUBLE), CAST(len(tk) AS DOUBLE) / CAST(50 AS DOUBLE))")} AS quality
+         |    ${dRound6(s"($dDistinctRatio) * $dLengthScore")} AS quality
          |  FROM (SELECT doc_id, $dTokens AS tk FROM documents)),
          |rk AS (SELECT doc_id, quality,
          |         ((ROW_NUMBER() OVER (ORDER BY quality, doc_id) - 1) * 10)
@@ -1383,8 +1383,8 @@ object Dedup {
          |  (CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val' ELSE 'test' END)
          |    <> (CASE WHEN nb < 80 THEN 'train' WHEN nb < 90 THEN 'val' ELSE 'test' END) AS rescued
          |FROM (SELECT doc_id, canonical_id,
-         |        ${dH("concat('split:', canonical_id)")} % 100 AS cb,
-         |        ${dH("concat('split:', doc_id)")} % 100 AS nb
+         |        ${dSplitBucket("canonical_id")} AS cb,
+         |        ${dSplitBucket("doc_id")} AS nb
          |      FROM ($x32OracleSql))
          |ORDER BY doc_id""".stripMargin,
     "x93_winnowing" ->

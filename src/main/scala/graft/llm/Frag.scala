@@ -71,6 +71,32 @@ object Frag {
   def sRound6(x: String): String = s"cast(cast($x as decimal(16,6)) as double)"
   def dRound6(x: String): String = s"CAST(CAST($x AS DECIMAL(16,6)) AS DOUBLE)"
 
+  // ── x03 quality-score pieces (over a token-array column `tk`) ──
+  // Zero-guarded IDENTICALLY in both engines: an empty token array
+  // yields ratio 0.0, never Spark's NULL (null-on-divide-by-zero) vs
+  // DuckDB's IEEE ±inf — and NULL would also sort differently (Spark
+  // NULLS FIRST vs DuckDB NULLS LAST), so every quality-ranked
+  // consumer (x03/x59/x69/x73/x75/x81) shares this one definition.
+  val sDistinctRatio: String =
+    "case when size(tk) = 0 then cast(0 as double) " +
+      "else cast(size(array_distinct(tk)) as double) / cast(size(tk) as double) end"
+  val dDistinctRatio: String =
+    "CASE WHEN len(tk) = 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) END"
+  val sLengthScore: String =
+    "least(cast(1 as double), cast(size(tk) as double) / cast(50 as double))"
+  val dLengthScore: String =
+    "least(CAST(1 AS DOUBLE), CAST(len(tk) AS DOUBLE) / CAST(50 AS DOUBLE))"
+
+  // ── canonical 80/10/10 split bucket ──
+  // THE split rule: bucket = h64('split:' || id) % 100, train < 80,
+  // val < 90, else test. One definition shared by x19 (split counts),
+  // x67 (decontamination), x88 (leakage-free split), their oracles and
+  // specs — duplicated copies that drift would silently measure
+  // different splits.
+  def sSplitBucket(id: String): String = s"${sH(s"concat('split:', $id)")} % 100"
+  def dSplitBucket(id: String): String = s"${dH(s"concat('split:', $id)")} % 100"
+
   // ── embedding primitives (64-dim float vectors) ──
   val Dim = 64
 

@@ -285,10 +285,15 @@ object Streaming {
     * scalars — bounded by key cardinality, never by history — and a
     * boundary can only emit once (monotone `emittedDayMs` guard), so
     * replays of already-seen days are absorbed. No timers needed: the
-    * next event itself proves the day closed. Late events older than
-    * an already-emitted boundary update the running value but cannot
-    * rewrite history — the at-least-once contract the batch form gets
-    * for free by rescanning. */
+    * next event itself proves the day closed. Late events (older than
+    * the latest reading seen) are DROPPED from the running value — the
+    * as-of state tracks the max-timestamp reading only, and emitted
+    * boundaries are never rewritten. Note the per-batch sort makes
+    * late-arrival handling batch-shape-dependent: a late event in the
+    * SAME micro-batch as newer ones is ordered before them and can win
+    * an unemitted boundary, while the same event arriving a batch
+    * later cannot. Exactly-once day emission holds either way via the
+    * monotone `emittedDayMs` guard. */
   def dailySnapshots(events: Dataset[Evt]): Dataset[Snapshot] = {
     import events.sparkSession.implicits._
     events

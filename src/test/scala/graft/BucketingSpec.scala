@@ -50,4 +50,52 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS bucketdb")
     }
   }
+
+  test("bucketed landing store: R1/R2 latest-version views run with zero exchanges") {
+    import spark.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def doc(typ: String, id: String, v: Long): String =
+      s"""{"$$TYPE":"$typ","DOCUMENT_ID":"$id","$$VERSION":$v,"$$AUTHOR_ID":"a1",
+         |"$$DATE":"2026-01-02T03:04:05Z","$$DELETED":false,"NAME":"$id-v$v"}"""
+        .stripMargin.replaceAll("\n", "")
+    val bd1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val bd2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    val batch1 = graft.ingest.Ingest.fromNdjsonLines(
+      (for (t <- Seq("WELL", "SITE"); i <- 1 to 20; v <- 1L to 2L)
+        yield doc(t, s"d$i", v)).toDS(), bd1, 10)
+    // batch 2 re-lands half the documents at a higher version (replay +
+    // new-version mix — both R1 and R2 must do real work)
+    val batch2 = graft.ingest.Ingest.fromNdjsonLines(
+      (for (t <- Seq("WELL"); i <- 1 to 10; v <- 2L to 3L)
+        yield doc(t, s"d$i", v)).toDS(), bd2, 10)
+    val loc = Files.createTempDirectory("graft_blanding").toString
+    try {
+      graft.ingest.Ingest.appendBatchBucketed(batch1, "b_landing", 8,
+        Some(s"$loc/store"))
+      graft.ingest.Ingest.appendBatchBucketed(batch2, "b_landing", 8,
+        Some(s"$loc/store"))
+      val landing = spark.table("b_landing")
+        .select("batch_date", "type", "id", "version", "chunk",
+          "author", "date", "deleted", "data") // restore canonical column order
+      val latest = graft.views.Views.latest(landing)
+      val plan = latest.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"R1/R2 over a bucketed landing must be exchange-free:\n$plan")
+      // control: the same views over an unbucketed read DO shuffle
+      val flat = batch1.unionByName(batch2)
+      val ctrl = graft.views.Views.latest(flat)
+        .queryExecution.executedPlan.toString
+      assert(ctrl.contains("Exchange hashpartitioning"),
+        "control plan unexpectedly exchange-free — test is vacuous")
+      // semantics unchanged: bucketed result == unbucketed result
+      val a = latest.collect().map(_.toSeq).toSet
+      val b = graft.views.Views.latest(flat).collect().map(_.toSeq).toSet
+      assert(a == b && a.nonEmpty)
+      // replay absorption really happened: d1..d10 WELL at version 3
+      val d1 = latest.filter("type = 'WELL' and id = 'd1'").collect()
+      assert(d1.length == 1 && d1.head.getAs[Long]("version") == 3L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_landing")
+    }
+  }
 }

@@ -88,7 +88,7 @@ class Round7Spec extends SparkSpec {
       .collect()
     val meta = graft.queries.Tables.t(spark, sf001, "documents")
       .selectExpr("doc_id", s"md5($sNorm) as fp",
-        s"${sH("concat('split:', doc_id)")} % 100 as bucket")
+        s"${sSplitBucket("doc_id")} as bucket")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val testDocs = meta.filter(_._3 >= 90).map(m => m._1 -> m._2).toMap
     val trainFps = meta.filter(_._3 < 80).map(_._2).toSet
