@@ -199,6 +199,38 @@ object Similarity {
         .orderBy("query_id", "rk")
     },
 
+    // HARD-NEGATIVE MINING (the contrastive-training data step: for
+    // each anchor, the most-similar corpus vectors with a DIFFERENT
+    // label — the negatives that actually move a metric-learning /
+    // embedding-model loss, per InfoNCE/triplet practice; random
+    // negatives are trivially separated and teach nothing). Same
+    // 100 TB shape as x11: broadcast the tiny anchor set, stream the
+    // corpus once per executor (label rides the scan — no corpus-side
+    // join to attach it), map-side bounded heaps collapse to top-5
+    // per anchor before the exchange. The label-mismatch predicate
+    // filters BEFORE scoring, so same-label rows never pay the dot
+    // product.
+    "x96_hard_negatives" -> { (s, dir) =>
+      val corpus = t(s, dir, "embeddings")
+        .selectExpr("vec_id", "label", "embedding",
+          s"${sSumSq("embedding")} as sq")
+      val anchors = corpus.filter(QuerySet)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("embedding").as("ea"), col("sq").as("sa"))
+      val cands = corpus
+        .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+          col("embedding").as("eb"), col("sq").as("sb"))
+      val scored = cands.crossJoin(broadcast(anchors))
+        .filter(col("n_label") =!= col("q_label"))
+        .selectExpr("query_id", "q_label", "neighbor_id", "n_label",
+          s"${sCosIn(s)} as cos_sim")
+      graft.plans.TopKPerKey.topKDesc(scored, Seq("query_id"), "cos_sim",
+          Seq("neighbor_id"), 5)
+        .selectExpr("query_id", "q_label", "rk", "neighbor_id", "n_label",
+          "cos_sim")
+        .orderBy("query_id", "rk")
+    },
+
     // ANN via sign-LSH: candidates share any 4-bit band, then exact
     // cosine + top-k within candidates (approximate by design; the
     // oracle runs the identical pipeline). Candidate IDs are deduped
@@ -703,6 +735,20 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
 
+  private val dX96Sql =
+    s"""WITH sq AS (SELECT vec_id, label, embedding,
+       |              ${dSumSq("embedding")} AS sq FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, a.label AS q_label,
+       |    b.vec_id AS neighbor_id, b.label AS n_label, $dCos AS cos_sim
+       |  FROM sq a JOIN sq b ON a.vec_id < 8 AND b.label <> a.label),
+       |ranked AS (
+       |  SELECT query_id, q_label, neighbor_id, n_label, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT query_id, q_label, rk, neighbor_id, n_label, cos_sim FROM ranked
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   private val dX12Sql =
     s"""$dSq $dBands,
        |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
@@ -779,6 +825,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "x11_ann_topk" -> dX11Sql,
+    "x96_hard_negatives" -> dX96Sql,
     "x12_ann_lsh_topk" -> dX12Sql,
     "x13_cosine_neardup" ->
       s"""WITH reps AS (SELECT embedding, MIN(vec_id) AS vec_id

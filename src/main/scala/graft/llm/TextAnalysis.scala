@@ -1469,6 +1469,94 @@ object TextAnalysis {
     // corpus with constant epoch count, the same shape as x51's Lloyd
     // iterations.
     "x94_linear_probe" -> { (s, dir) =>
+      trainedProbe(s, dir)
+        .selectExpr("dim", "cast(w as double) as w_r").orderBy("dim")
+    },
+
+    // PROBE CALIBRATION (reliability diagram): bin the trained x94
+    // probe's predicted probabilities into deciles and report, per
+    // bin, the document count, mean prediction, and observed positive
+    // rate — the table a curation team reads before trusting a
+    // quality/language classifier's scores as sampling weights (a
+    // probe can rank well and still be miscalibrated). This is also
+    // the engine's batch-INFERENCE shape: scoring 10⁹ documents with
+    // a trained linear model is one broadcast of the 257-row weight
+    // frame + one map-side dot product + one 10-key aggregation — the
+    // corpus never shuffles on anything wider than the bin id.
+    // Exactness: z is the same decimal dot as training; p is IEEE
+    // double (identical op sequence both engines); the bin id is
+    // floor(p·10) on bit-identical doubles; per-bin means sum
+    // decimal(24,12)-cast terms (order-free) before one rounded
+    // division.
+    // BPE MERGE LEARNING (Sennrich et al. 2016) — the tokenizer
+    // TRAINING step, in-engine: learn the first 3 byte-pair merges
+    // from the corpus. The 100 TB shape is the classic fast-BPE
+    // factorization: the corpus is touched ONCE (the word-frequency
+    // aggregation — same shared tf frame every text query rides);
+    // every merge iteration then runs on the VOCAB-sized word table
+    // (pair-count aggregate → argmax → re-segment), so iteration cost
+    // is independent of corpus size — the same reason x51's Lloyd and
+    // x94's epochs scale. Segmentations are marker-wrapped strings
+    // (\x01sym\x02): a pair merge is ONE non-overlapping left-to-right
+    // replace, which on this representation is exactly BPE's greedy
+    // scan (no boundary-sharing artifacts — adjacent occurrences share
+    // no characters), and replace semantics are identical in Spark and
+    // DuckDB. Argmax tiebreak: (count desc, left, right) on binary
+    // UTF-8 order, engine-identical. Counts are exact integers.
+    "x97_bpe_merges" -> { (s, dir) =>
+      val words = docTf(s, dir).groupBy("token").agg(sum("tf").as("freq"))
+        .selectExpr("freq",
+          "concat_ws('', transform(sequence(1, length(token)), " +
+            "i -> concat(chr(1), substring(token, i, 1), chr(2)))) as seg")
+      var cur = words
+      val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      for (k <- 1 to 3) {
+        val pairs = cur
+          .selectExpr("freq",
+            "transform(filter(split(seg, chr(1)), p -> p != ''), " +
+              "p -> substring(p, 1, length(p) - 1)) as syms")
+          .filter("size(syms) >= 2")
+          .selectExpr("freq",
+            "explode(transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) as a, element_at(syms, i + 1) as b))) as pr")
+          .selectExpr("freq", "pr.a as a", "pr.b as b")
+          .groupBy("a", "b").agg(sum("freq").as("cnt"))
+        val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        merges += best.selectExpr(s"cast($k as bigint) as step",
+          "a as left_sym", "b as right_sym", "concat(a, b) as merged",
+          "cast(cnt as bigint) as pair_count")
+        cur = cur.crossJoin(broadcast(best))
+          .selectExpr("freq",
+            "replace(seg, concat(chr(1), a, chr(2), chr(1), b, chr(2)), " +
+              "concat(chr(1), a, b, chr(2))) as seg")
+      }
+      merges.reduce(_ unionByName _).orderBy("step")
+    },
+
+    "x95_probe_calibration" -> { (s, dir) =>
+      val scored = probeScores(s, dir)
+      scored
+        .selectExpr("least(cast(9 as bigint), cast(floor(p * 10.0d) as bigint)) as bin",
+          "y", "cast(p as decimal(24,12)) as pd")
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pd")).as("sp"),
+          sum(col("y")).as("sy"))
+        .selectExpr("bin", "n_docs",
+          sRound6("cast(sp as double) / cast(n_docs as double)") + " as mean_p",
+          "cast(sy as bigint) as n_pos",
+          sRound6("cast(sy as double) / cast(n_docs as double)") + " as frac_pos",
+          sRound6("abs(cast(sp as double) / cast(n_docs as double) - cast(sy as double) / cast(n_docs as double))") + " as gap")
+        .orderBy("bin")
+    },
+  )
+
+  /** The x94 probe's 3-epoch training loop (see x94's scaladoc for the
+    * featurization rationale). Returns the (dim, w decimal(16,6))
+    * weight frame, dim -1 = bias; cached in the shared tier so the
+    * calibration/inference consumers don't retrain. */
+  private def trainedProbe(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Shared.shared(s, dir, "probe_weights") {
       val feats = probeFeats(s, dir)
       val lbl = docs(s, dir).selectExpr("doc_id",
         "case when lang = 'en' then cast(1 as double) else cast(0 as double) end as y")
@@ -1498,10 +1586,34 @@ object TextAnalysis {
       }
       var w: DataFrame = s.range(-1, 256)
         .selectExpr("id as dim", "cast(0 as decimal(16,6)) as w")
-      for (_ <- 1 to 3) w = epoch(w)
-      w.selectExpr("dim", "cast(w as double) as w_r").orderBy("dim")
-    },
-  )
+      // eager localCheckpoint per epoch (the Dedup.cc pattern): the
+      // weight frame is 257 rows, and truncating its lineage keeps the
+      // next epoch's plan — and every downstream consumer's (x94, x95)
+      // — shallow instead of 3-epochs deep. Measured at sf0.001: x95's
+      // scoring pass 5.1 s → plan-shallow (the cost was Catalyst
+      // re-canonicalizing the deep lineage per action, not compute).
+      for (_ <- 1 to 3) w = epoch(w).localCheckpoint()
+      w
+    }
+
+  /** Score every document with the trained probe: (doc_id, y, p) — the
+    * one-broadcast-join batch-inference pass x95 aggregates. */
+  private def probeScores(s: SparkSession, dir: String): DataFrame = {
+    val w = trainedProbe(s, dir)
+    val wd = w.filter("dim >= 0")
+    val wb = w.filter("dim = -1").select(col("w").as("wb"))
+    val lbl = docs(s, dir).selectExpr("doc_id",
+      "case when lang = 'en' then cast(1 as double) else cast(0 as double) end as y")
+    val zs = probeFeats(s, dir).join(broadcast(wd), "dim")
+      .selectExpr("doc_id", "w * x as t")
+      .groupBy("doc_id").agg(sum("t").as("zs"))
+    lbl.join(zs, Seq("doc_id"), "left")
+      .crossJoin(broadcast(wb))
+      .selectExpr("doc_id", "y",
+        "cast(coalesce(zs, cast(0 as decimal(16,6))) + wb as double) as z")
+      .selectExpr("doc_id", "y",
+        "0.5d * (cast(1 as double) + z / (cast(1 as double) + abs(z))) as p")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "x01_token_stats" ->
@@ -2239,46 +2351,110 @@ object TextAnalysis {
          |  prev, cur, c_ab, pmi_r
          |FROM sc ORDER BY pmi_r DESC, prev, cur LIMIT 20""".stripMargin
     },
-    "x94_linear_probe" -> {
-      def ep(k: Int): String = {
-        val pw = s"w${k - 1}"
-        s"""z$k AS (SELECT l.doc_id, l.y,
-           |    CAST(COALESCE(s.zs, CAST(0 AS DECIMAL(16,6))) + b.wb AS DOUBLE) AS z
-           |  FROM lbl l
-           |  LEFT JOIN (SELECT doc_id, SUM(w * x) AS zs
-           |             FROM feats JOIN $pw USING (dim) WHERE dim >= 0
-           |             GROUP BY doc_id) s ON l.doc_id = s.doc_id,
-           |  (SELECT w AS wb FROM $pw WHERE dim = -1) b),
-           |p$k AS (SELECT doc_id, y,
-           |    CAST(0.5 AS DOUBLE) * (CAST(1 AS DOUBLE) + z / (CAST(1 AS DOUBLE) + abs(z))) AS p
-           |  FROM z$k),
-           |g$k AS (SELECT dim, SUM(CAST((p - y) * CAST(x AS DOUBLE) AS DECIMAL(24,12))) AS gs
-           |  FROM feats JOIN p$k USING (doc_id) GROUP BY dim
-           |  UNION ALL
-           |  SELECT CAST(-1 AS BIGINT), SUM(CAST(p - y AS DECIMAL(24,12))) FROM p$k),
-           |w$k AS (SELECT pv.dim,
-           |    CAST(CAST(pv.w AS DOUBLE) - CAST(1 AS DOUBLE) * CAST(COALESCE(g.gs, CAST(0 AS DECIMAL(24,12))) AS DOUBLE) / CAST(n.n_docs AS DOUBLE) AS DECIMAL(16,6)) AS w
-           |  FROM $pw pv LEFT JOIN g$k g ON pv.dim = g.dim, n)""".stripMargin
+    "x94_linear_probe" ->
+      s"""$probeTrainWith
+         |SELECT dim, CAST(w AS DOUBLE) AS w_r FROM w3 ORDER BY dim""".stripMargin,
+    "x97_bpe_merges" -> {
+      // one merge iteration: pair counts over the current segmentation,
+      // argmax (count desc, pair asc), greedy re-segment via replace on
+      // the marker-wrapped form — unrolled 3× like x94's epochs
+      def it(k: Int): String = {
+        val pw = s"v${k - 1}"
+        s"""p$k AS (SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |          i -> [syms[i], syms[i+1]])) AS pr
+           |        FROM (SELECT freq, list_transform(
+           |                list_filter(string_split(seg, chr(1)), p -> p <> ''),
+           |                p -> substring(p, 1, length(p) - 1)) AS syms
+           |              FROM $pw)
+           |        WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |m$k AS (SELECT a, b, cnt FROM
+           |  (SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS r
+           |   FROM p$k) WHERE r = 1),
+           |v$k AS (SELECT freq,
+           |    replace(seg, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+           |            chr(1) || m.a || m.b || chr(2)) AS seg
+           |  FROM $pw, m$k m)""".stripMargin
       }
-      s"""WITH tkn AS (SELECT doc_id, list_filter($dTokens, x -> x <> '') AS tk FROM documents),
-         |g0 AS (SELECT doc_id, CASE WHEN len(tk) >= 2 THEN
-         |         list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
-         |       ELSE [] END AS gs FROM tkn),
-         |btf AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf
-         |        FROM (SELECT doc_id, unnest(gs) AS bg FROM g0) GROUP BY 1, 2),
-         |feats AS (SELECT * FROM (
-         |  SELECT doc_id, ${dH("bg")} & 255 AS dim,
-         |    CAST(SUM(CASE WHEN (${dH("concat('fs_', bg)")} & 1) = 1
-         |                  THEN tf ELSE -tf END) AS BIGINT) AS x
-         |  FROM btf GROUP BY 1, 2) WHERE x <> 0),
-         |lbl AS (SELECT doc_id,
-         |    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
-         |  FROM documents),
-         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
-         |w0 AS (SELECT CAST(range AS BIGINT) AS dim, CAST(0 AS DECIMAL(16,6)) AS w
-         |       FROM range(-1, 256)),
-         |${(1 to 3).map(ep).mkString(",\n")}
-         |SELECT dim, CAST(w AS DOUBLE) AS w_r FROM w3 ORDER BY dim""".stripMargin
+      s"""WITH wf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($dTokens) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY token),
+         |v0 AS (SELECT freq,
+         |    array_to_string(list_transform(range(1, length(token) + 1),
+         |      i -> chr(1) || token[i] || chr(2)), '') AS seg
+         |  FROM wf),
+         |${(1 to 3).map(it).mkString(",\n")}
+         |SELECT step, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count
+         |FROM (SELECT CAST(1 AS BIGINT) AS step, * FROM m1
+         |      UNION ALL SELECT CAST(2 AS BIGINT), * FROM m2
+         |      UNION ALL SELECT CAST(3 AS BIGINT), * FROM m3)
+         |ORDER BY step""".stripMargin
     },
+
+    "x95_probe_calibration" ->
+      s"""$probeTrainWith,
+         |zf AS (SELECT l.doc_id, l.y,
+         |    CAST(COALESCE(s.zs, CAST(0 AS DECIMAL(16,6))) + b.wb AS DOUBLE) AS z
+         |  FROM lbl l
+         |  LEFT JOIN (SELECT doc_id, SUM(w * x) AS zs
+         |             FROM feats JOIN w3 USING (dim) WHERE dim >= 0
+         |             GROUP BY doc_id) s ON l.doc_id = s.doc_id,
+         |  (SELECT w AS wb FROM w3 WHERE dim = -1) b),
+         |pf AS (SELECT doc_id, y,
+         |    CAST(0.5 AS DOUBLE) * (CAST(1 AS DOUBLE) + z / (CAST(1 AS DOUBLE) + abs(z))) AS p
+         |  FROM zf),
+         |bn AS (SELECT LEAST(CAST(9 AS BIGINT), CAST(floor(p * 10.0) AS BIGINT)) AS bin,
+         |         y, CAST(p AS DECIMAL(24,12)) AS pd FROM pf)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  ${dRound6("CAST(SUM(pd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS mean_p,
+         |  CAST(SUM(y) AS BIGINT) AS n_pos,
+         |  ${dRound6("CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS frac_pos,
+         |  ${dRound6("abs(CAST(SUM(pd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) - CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))")} AS gap
+         |FROM bn GROUP BY bin ORDER BY bin""".stripMargin,
   )
+
+  /** The x94 probe's training replay as a DuckDB WITH-chain (through
+    * `w3`, the 3-epoch weights) — shared by the x94 and x95 oracles so
+    * the trainer and its consumers can never drift. */
+  private lazy val probeTrainWith: String = {
+    def ep(k: Int): String = {
+      val pw = s"w${k - 1}"
+      s"""z$k AS (SELECT l.doc_id, l.y,
+         |    CAST(COALESCE(s.zs, CAST(0 AS DECIMAL(16,6))) + b.wb AS DOUBLE) AS z
+         |  FROM lbl l
+         |  LEFT JOIN (SELECT doc_id, SUM(w * x) AS zs
+         |             FROM feats JOIN $pw USING (dim) WHERE dim >= 0
+         |             GROUP BY doc_id) s ON l.doc_id = s.doc_id,
+         |  (SELECT w AS wb FROM $pw WHERE dim = -1) b),
+         |p$k AS (SELECT doc_id, y,
+         |    CAST(0.5 AS DOUBLE) * (CAST(1 AS DOUBLE) + z / (CAST(1 AS DOUBLE) + abs(z))) AS p
+         |  FROM z$k),
+         |g$k AS (SELECT dim, SUM(CAST((p - y) * CAST(x AS DOUBLE) AS DECIMAL(24,12))) AS gs
+         |  FROM feats JOIN p$k USING (doc_id) GROUP BY dim
+         |  UNION ALL
+         |  SELECT CAST(-1 AS BIGINT), SUM(CAST(p - y AS DECIMAL(24,12))) FROM p$k),
+         |w$k AS (SELECT pv.dim,
+         |    CAST(CAST(pv.w AS DOUBLE) - CAST(1 AS DOUBLE) * CAST(COALESCE(g.gs, CAST(0 AS DECIMAL(24,12))) AS DOUBLE) / CAST(n.n_docs AS DOUBLE) AS DECIMAL(16,6)) AS w
+         |  FROM $pw pv LEFT JOIN g$k g ON pv.dim = g.dim, n)""".stripMargin
+    }
+    s"""WITH tkn AS (SELECT doc_id, list_filter($dTokens, x -> x <> '') AS tk FROM documents),
+       |g0 AS (SELECT doc_id, CASE WHEN len(tk) >= 2 THEN
+       |         list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+       |       ELSE [] END AS gs FROM tkn),
+       |btf AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf
+       |        FROM (SELECT doc_id, unnest(gs) AS bg FROM g0) GROUP BY 1, 2),
+       |feats AS (SELECT * FROM (
+       |  SELECT doc_id, ${dH("bg")} & 255 AS dim,
+       |    CAST(SUM(CASE WHEN (${dH("concat('fs_', bg)")} & 1) = 1
+       |                  THEN tf ELSE -tf END) AS BIGINT) AS x
+       |  FROM btf GROUP BY 1, 2) WHERE x <> 0),
+       |lbl AS (SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+       |  FROM documents),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |w0 AS (SELECT CAST(range AS BIGINT) AS dim, CAST(0 AS DECIMAL(16,6)) AS w
+       |       FROM range(-1, 256)),
+       |${(1 to 3).map(ep).mkString(",\n")}""".stripMargin
+  }
 }

@@ -1,0 +1,192 @@
+package graft
+
+/** In-memory references for the round-7 additions: x95 probe
+  * calibration, x96 hard-negative mining, x97 BPE merge learning.
+  *
+  * Same contract as Round9Spec: each reference recomputes the answer
+  * from raw fixture rows with plain Scala collections, replicating the
+  * engine's exact arithmetic (decimal-cast rounding, md5 60-bit
+  * hashing, left-to-right IEEE folds) — every equality is exact. */
+class Round10Spec extends SparkSpec {
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def h64(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private def toks(t: String): Array[String] =
+    t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  test("x95 calibration bins match the exact replica of the trained probe") {
+    val rows = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // bigram features + 3-epoch training, byte-identical to Round9Spec's
+    // x94 replica (same arithmetic, same hyperparameters)
+    val feats: Map[Long, Map[Long, Long]] = rows.map { case (id, t, _) =>
+      val tk = toks(t)
+      val bgs =
+        if (tk.length >= 2) tk.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+        else Seq.empty[String]
+      id -> bgs.groupBy(identity)
+        .map { case (k, v) => k -> v.length.toLong }.toSeq
+        .map { case (bg, c) =>
+          val w = if ((h64("fs_" + bg) & 1L) == 1L) c else -c
+          (h64(bg) & 255L) -> w
+        }.groupBy(_._1).map { case (d, ws) => d -> ws.map(_._2).sum }
+        .filter(_._2 != 0L)
+    }.toMap
+    val y = rows.map { case (id, _, l) => id -> (if (l == "en") 1.0 else 0.0) }.toMap
+    val n = rows.length.toDouble
+    def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def d12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var w: Map[Long, BigDecimal] = (-1L to 255L).map(_ -> BigDecimal(0).setScale(6)).toMap
+    def zOf(id: Long, wm: Map[Long, BigDecimal]): Double = {
+      val zs = feats(id).map { case (d, x) => wm(d) * BigDecimal(x) }
+        .foldLeft(BigDecimal(0))(_ + _)
+      (zs + wm(-1L)).toDouble
+    }
+    def pOf(id: Long, wm: Map[Long, BigDecimal]): Double = {
+      val z = zOf(id, wm)
+      0.5 * (1.0 + z / (1.0 + math.abs(z)))
+    }
+    for (_ <- 1 to 3) {
+      val p = rows.map { case (id, _, _) => id -> pOf(id, w) }.toMap
+      val gd = rows.flatMap { case (id, _, _) =>
+        feats(id).map { case (d, x) => d -> d12((p(id) - y(id)) * x.toDouble) }
+      }.groupBy(_._1).map { case (d, gs) => d -> gs.map(_._2).sum }
+      val gb = rows.map { case (id, _, _) => d12(p(id) - y(id)) }.sum
+      w = w.map { case (d, wv) =>
+        val gs = if (d == -1L) gb else gd.getOrElse(d, BigDecimal(0))
+        d -> d6(wv.toDouble - 1.0 * gs.toDouble / n)
+      }
+    }
+    // score + bin
+    val binned = rows.map { case (id, _, _) =>
+      val p = pOf(id, w)
+      val bin = math.min(9L, math.floor(p * 10.0).toLong)
+      (bin, p, y(id))
+    }
+    val ref = binned.groupBy(_._1).toSeq.map { case (bin, xs) =>
+      val nb = xs.length.toDouble
+      val sp = xs.map(x => d12(x._2)).foldLeft(BigDecimal(0))(_ + _)
+      val sy = xs.map(_._3).sum
+      val meanP = round6(sp.toDouble / nb)
+      val fracPos = round6(sy / nb)
+      (bin, xs.length.toLong, meanP, sy.toLong,
+        fracPos, round6(math.abs(sp.toDouble / nb - sy / nb)))
+    }.sortBy(_._1)
+    val out = graft.llm.TextAnalysis.queries("x95_probe_calibration")(spark, sf001)
+      .collect()
+    assert(out.length == ref.length)
+    out.zip(ref).foreach { case (o, (bin, nd, mp, np, fp, gap)) =>
+      assert(o.getLong(0) == bin, s"bin $bin")
+      assert(o.getLong(1) == nd, s"n_docs of bin $bin")
+      assert(o.getDouble(2) == mp, s"mean_p of bin $bin")
+      assert(o.getLong(3) == np, s"n_pos of bin $bin")
+      assert(o.getDouble(4) == fp, s"frac_pos of bin $bin")
+      assert(o.getDouble(5) == gap, s"gap of bin $bin")
+    }
+    // the bins must partition the corpus, and more than one bin must be
+    // populated (a one-bin diagram diagnoses nothing)
+    assert(ref.map(_._2).sum == rows.length.toLong)
+    assert(ref.length > 1, "calibration collapsed to a single bin")
+  }
+
+  test("x96 hard negatives match brute-force label-filtered cosine top-5") {
+    val embs = graft.queries.Tables.t(spark, sf001, "embeddings")
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val sq = embs.map { case (id, _, e) => id -> dot(e, e) }.toMap
+    val byId = embs.map { case (id, l, e) => id -> ((l, e)) }.toMap
+    val ref = embs.filter(_._1 < 8).sortBy(_._1).flatMap { case (qid, ql, qe) =>
+      embs.filter { case (nid, nl, _) => nl != ql }
+        .map { case (nid, nl, ne) =>
+          (nid, nl, round6(dot(qe, ne) / math.sqrt(sq(qid) * sq(nid))))
+        }
+        .sortBy { case (nid, _, c) => (-c, nid) }.take(5).zipWithIndex
+        .map { case ((nid, nl, c), i) => (qid, ql, i + 1L, nid, nl, c) }
+    }
+    val out = graft.llm.Similarity.queries("x96_hard_negatives")(spark, sf001)
+      .collect()
+    assert(out.length == ref.length && ref.length == 40)
+    out.zip(ref).foreach { case (o, (qid, ql, rk, nid, nl, c)) =>
+      assert(o.getLong(0) == qid && o.getLong(2) == rk, s"rank $rk of $qid")
+      assert(o.getInt(1) == ql, s"q_label of $qid")
+      assert(o.getLong(3) == nid, s"neighbor at rank $rk of $qid")
+      assert(o.getInt(4) == nl, s"n_label of $nid")
+      assert(o.getDouble(5) == c, s"cos of ($qid,$nid)")
+      assert(ql != nl, "hard negative shares the anchor's label")
+    }
+    // hard negatives must genuinely be harder than the average negative:
+    // top-1 similarity beats the anchor's mean cross-label similarity
+    val byAnchor = ref.groupBy(_._1)
+    byAnchor.foreach { case (qid, rs) =>
+      val (ql, qe) = byId(qid)
+      val all = embs.filter(e => e._2 != ql)
+        .map(e => dot(qe, e._3) / math.sqrt(sq(qid) * sq(e._1)))
+      assert(rs.head._6 > all.sum / all.length, s"anchor $qid top-1 not hard")
+    }
+  }
+
+  test("x97 BPE merges match an iterated greedy reference") {
+    val docs = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("text").collect().map(_.getString(0))
+    val wf: Map[String, Long] = docs.flatMap(toks).groupBy(identity)
+      .map { case (wrd, xs) => wrd -> xs.length.toLong }
+    var segs: Map[String, Vector[String]] =
+      wf.keys.map(wrd => wrd -> wrd.toVector.map(_.toString)).toMap
+    val merges = (1 to 3).map { k =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      segs.foreach { case (wrd, syms) =>
+        if (syms.length >= 2)
+          syms.sliding(2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + wf(wrd)
+          }
+      }
+      val ((a, b), cnt) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      // greedy left-to-right re-segmentation (the merge semantics)
+      segs = segs.map { case (wrd, syms) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        wrd -> out.result()
+      }
+      (k.toLong, a, b, a + b, cnt)
+    }
+    val out = graft.llm.TextAnalysis.queries("x97_bpe_merges")(spark, sf001)
+      .collect()
+    assert(out.length == 3)
+    out.zip(merges).foreach { case (o, (step, a, b, m, c)) =>
+      assert(o.getLong(0) == step, s"step $step")
+      assert(o.getString(1) == a && o.getString(2) == b, s"pair at step $step")
+      assert(o.getString(3) == m, s"merged symbol at step $step")
+      assert(o.getLong(4) == c, s"pair count at step $step")
+    }
+    // merge counts are non-increasing across steps (a later merge can
+    // never be more frequent than the argmax that preceded it)
+    assert(merges.map(_._5).sliding(2).forall(p => p(0) >= p(1)))
+    // step 2 or 3 may build on a merged symbol; at minimum every merged
+    // symbol must appear in some word's final segmentation
+    val finalSyms = segs.values.flatten.toSet
+    assert(merges.exists(m => finalSyms.contains(m._4)),
+      "no merged symbol survives in the final segmentation")
+  }
+}
