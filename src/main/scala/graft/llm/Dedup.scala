@@ -824,6 +824,50 @@ object Dedup {
         .filter(col("overlap_r") >= 0.5)
         .orderBy("doc_a", "doc_b")
     },
+
+    // INCREMENTAL DEDUP — the ingest-time shape: dedup an incoming
+    // batch (doc_id % 5 = 4 stands in for "today's crawl") against the
+    // STANDING corpus without re-deduping the corpus. At 100 TB you
+    // never re-pair the whole store per batch: the batch joins the
+    // materialized fingerprint store (exact) and the materialized
+    // signature/pair index (near) — both already exist here as the
+    // shared fp and pair-stats frames, so the only new work is
+    // batch-sized. Verdict per new doc, in precedence order: 'exact'
+    // (fp matches a base doc; dup_of = min such), 'near' (its
+    // exact-representative has a verified jaccard ≥ 0.5 candidate pair
+    // — union of both recall paths — whose partner is a base rep;
+    // dup_of = the max-jaccard partner, ties to the smaller id), else
+    // 'new'. Batch-internal duplicates are x05's job, not this gate's.
+    "x99_incremental_dedup" -> { (s, dir) =>
+      val fp = t(s, dir, "documents")
+        .selectExpr("doc_id", s"md5($sNorm) as fp")
+      val newDocs = fp.filter("doc_id % 5 = 4")
+      val baseStore = fp.filter("doc_id % 5 != 4")
+        .groupBy("fp").agg(min(col("doc_id")).as("e_of"))
+      val exact = newDocs.join(baseStore, Seq("fp")).select("doc_id", "e_of")
+      val reps = fp.groupBy("fp").agg(min(col("doc_id")).as("rep_id"))
+      val newRep = newDocs.join(reps, Seq("fp")).select("doc_id", "rep_id")
+      val ps = pairStats(s, dir)
+        .selectExpr("doc_a", "doc_b", s"$sJaccard as jaccard")
+        .filter("jaccard >= 0.5")
+      val nearPairs = ps.selectExpr("doc_a as rep_id", "doc_b as partner", "jaccard")
+        .unionByName(ps.selectExpr("doc_b as rep_id", "doc_a as partner", "jaccard"))
+        .filter("partner % 5 != 4")
+      val nearBest = graft.plans.TopKPerKey.topKDesc(
+          newRep.join(nearPairs, "rep_id"), Seq("doc_id"), "jaccard",
+          Seq("partner"), 1)
+        .selectExpr("doc_id", "partner as n_of", "jaccard as n_j")
+      newDocs.select("doc_id")
+        .join(exact, Seq("doc_id"), "left")
+        .join(nearBest, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "case when e_of is not null then 'exact' " +
+            "when n_of is not null then 'near' else 'new' end as verdict",
+          "coalesce(e_of, n_of, cast(-1 as bigint)) as dup_of",
+          sRound6("case when e_of is not null then 1.0d " +
+            "when n_of is not null then n_j else 0.0d end") + " as jaccard")
+        .orderBy("doc_id")
+    },
   )
 
   /** doc_id + distinct winnowing fingerprint set (window-of-4 minima
@@ -1330,6 +1374,50 @@ object Dedup {
          |  FROM m)
          |WHERE cont_a >= 0.7 OR cont_b >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "x99_incremental_dedup" ->
+      s"""$dShingled $dSig,
+         |bands AS (
+         |${(0 until 4).map(b => s"  SELECT doc_id, $b AS bi, ${dBandHash(b)} AS bh FROM sig")
+             .mkString("\n  UNION ALL\n")}),
+         |lcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bh = b.bh
+         |               AND a.doc_id < b.doc_id),
+         |rare2 AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh) WHERE df <= 8),
+         |rex2 AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare2 ON ex.sh = rare2.sh),
+         |ecand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM rex2 a JOIN rex2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |cand AS (SELECT doc_a, doc_b FROM lcand UNION SELECT doc_a, doc_b FROM ecand),
+         |pj AS (SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    ${dRound6("CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / CAST(len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)) AS DOUBLE)")} AS jaccard
+         |  FROM cand JOIN shd x ON cand.doc_a = x.doc_id
+         |            JOIN shd y ON cand.doc_b = y.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |fpm AS (SELECT doc_id, md5($dNorm) AS fp FROM documents),
+         |nw AS (SELECT doc_id, fp FROM fpm WHERE doc_id % 5 = 4),
+         |bstore AS (SELECT fp, MIN(doc_id) AS e_of FROM fpm
+         |           WHERE doc_id % 5 <> 4 GROUP BY fp),
+         |ex0 AS (SELECT nw.doc_id, b.e_of FROM nw JOIN bstore b USING (fp)),
+         |reps AS (SELECT fp, MIN(doc_id) AS rep_id FROM fpm GROUP BY fp),
+         |nrep AS (SELECT nw.doc_id, r.rep_id FROM nw JOIN reps r USING (fp)),
+         |np AS (SELECT rep_id, partner, jaccard FROM (
+         |         SELECT doc_a AS rep_id, doc_b AS partner, jaccard FROM pj
+         |         UNION ALL SELECT doc_b, doc_a, jaccard FROM pj)
+         |       WHERE partner % 5 <> 4),
+         |nbest AS (SELECT doc_id, partner AS n_of, jaccard AS n_j FROM (
+         |         SELECT n.doc_id, p.partner, p.jaccard,
+         |           ROW_NUMBER() OVER (PARTITION BY n.doc_id
+         |             ORDER BY p.jaccard DESC, p.partner) AS r
+         |         FROM nrep n JOIN np p USING (rep_id)) WHERE r = 1)
+         |SELECT nw.doc_id,
+         |  CASE WHEN e.e_of IS NOT NULL THEN 'exact'
+         |       WHEN nbest.n_of IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+         |  COALESCE(e.e_of, nbest.n_of, CAST(-1 AS BIGINT)) AS dup_of,
+         |  ${dRound6("CASE WHEN e.e_of IS NOT NULL THEN 1.0 WHEN nbest.n_of IS NOT NULL THEN nbest.n_j ELSE 0.0 END")} AS jaccard
+         |FROM nw LEFT JOIN ex0 e ON nw.doc_id = e.doc_id
+         |        LEFT JOIN nbest ON nw.doc_id = nbest.doc_id
+         |ORDER BY nw.doc_id""".stripMargin,
     // stop list and gate bounds literal-identical to x50's oracle
     "x58_curation_funnel" ->
       s"""$dSimhash,

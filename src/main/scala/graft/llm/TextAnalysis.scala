@@ -1504,33 +1504,39 @@ object TextAnalysis {
     // DuckDB. Argmax tiebreak: (count desc, left, right) on binary
     // UTF-8 order, engine-identical. Counts are exact integers.
     "x97_bpe_merges" -> { (s, dir) =>
-      val words = docTf(s, dir).groupBy("token").agg(sum("tf").as("freq"))
-        .selectExpr("freq",
-          "concat_ws('', transform(sequence(1, length(token)), " +
-            "i -> concat(chr(1), substring(token, i, 1), chr(2)))) as seg")
-      var cur = words
-      val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      for (k <- 1 to 3) {
-        val pairs = cur
-          .selectExpr("freq",
-            "transform(filter(split(seg, chr(1)), p -> p != ''), " +
-              "p -> substring(p, 1, length(p) - 1)) as syms")
-          .filter("size(syms) >= 2")
-          .selectExpr("freq",
-            "explode(transform(sequence(1, size(syms) - 1), " +
-              "i -> struct(element_at(syms, i) as a, element_at(syms, i + 1) as b))) as pr")
-          .selectExpr("freq", "pr.a as a", "pr.b as b")
-          .groupBy("a", "b").agg(sum("freq").as("cnt"))
-        val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        merges += best.selectExpr(s"cast($k as bigint) as step",
-          "a as left_sym", "b as right_sym", "concat(a, b) as merged",
-          "cast(cnt as bigint) as pair_count")
-        cur = cur.crossJoin(broadcast(best))
-          .selectExpr("freq",
-            "replace(seg, concat(chr(1), a, chr(2), chr(1), b, chr(2)), " +
-              "concat(chr(1), a, b, chr(2))) as seg")
-      }
-      merges.reduce(_ unionByName _).orderBy("step")
+      bpeMerges(s, dir).orderBy("step")
+    },
+
+    // BPE SEGMENTATION (x97's inference counterpart — apply the learned
+    // merge table): segment every vocabulary word with the 3 learned
+    // merges, in learned order, and report pieces per word. Together
+    // with x97 this closes the tokenizer loop: learn on the corpus,
+    // apply to anything. The apply is 3 chained replaces on the
+    // marker-wrapped form with the 1-row merge frames broadcast — at
+    // 100 TB you'd segment the token STREAM with the same chain (per
+    // row, zero shuffle); here the vocab table keeps the output
+    // readable and the oracle cheap. A later merge may consume an
+    // earlier merge's output symbol (that's why order matters and why
+    // the chain replays training's v1→v2→v3 exactly).
+    "x98_bpe_segment" -> { (s, dir) =>
+      val m = bpeMerges(s, dir)
+      def mk(k: Int) = m.filter(s"step = $k")
+        .selectExpr(s"left_sym as a$k", s"right_sym as b$k")
+      def rep(k: Int, inner: String): String =
+        s"replace($inner, concat(chr(1), a$k, chr(2), chr(1), b$k, chr(2)), " +
+          s"concat(chr(1), a$k, b$k, chr(2)))"
+      bpeWords(s, dir)
+        .crossJoin(broadcast(mk(1))).crossJoin(broadcast(mk(2)))
+        .crossJoin(broadcast(mk(3)))
+        .selectExpr("word", "freq", rep(3, rep(2, rep(1, "seg"))) + " as seg")
+        .selectExpr("word", "freq",
+          "transform(filter(split(seg, chr(1)), p -> p != ''), " +
+            "p -> substring(p, 1, length(p) - 1)) as syms")
+        .selectExpr("word", "freq",
+          "cast(length(word) as bigint) as n_chars",
+          "cast(size(syms) as bigint) as n_pieces",
+          "concat_ws(' ', syms) as pieces")
+        .orderBy("word")
     },
 
     "x95_probe_calibration" -> { (s, dir) =>
@@ -1550,6 +1556,49 @@ object TextAnalysis {
         .orderBy("bin")
     },
   )
+
+  /** Word-frequency table with marker-wrapped character segmentation —
+    * the BPE working set (x97 learns on it, x98 applies to it). The
+    * ONLY corpus-sized operation in the BPE family. */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Shared.shared(s, dir, "bpe_words") {
+      docTf(s, dir).groupBy("token").agg(sum("tf").as("freq"))
+        .selectExpr("token as word", "freq",
+          "concat_ws('', transform(sequence(1, length(token)), " +
+            "i -> concat(chr(1), substring(token, i, 1), chr(2)))) as seg")
+    }
+
+  /** The learned 3-merge BPE table (step, left_sym, right_sym, merged,
+    * pair_count) — see x97's scaladoc. Each iteration is vocab-sized;
+    * per-step frames are eagerly checkpointed (they are 1 row) so the
+    * re-segmentation plans stay shallow. */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Shared.shared(s, dir, "bpe_merges") {
+      var cur = bpeWords(s, dir)
+      val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      for (k <- 1 to 3) {
+        val pairs = cur
+          .selectExpr("freq",
+            "transform(filter(split(seg, chr(1)), p -> p != ''), " +
+              "p -> substring(p, 1, length(p) - 1)) as syms")
+          .filter("size(syms) >= 2")
+          .selectExpr("freq",
+            "explode(transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) as a, element_at(syms, i + 1) as b))) as pr")
+          .selectExpr("freq", "pr.a as a", "pr.b as b")
+          .groupBy("a", "b").agg(sum("freq").as("cnt"))
+        val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .localCheckpoint()
+        merges += best.selectExpr(s"cast($k as bigint) as step",
+          "a as left_sym", "b as right_sym", "concat(a, b) as merged",
+          "cast(cnt as bigint) as pair_count")
+        cur = cur.crossJoin(broadcast(best))
+          .selectExpr("word", "freq",
+            "replace(seg, concat(chr(1), a, chr(2), chr(1), b, chr(2)), " +
+              "concat(chr(1), a, b, chr(2))) as seg")
+      }
+      merges.reduce(_ unionByName _).localCheckpoint()
+    }
 
   /** The x94 probe's 3-epoch training loop (see x94's scaladoc for the
     * featurization rationale). Returns the (dim, w decimal(16,6))
@@ -2354,43 +2403,23 @@ object TextAnalysis {
     "x94_linear_probe" ->
       s"""$probeTrainWith
          |SELECT dim, CAST(w AS DOUBLE) AS w_r FROM w3 ORDER BY dim""".stripMargin,
-    "x97_bpe_merges" -> {
-      // one merge iteration: pair counts over the current segmentation,
-      // argmax (count desc, pair asc), greedy re-segment via replace on
-      // the marker-wrapped form — unrolled 3× like x94's epochs
-      def it(k: Int): String = {
-        val pw = s"v${k - 1}"
-        s"""p$k AS (SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-           |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
-           |          i -> [syms[i], syms[i+1]])) AS pr
-           |        FROM (SELECT freq, list_transform(
-           |                list_filter(string_split(seg, chr(1)), p -> p <> ''),
-           |                p -> substring(p, 1, length(p) - 1)) AS syms
-           |              FROM $pw)
-           |        WHERE len(syms) >= 2)
-           |  GROUP BY 1, 2),
-           |m$k AS (SELECT a, b, cnt FROM
-           |  (SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS r
-           |   FROM p$k) WHERE r = 1),
-           |v$k AS (SELECT freq,
-           |    replace(seg, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
-           |            chr(1) || m.a || m.b || chr(2)) AS seg
-           |  FROM $pw, m$k m)""".stripMargin
-      }
-      s"""WITH wf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest($dTokens) AS token FROM documents)
-         |  WHERE token <> '' GROUP BY token),
-         |v0 AS (SELECT freq,
-         |    array_to_string(list_transform(range(1, length(token) + 1),
-         |      i -> chr(1) || token[i] || chr(2)), '') AS seg
-         |  FROM wf),
-         |${(1 to 3).map(it).mkString(",\n")}
+    "x97_bpe_merges" ->
+      s"""$bpeTrainWith
          |SELECT step, a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count
          |FROM (SELECT CAST(1 AS BIGINT) AS step, * FROM m1
          |      UNION ALL SELECT CAST(2 AS BIGINT), * FROM m2
          |      UNION ALL SELECT CAST(3 AS BIGINT), * FROM m3)
-         |ORDER BY step""".stripMargin
-    },
+         |ORDER BY step""".stripMargin,
+    "x98_bpe_segment" ->
+      s"""$bpeTrainWith,
+         |fin AS (SELECT word, freq, list_transform(
+         |          list_filter(string_split(seg, chr(1)), p -> p <> ''),
+         |          p -> substring(p, 1, length(p) - 1)) AS syms
+         |        FROM v3)
+         |SELECT word, freq, CAST(length(word) AS BIGINT) AS n_chars,
+         |  CAST(len(syms) AS BIGINT) AS n_pieces,
+         |  array_to_string(syms, ' ') AS pieces
+         |FROM fin ORDER BY word""".stripMargin,
 
     "x95_probe_calibration" ->
       s"""$probeTrainWith,
@@ -2413,6 +2442,43 @@ object TextAnalysis {
          |  ${dRound6("abs(CAST(SUM(pd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) - CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))")} AS gap
          |FROM bn GROUP BY bin ORDER BY bin""".stripMargin,
   )
+
+  /** The BPE training replay as a DuckDB WITH-chain (through `m1..m3`,
+    * the merge picks, and `v3`, the post-merge segmentation) — shared
+    * by the x97 and x98 oracles so the learner and the segmenter can
+    * never drift. One merge iteration: pair counts over the current
+    * segmentation, argmax (count desc, pair asc), greedy re-segment via
+    * replace on the marker-wrapped form — unrolled 3× like x94's
+    * epochs. */
+  private lazy val bpeTrainWith: String = {
+    def it(k: Int): String = {
+      val pw = s"v${k - 1}"
+      s"""p$k AS (SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |          i -> [syms[i], syms[i+1]])) AS pr
+         |        FROM (SELECT freq, list_transform(
+         |                list_filter(string_split(seg, chr(1)), p -> p <> ''),
+         |                p -> substring(p, 1, length(p) - 1)) AS syms
+         |              FROM $pw)
+         |        WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT a, b, cnt FROM
+         |  (SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS r
+         |   FROM p$k) WHERE r = 1),
+         |v$k AS (SELECT word, freq,
+         |    replace(seg, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+         |            chr(1) || m.a || m.b || chr(2)) AS seg
+         |  FROM $pw, m$k m)""".stripMargin
+    }
+    s"""WITH wf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($dTokens) AS token FROM documents)
+       |  WHERE token <> '' GROUP BY token),
+       |v0 AS (SELECT token AS word, freq,
+       |    array_to_string(list_transform(range(1, length(token) + 1),
+       |      i -> chr(1) || token[i] || chr(2)), '') AS seg
+       |  FROM wf),
+       |${(1 to 3).map(it).mkString(",\n")}""".stripMargin
+  }
 
   /** The x94 probe's training replay as a DuckDB WITH-chain (through
     * `w3`, the 3-epoch weights) — shared by the x94 and x95 oracles so

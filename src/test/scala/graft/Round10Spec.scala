@@ -141,7 +141,10 @@ class Round10Spec extends SparkSpec {
     }
   }
 
-  test("x97 BPE merges match an iterated greedy reference") {
+  /** Iterated greedy BPE reference over the fixture: (merge table,
+    * final per-word segmentation, word frequencies). */
+  private lazy val bpeRef: (Seq[(Long, String, String, String, Long)],
+      Map[String, Vector[String]], Map[String, Long]) = {
     val docs = graft.queries.Tables.t(spark, sf001, "documents")
       .selectExpr("text").collect().map(_.getString(0))
     val wf: Map[String, Long] = docs.flatMap(toks).groupBy(identity)
@@ -171,6 +174,11 @@ class Round10Spec extends SparkSpec {
       }
       (k.toLong, a, b, a + b, cnt)
     }
+    (merges, segs, wf)
+  }
+
+  test("x97 BPE merges match an iterated greedy reference") {
+    val (merges, segs, _) = bpeRef
     val out = graft.llm.TextAnalysis.queries("x97_bpe_merges")(spark, sf001)
       .collect()
     assert(out.length == 3)
@@ -188,5 +196,84 @@ class Round10Spec extends SparkSpec {
     val finalSyms = segs.values.flatten.toSet
     assert(merges.exists(m => finalSyms.contains(m._4)),
       "no merged symbol survives in the final segmentation")
+  }
+
+  test("x98 BPE segmentation matches the reference's final segs") {
+    val (_, segs, wf) = bpeRef
+    val out = graft.llm.TextAnalysis.queries("x98_bpe_segment")(spark, sf001)
+      .collect()
+    assert(out.length == segs.size)
+    out.foreach { o =>
+      val wrd = o.getString(0)
+      val syms = segs(wrd)
+      assert(o.getLong(1) == wf(wrd), s"freq of $wrd")
+      assert(o.getLong(2) == wrd.length.toLong, s"n_chars of $wrd")
+      assert(o.getLong(3) == syms.length.toLong, s"n_pieces of $wrd")
+      assert(o.getString(4) == syms.mkString(" "), s"pieces of $wrd")
+    }
+    // segmentation invariants: pieces concatenate back to the word, and
+    // at least one word actually got shorter (the merges did something)
+    out.foreach { o =>
+      assert(o.getString(4).replace(" ", "") == o.getString(0),
+        s"pieces of ${o.getString(0)} don't concatenate back")
+    }
+    assert(out.exists(o => o.getLong(3) < o.getLong(2)),
+      "no word was compressed by any merge")
+  }
+
+  test("x99 incremental dedup: exact verdicts from first principles, near/new invariants") {
+    import java.security.MessageDigest
+    val rows = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fp = rows.map { case (id, t) =>
+      id -> md5hex(t.trim.toLowerCase.replaceAll("\\s+", " "))
+    }.toMap
+    val newIds = rows.map(_._1).filter(_ % 5 == 4).toSet
+    val baseByFp = rows.map(_._1).filterNot(newIds)
+      .groupBy(fp).map { case (f, ids) => f -> ids.min }
+    val out = graft.llm.Dedup.queries("x99_incremental_dedup")(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // one verdict per incoming doc, none extra
+    assert(out.keySet == newIds)
+    // exact verdicts are fully determined by the fingerprint store
+    newIds.foreach { id =>
+      val (verdict, dupOf, jac) = out(id)
+      baseByFp.get(fp(id)) match {
+        case Some(rep) =>
+          assert(verdict == "exact", s"$id should be exact")
+          assert(dupOf == rep, s"$id exact dup_of")
+          assert(jac == 1.0, s"$id exact jaccard")
+        case None =>
+          assert(verdict != "exact", s"$id cannot be exact")
+          if (verdict == "near") {
+            assert(dupOf % 5 != 4 && dupOf != id, s"$id near partner in base")
+            assert(jac >= 0.5 && jac <= 1.0, s"$id near jaccard $jac")
+          } else {
+            assert(dupOf == -1L && jac == 0.0, s"$id new row shape")
+          }
+      }
+    }
+    // recall cross-check against the independently hash-verified x07
+    // pair list: an LSH-verified pair linking a new rep to a base rep
+    // means that doc cannot be 'new'
+    val reps = rows.map(_._1).groupBy(fp).map { case (_, ids) => ids.min }.toSet
+    val x07 = graft.llm.Dedup.queries("x07_lsh_neardup_pairs")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val linked = x07.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (n, p) => p % 5 != 4 }.groupBy(_._1)
+    newIds.foreach { id =>
+      val rep = rows.map(_._1).filter(o => fp(o) == fp(id)).min
+      if (out(id)._1 == "new")
+        assert(!linked.contains(rep), s"$id marked new despite an x07 link")
+    }
+    // the fixture must exercise all three verdicts
+    val verdicts = out.values.map(_._1).toSet
+    assert(verdicts == Set("exact", "near", "new"),
+      s"fixture covers only $verdicts")
   }
 }
