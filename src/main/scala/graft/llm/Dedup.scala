@@ -826,8 +826,14 @@ object Dedup {
     },
 
     // INCREMENTAL DEDUP — the ingest-time shape: dedup an incoming
-    // batch (doc_id % 5 = 4 stands in for "today's crawl") against the
-    // STANDING corpus without re-deduping the corpus. At 100 TB you
+    // batch against the STANDING corpus without re-deduping the corpus.
+    // The batch is (a) docs with doc_id % 5 = 4 ("today's crawl") plus
+    // (b) a re-crawl slice: base docs with doc_id % 97 = 0 re-ingested
+    // verbatim under a fresh doc_id (+100000) — the everyday case where
+    // a fetcher re-downloads an unchanged page. (b) exists because the
+    // fixture corpus has no two distinct doc_ids with identical
+    // normalized text, so without a re-crawl arm the 'exact' verdict
+    // would be structurally unreachable on the test data. At 100 TB you
     // never re-pair the whole store per batch: the batch joins the
     // materialized fingerprint store (exact) and the materialized
     // signature/pair index (near) — both already exist here as the
@@ -841,7 +847,9 @@ object Dedup {
     "x99_incremental_dedup" -> { (s, dir) =>
       val fp = t(s, dir, "documents")
         .selectExpr("doc_id", s"md5($sNorm) as fp")
-      val newDocs = fp.filter("doc_id % 5 = 4")
+      val recrawl = fp.filter("doc_id % 5 != 4 and doc_id % 97 = 0")
+        .selectExpr("doc_id + 100000 as doc_id", "fp")
+      val newDocs = fp.filter("doc_id % 5 = 4").unionByName(recrawl)
       val baseStore = fp.filter("doc_id % 5 != 4")
         .groupBy("fp").agg(min(col("doc_id")).as("e_of"))
       val exact = newDocs.join(baseStore, Seq("fp")).select("doc_id", "e_of")
@@ -1395,7 +1403,10 @@ object Dedup {
          |            JOIN shd y ON cand.doc_b = y.doc_id)
          |  WHERE jaccard >= 0.5),
          |fpm AS (SELECT doc_id, md5($dNorm) AS fp FROM documents),
-         |nw AS (SELECT doc_id, fp FROM fpm WHERE doc_id % 5 = 4),
+         |nw AS (SELECT doc_id, fp FROM fpm WHERE doc_id % 5 = 4
+         |       UNION ALL
+         |       SELECT doc_id + 100000 AS doc_id, fp FROM fpm
+         |       WHERE doc_id % 5 <> 4 AND doc_id % 97 = 0),
          |bstore AS (SELECT fp, MIN(doc_id) AS e_of FROM fpm
          |           WHERE doc_id % 5 <> 4 GROUP BY fp),
          |ex0 AS (SELECT nw.doc_id, b.e_of FROM nw JOIN bstore b USING (fp)),

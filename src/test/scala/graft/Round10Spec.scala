@@ -228,12 +228,20 @@ class Round10Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     def md5hex(s: String): String = MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val fp = rows.map { case (id, t) =>
+    val fp0 = rows.map { case (id, t) =>
       id -> md5hex(t.trim.toLowerCase.replaceAll("\\s+", " "))
     }.toMap
-    val newIds = rows.map(_._1).filter(_ % 5 == 4).toSet
-    val baseByFp = rows.map(_._1).filterNot(newIds)
-      .groupBy(fp).map { case (f, ids) => f -> ids.min }
+    // the batch: "today's crawl" (doc_id % 5 = 4) plus the re-crawl
+    // slice — base docs re-ingested verbatim under doc_id + 100000
+    val crawlIds = rows.map(_._1).filter(_ % 5 == 4).toSet
+    val recrawl = rows.map(_._1)
+      .filter(id => id % 5 != 4 && id % 97 == 0)
+      .map(id => (id + 100000L) -> fp0(id)).toMap
+    assert(recrawl.nonEmpty, "fixture has no re-crawl docs")
+    val fp = fp0 ++ recrawl
+    val newIds = crawlIds ++ recrawl.keySet
+    val baseByFp = rows.map(_._1).filterNot(crawlIds)
+      .groupBy(fp0).map { case (f, ids) => f -> ids.min }
     val out = graft.llm.Dedup.queries("x99_incremental_dedup")(spark, sf001)
       .collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3))))
