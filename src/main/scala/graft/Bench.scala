@@ -115,18 +115,35 @@ object Bench {
     // are the ones worth reading from the summary line) and stop before
     // a fixed length budget; the complete per-query map with job/stage
     // counts always goes to BENCH_DETAIL.json beside the repo.
-    val qs = {
-      val budget = 1200 // chars for the queries object; total line ≪ 2000
+    // Two compact objects share the line: `queries` ("name":sec, the
+    // driver contract) and `plan` ("name":"jobs/stages" for the SAME
+    // query set) — with plan counts on the line, a reader can tell
+    // machine contention (seconds up, jobs/stages unchanged) from a
+    // plan regression without opening BENCH_DETAIL.json. Strict
+    // slowest-first prefix: stop at the first entry that doesn't fit
+    // (no backfilling with shorter names), and the `_omitted` suffix is
+    // reserved inside the budget so the object can never overflow it.
+    val shown = {
+      val budget = 600 // chars for the queries object; plan ≈ same size
       val entries = results.toSeq.sortBy(-_._2.sec)
-        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v.sec) }
-      val keep = scala.collection.mutable.ArrayBuffer[String]()
-      var len = 2 // braces
-      entries.foreach { e =>
-        if (len + e.length + 1 <= budget) { keep += e; len += e.length + 1 }
+      val keep = scala.collection.mutable.ArrayBuffer[(String, QueryResult)]()
+      var len = 2 + 20 // braces + reserved room for "_omitted":NNN
+      var full = false
+      entries.foreach { case (k, v) =>
+        val e = "\"" + k.takeWhile(_ != '_') + "\":" + ms(v.sec)
+        if (!full && len + e.length + 1 <= budget) {
+          keep += ((k, v)); len += e.length + 1
+        } else full = true
       }
-      val omitted = entries.length - keep.length
-      (keep :+ ("\"_omitted\":" + omitted)).mkString("{", ",", "}")
+      keep
     }
+    val omitted = results.size - shown.length
+    val qs = (shown.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + ms(v.sec)
+      } :+ ("\"_omitted\":" + omitted)).mkString("{", ",", "}")
+    val planLine = shown.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":\"" + v.jobs + "/" + v.stages + "\""
+      }.mkString("{", ",", "}")
     val detail = results.map { case (k, v) =>
       "\"" + k + "\":{\"sec\":" + v.sec + ",\"jobs\":" + v.jobs +
         ",\"stages\":" + v.stages + "}"
@@ -139,7 +156,7 @@ object Bench {
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")),
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"failed":$failed,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plan":$planLine,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

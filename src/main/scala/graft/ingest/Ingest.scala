@@ -163,9 +163,32 @@ object Ingest {
     * time — size it to ~(expected store size / 128 MB).
     *
     * Spark only honors bucketing through the catalog, so this writes a
-    * TABLE (with optional explicit location), not a bare path. */
+    * TABLE (with optional explicit location), not a bare path.
+    *
+    * `nBuckets` and `location` take effect ONLY when the table is first
+    * created — on a subsequent append Spark uses the catalog's bucket
+    * spec and path and silently ignores the arguments. To keep that
+    * from masking a caller bug, an append to an existing table asserts
+    * the arguments match the catalog metadata. */
   def appendBatchBucketed(df: DataFrame, table: String,
       nBuckets: Int = 32, location: Option[String] = None): Unit = {
+    val ss = df.sparkSession
+    val ident = ss.sessionState.sqlParser.parseTableIdentifier(table)
+    if (ss.sessionState.catalog.tableExists(ident)) {
+      val meta = ss.sessionState.catalog.getTableMetadata(ident)
+      meta.bucketSpec.foreach { bs =>
+        require(bs.numBuckets == nBuckets,
+          s"$table exists with ${bs.numBuckets} buckets; append passed " +
+            s"$nBuckets — bucket count is fixed at table creation")
+      }
+      location.foreach { p =>
+        val want = new org.apache.hadoop.fs.Path(p).toUri.getPath
+        val have = new org.apache.hadoop.fs.Path(meta.location).toUri.getPath
+        require(have == want,
+          s"$table exists at $have; append passed $want — location is " +
+            "fixed at table creation")
+      }
+    }
     val w = df.write.mode("append").format("parquet")
       .partitionBy("type")
       .bucketBy(nBuckets, "id")

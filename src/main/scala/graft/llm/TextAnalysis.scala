@@ -1563,6 +1563,10 @@ object TextAnalysis {
   private def bpeWords(s: SparkSession, dir: String): DataFrame =
     graft.queries.Shared.shared(s, dir, "bpe_words") {
       docTf(s, dir).groupBy("token").agg(sum("tf").as("freq"))
+        // \x01/\x02 are the segmentation markers; a token containing
+        // them would corrupt symbol boundaries, so exclude such tokens
+        // from the BPE vocabulary (oracle applies the same guard)
+        .filter("instr(token, chr(1)) = 0 and instr(token, chr(2)) = 0")
         .selectExpr("token as word", "freq",
           "concat_ws('', transform(sequence(1, length(token)), " +
             "i -> concat(chr(1), substring(token, i, 1), chr(2)))) as seg")
@@ -1589,6 +1593,13 @@ object TextAnalysis {
           .groupBy("a", "b").agg(sum("freq").as("cnt"))
         val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
           .localCheckpoint()
+        // a degenerate vocabulary (all words single-symbol) would make
+        // `best` empty and the crossJoin below silently collapse every
+        // downstream frame to zero rows — fail loudly instead (the
+        // frame is checkpointed and ≤1 row, so this count is free)
+        require(best.count() == 1,
+          s"BPE merge step $k found no adjacent symbol pairs — " +
+            "vocabulary is fully merged or degenerate")
         merges += best.selectExpr(s"cast($k as bigint) as step",
           "a as left_sym", "b as right_sym", "concat(a, b) as merged",
           "cast(cnt as bigint) as pair_count")
@@ -2472,7 +2483,9 @@ object TextAnalysis {
     }
     s"""WITH wf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest($dTokens) AS token FROM documents)
-       |  WHERE token <> '' GROUP BY token),
+       |  WHERE token <> '' AND NOT contains(token, chr(1))
+       |    AND NOT contains(token, chr(2))
+       |  GROUP BY token),
        |v0 AS (SELECT token AS word, freq,
        |    array_to_string(list_transform(range(1, length(token) + 1),
        |      i -> chr(1) || token[i] || chr(2)), '') AS seg
