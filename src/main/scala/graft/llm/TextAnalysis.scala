@@ -1539,6 +1539,39 @@ object TextAnalysis {
         .orderBy("word")
     },
 
+    // BPE STREAM SEGMENTATION (the 100 TB shape x98's scaladoc
+    // promises): apply the learned merge chain to the per-document
+    // TOKEN STREAM — no vocab join, just three chained replaces
+    // against the 1-row broadcast merge frames, evaluated per row —
+    // then one doc_id-keyed aggregation for the per-doc piece count /
+    // fertility report. Past the shared tf frame the corpus is touched
+    // exactly once and never shuffles wider than doc_id. Tokens
+    // carrying the \x01/\x02 markers are excluded exactly as in the
+    // learner's vocabulary (both engines).
+    "x100_bpe_stream" -> { (s, dir) =>
+      val m = bpeMerges(s, dir)
+      def mk(k: Int) = m.filter(s"step = $k")
+        .selectExpr(s"left_sym as a$k", s"right_sym as b$k")
+      def rep(k: Int, inner: String): String =
+        s"replace($inner, concat(chr(1), a$k, chr(2), chr(1), b$k, chr(2)), " +
+          s"concat(chr(1), a$k, b$k, chr(2)))"
+      val charSeg = "concat_ws('', transform(sequence(1, length(token)), " +
+        "i -> concat(chr(1), substring(token, i, 1), chr(2))))"
+      docTf(s, dir)
+        .filter("instr(token, chr(1)) = 0 and instr(token, chr(2)) = 0")
+        .crossJoin(broadcast(mk(1))).crossJoin(broadcast(mk(2)))
+        .crossJoin(broadcast(mk(3)))
+        .selectExpr("doc_id", "tf",
+          "size(filter(split(" + rep(3, rep(2, rep(1, charSeg))) +
+            ", chr(1)), p -> p != '')) as np")
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("nt"), sum(col("np") * col("tf")).as("npc"))
+        .selectExpr("doc_id", "cast(nt as bigint) as n_tokens",
+          "cast(npc as bigint) as n_pieces",
+          sRound6("cast(npc as double) / cast(nt as double)") + " as fertility_r")
+        .orderBy("doc_id")
+    },
+
     "x95_probe_calibration" -> { (s, dir) =>
       val scored = probeScores(s, dir)
       scored
@@ -2431,6 +2464,31 @@ object TextAnalysis {
          |  CAST(len(syms) AS BIGINT) AS n_pieces,
          |  array_to_string(syms, ' ') AS pieces
          |FROM fin ORDER BY word""".stripMargin,
+    "x100_bpe_stream" ->
+      s"""$bpeTrainWith,
+         |stf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest($dTokens) AS token FROM documents)
+         |  WHERE token <> '' AND NOT contains(token, chr(1))
+         |    AND NOT contains(token, chr(2))
+         |  GROUP BY doc_id, token),
+         |sseg AS (SELECT doc_id, tf,
+         |    replace(replace(replace(
+         |      array_to_string(list_transform(range(1, length(token) + 1),
+         |        i -> chr(1) || token[i] || chr(2)), ''),
+         |      chr(1) || m1.a || chr(2) || chr(1) || m1.b || chr(2),
+         |      chr(1) || m1.a || m1.b || chr(2)),
+         |      chr(1) || m2.a || chr(2) || chr(1) || m2.b || chr(2),
+         |      chr(1) || m2.a || m2.b || chr(2)),
+         |      chr(1) || m3.a || chr(2) || chr(1) || m3.b || chr(2),
+         |      chr(1) || m3.a || m3.b || chr(2)) AS seg
+         |  FROM stf, m1, m2, m3),
+         |cnt AS (SELECT doc_id, tf,
+         |    CAST(len(list_filter(string_split(seg, chr(1)), p -> p <> '')) AS BIGINT) AS np
+         |  FROM sseg)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(np * tf) AS BIGINT) AS n_pieces,
+         |  ${dRound6("CAST(SUM(np * tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)")} AS fertility_r
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x95_probe_calibration" ->
       s"""$probeTrainWith,

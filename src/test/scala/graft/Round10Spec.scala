@@ -221,6 +221,37 @@ class Round10Spec extends SparkSpec {
       "no word was compressed by any merge")
   }
 
+  test("x100 stream segmentation reconciles with x98's vocab segmentation") {
+    val (_, segs, _) = bpeRef
+    val rows = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // per doc: token count and Σ pieces(token) through the reference segs
+    val ref = rows.map { case (id, t) =>
+      val tk = toks(t)
+      id -> ((tk.length.toLong, tk.map(w => segs(w).length.toLong).sum))
+    }.filter(_._2._1 > 0).toMap
+    val out = graft.llm.TextAnalysis.queries("x100_bpe_stream")(spark, sf001)
+      .collect()
+    assert(out.length == ref.size)
+    out.foreach { o =>
+      val id = o.getLong(0)
+      val (nt, np) = ref(id)
+      assert(o.getLong(1) == nt, s"n_tokens of $id")
+      assert(o.getLong(2) == np, s"n_pieces of $id")
+      assert(o.getDouble(3) == round6(np.toDouble / nt.toDouble),
+        s"fertility of $id")
+      assert(np >= nt, s"$id has fewer pieces than tokens")
+    }
+    // the merges did real work on the stream: at least one document's
+    // piece count is below its raw character count
+    val chars = rows.map { case (id, t) =>
+      id -> toks(t).map(_.length.toLong).sum
+    }.toMap
+    assert(out.exists(o => o.getLong(2) < chars(o.getLong(0))),
+      "no document was compressed by any merge")
+  }
+
   test("x99 incremental dedup: exact verdicts from first principles, near/new invariants") {
     import java.security.MessageDigest
     val rows = graft.queries.Tables.t(spark, sf001, "documents")
