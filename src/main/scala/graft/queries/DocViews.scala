@@ -111,6 +111,18 @@ object DocViews {
       Views.typedView(bucketedLatest(s, dir), "DOC", docSchema("DOC"))
         .orderBy("DOCUMENT_ID")
     },
+    // incremental view maintenance (the per-sync-cycle refresh at
+    // 100 TB): materialize latest over the ts1 history, then fold ONLY
+    // the ts2 batch in with Views.latestIncremental — refresh work is
+    // |latest| + |batch|, never |history|. Shares r24's oracle: the
+    // incremental fold must be bit-identical to the full recompute,
+    // which is exactly the associativity claim under the hash gate.
+    "r69_incremental_latest" -> { (s, dir) =>
+      val land = landing(s, dir)
+      val prev = Views.latest(land.filter(s"batch_date = $ts1"))
+      val inc = Views.latestIncremental(prev, land.filter(s"batch_date = $ts2"))
+      Views.typedView(inc, "DOC", docSchema("DOC")).orderBy("DOCUMENT_ID")
+    },
   )
 
   /** R1+R2 dedup over the synthetic landing — cached once for r24/r45. */
@@ -146,8 +158,9 @@ object DocViews {
   }
 
   /** Expected latest-view semantics recomputed directly from
-    * `documents` — shared by r24 (typed), r45 (variant), and r68
-    * (bucketed store): all three must agree with it bit-for-bit. */
+    * `documents` — shared by r24 (typed), r45 (variant), r68 (bucketed
+    * store), and r69 (incremental fold): all four must agree with it
+    * bit-for-bit. */
   private val latestViewOracle =
     """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID,
       |  lang AS LANG,
@@ -163,6 +176,7 @@ object DocViews {
     "r24_document_latest_view" -> latestViewOracle,
     "r45_variant_latest_view" -> latestViewOracle,
     "r68_bucketed_latest" -> latestViewOracle,
+    "r69_incremental_latest" -> latestViewOracle,
     "r25_record_list_flatten" ->
       """SELECT DOCUMENT_ID, LISTITEM_ID, VAL FROM (
         |  SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID, 'A' AS LISTITEM_ID,

@@ -151,6 +151,30 @@ object Streaming {
         "n_flagged > 0 as flagged")
   }
 
+  /** Streaming incremental dedup gate — x99's exact arm at ingest time
+    * (the streaming twin of `llm.Dedup`'s x99 batch gate): each
+    * micro-batch is fingerprinted map-side (the same
+    * md5-of-normalized-text the batch store keys on) and probed
+    * against the STANDING fingerprint store via a stream-static
+    * broadcast join — no stream shuffle, no state; the static side is
+    * re-resolved per micro-batch like a slowly-changing dimension, so
+    * docs landed between batches are seen by later batches. Emits
+    * verdict 'exact' (dup_of = the store's representative) or 'new'.
+    * Near-dup verdicts stay a batch concern (they need the pair
+    * index); at 100 TB this gate is the cheap first filter that keeps
+    * verbatim re-crawls from ever touching the landing store. */
+  def dedupGateStream(
+      docs: DataFrame, // streaming: (doc_id, text)
+      fpStore: DataFrame // static: (fp, e_of) — md5(norm) → min doc_id
+  ): DataFrame = {
+    import graft.llm.Frag._
+    docs.selectExpr("doc_id", "text", s"md5($sNorm) as fp")
+      .join(broadcast(fpStore), Seq("fp"), "left")
+      .selectExpr("doc_id", "text",
+        "case when e_of is not null then 'exact' else 'new' end as verdict",
+        "coalesce(e_of, cast(-1 as bigint)) as dup_of")
+  }
+
   /** Streaming replay dedup — the streaming twin of the R1 batch
     * window: at-least-once re-deliveries of the same document
     * (type,id,version,chunk) inside the watermark horizon are dropped

@@ -57,6 +57,26 @@ object Views {
       .filter(col("version") === col("__maxv")).drop("__maxv")
   }
 
+  /** Incremental `_LATEST` refresh: fold a NEW landing batch into an
+    * already-materialized latest frame without re-reading the version
+    * history. Correct because both R1 (max batch_date per
+    * (type,id,version)) and R2 (max version per (type,id)) are
+    * associative argmax folds over row sets:
+    * latest(history ∪ batch) = latest(latest(history) ∪ batch) — rows
+    * the materialized frame already dropped can never win against rows
+    * that beat their winners. This includes the re-chunked-replay rule:
+    * a version re-landed with fewer chunks at a later batch_date kills
+    * the whole older batch (stale chunks included) in both forms.
+    *
+    * This is the 100 TB refresh path for the reference's view layer
+    * (snowflake.go:264-287 semantics): per sync cycle the work is
+    * |latest| + |batch|, not |history| — and over the bucketed landing
+    * store (appendBatchBucketed) the fold runs exchange-free as well.
+    * `prevLatest` must be a frame produced by [[latest]] (or this
+    * function) over the same landing schema. */
+  def latestIncremental(prevLatest: DataFrame, batch: DataFrame): DataFrame =
+    latest(prevLatest.unionByName(batch))
+
   /** R4 — prune: the complement of R1. Returns the compacted landing set
     * (rows that ARE the latest batch_date for their key); a writer can
     * overwrite the store with this (Delta DELETE analogue). */

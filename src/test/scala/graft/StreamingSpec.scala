@@ -102,6 +102,41 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("dedupGateStream: exact verdicts against the standing fp store, map-side") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Frag._
+    // standing store: fingerprints of two base docs (min doc_id per fp)
+    val store = Seq((10L, "The quick   brown fox"), (11L, "another document"))
+      .toDF("doc_id", "text")
+      .selectExpr(s"md5($sNorm) as fp", "doc_id as e_of")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.dedupGateStream(mem.toDS().toDF("doc_id", "text"), store)
+      .writeStream.format("memory").queryName("dedupgate")
+      .outputMode("append").start()
+    mem.addData(
+      (100L, "the  QUICK brown   fox "), // normalizes to base 10 → exact
+      (101L, "another document"),        // verbatim re-crawl of 11 → exact
+      (102L, "a genuinely new document"))
+    q.processAllAvailable()
+    val out = spark.table("dedupgate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("verdict"), r.getAs[Long]("dup_of")))).toMap
+    assert(out(100L) == (("exact", 10L)), s"got ${out(100L)}")
+    assert(out(101L) == (("exact", 11L)), s"got ${out(101L)}")
+    assert(out(102L) == (("new", -1L)), s"got ${out(102L)}")
+    q.stop()
+    // no stream shuffle: the same gate over a batch frame (identical
+    // plan builder) must be a broadcast join with zero hash exchanges
+    val plan = Streaming.dedupGateStream(
+        Seq((1L, "x")).toDF("doc_id", "text"), store)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("Exchange hashpartitioning"),
+      s"dedup gate must probe the store map-side:\n$plan")
+  }
+
   test("stream-stream interval join matches views in the window; outer row after watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -80,6 +80,45 @@ class ViewsSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("chunk")).sorted.toSeq == Seq(0, 1, 2))
   }
 
+  test("incremental latest refresh ≡ full recompute (fold associativity)") {
+    // adversarial batch mix: new version, same-version replay at a
+    // later batch_date, STALE-version replay (must lose), tombstone
+    // flip, and a re-chunked replay with fewer chunks (stale chunk of
+    // the older batch must die with its batch)
+    val history = Seq(
+      rec("2026-01-01 00:00:00", "W", "d1", 1, data = "d1v1"),
+      rec("2026-01-01 00:00:00", "W", "d2", 1, data = "d2v1"),
+      rec("2026-01-01 00:00:00", "W", "d2", 2, data = "d2v2"),
+      rec("2026-01-01 00:00:00", "W", "d3", 1, chunk = 0, data = "d3c0"),
+      rec("2026-01-01 00:00:00", "W", "d3", 1, chunk = 1, data = "d3c1"),
+      rec("2026-01-01 00:00:00", "W", "d4", 1, data = "d4v1"),
+      rec("2026-01-01 00:00:00", "S", "d1", 1, data = "s1v1"))
+    val batch = Seq(
+      rec("2026-01-02 00:00:00", "W", "d1", 2, data = "d1v2"),       // new version
+      rec("2026-01-02 00:00:00", "W", "d2", 1, data = "stale"),      // stale version replay
+      rec("2026-01-02 00:00:00", "W", "d3", 1, chunk = 0, data = "d3c0b"), // re-chunked: chunk 1 must die
+      rec("2026-01-02 00:00:00", "W", "d4", 2, deleted = true, data = "d4v2"), // tombstone
+      rec("2026-01-02 00:00:00", "W", "d5", 1, data = "d5v1"))       // brand new doc
+    val full = Views.latest(landing(history ++ batch: _*))
+    val inc = Views.latestIncremental(Views.latest(landing(history: _*)),
+      landing(batch: _*))
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq
+    assert(inc.collect().map(key).toSet == full.collect().map(key).toSet)
+    // spot checks: the associativity edge cases actually exercised
+    val m = inc.collect().map(r => (r.getAs[String]("type"),
+      r.getAs[String]("id"), r.getAs[Int]("chunk")) -> r).toMap
+    assert(m(("W", "d1", 0)).getAs[String]("data") == "d1v2")
+    assert(m(("W", "d2", 0)).getAs[String]("data") == "d2v2") // stale replay lost
+    assert(m(("W", "d3", 0)).getAs[String]("data") == "d3c0b")
+    assert(!m.contains(("W", "d3", 1)), "stale chunk leaked through the fold")
+    assert(m(("W", "d4", 0)).getAs[Boolean]("deleted"))
+    assert(m(("W", "d5", 0)).getAs[String]("data") == "d5v1")
+    assert(m(("S", "d1", 0)).getAs[String]("data") == "s1v1")
+    // idempotence: folding an empty batch changes nothing
+    val again = Views.latestIncremental(inc, landing().limit(0))
+    assert(again.collect().map(key).toSet == full.collect().map(key).toSet)
+  }
+
   test("R4 prune ∘ R1 = R1 (idempotent) and deletes = complement") {
     val df = landing(
       rec("2026-01-01 00:00:00", "W", "d1", 1),
