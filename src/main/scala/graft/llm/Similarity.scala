@@ -79,7 +79,7 @@ object Similarity {
     * label partition stands in for a per-subspace k-means, exactly as
     * the label centroids stand in for the IVF coarse quantizer in x17).
     * Means are exact decimals ⇒ identical across engines. */
-  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqCodebook(s: SparkSession, dir: String): DataFrame =
     Shared.shared(s, dir, "pqCodebook") {
       t(s, dir, "embeddings")
         .selectExpr("label", "posexplode(embedding) as (dim, v)")
@@ -89,6 +89,39 @@ object Similarity {
         .selectExpr("label as clabel", "dim div 8 as ss", "dim % 8 as j", "c")
         .groupBy("clabel", "ss")
         .agg(expr("transform(sort_array(collect_list(struct(j, c))), x -> x.c)").as("cw"))
+    }
+
+  /** IVF coarse routing table: per vector, its top-2 centroid cells by
+    * cosine (vec_id, cl2) — the assignment AND the probe routing in one
+    * frame. Shared tier: x17, x62 (through x17's pipeline) and the
+    * x101 composite all read it, one cached copy. Sort key
+    * struct(-cosc, clabel) replays the oracle's ORDER BY cosc DESC,
+    * clabel tie-break (double negation is an exact sign flip). */
+  private[graft] def ivfTop2(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "ivf_top2") {
+      val cent = centroids(s, dir)
+      val dotExpr =
+        if (s.catalog.functionExists("dot_f32f64")) "dot_f32f64(embedding, cv)"
+        else "aggregate(zip_with(embedding, cv, (x, w) -> cast(x as double) * w), cast(0 as double), (acc, t) -> acc + t)"
+      withSq(s, dir).crossJoin(broadcast(cent))
+        .selectExpr("vec_id", "clabel", s"$dotExpr / sqrt(sq * csq) as cosc")
+        .groupBy("vec_id")
+        .agg(expr("slice(transform(sort_array(collect_list(struct(-cosc as nc, clabel))), x -> x.clabel), 1, 2)").as("cl2"))
+    }
+
+  /** PQ code table (vec_id, ss, code) — the corpus encoded
+    * subspace-by-subspace to its nearest codeword. Shared tier: x49's
+    * ADC scan and the x101 composite read the same codes. Built by one
+    * broadcast cross-join with the 80-row codebook, collapsed
+    * immediately by a map-side min-struct aggregation. */
+  private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "pq_codes") {
+      t(s, dir, "embeddings")
+        .crossJoin(broadcast(pqCodebook(s, dir)))
+        .selectExpr("vec_id", "ss", "clabel", s"${sSubDist(s)} as d2")
+        .groupBy("vec_id", "ss")
+        .agg(expr("min(struct(d2, clabel))").as("m"))
+        .selectExpr("vec_id", "ss", "m.clabel as code")
     }
 
   /** Squared L2 between the `ss`-th 8-dim slice of a float vector and a
@@ -297,25 +330,13 @@ object Similarity {
     // contract (Jégou et al.). Assignment ordering compares raw
     // doubles, which are bit-identical by the fold contract.
     "x17_ivf_topk" -> { (s, dir) =>
-      val cent = centroids(s, dir)
       val sq = withSq(s, dir)
-      // assignment dot product: fused codegen expression when installed
-      // (bit-identical fold order), interpreted HOF otherwise — the HOF
-      // is the superlinear hot spot at corpus scale (vectors × centroids)
-      val dotExpr =
-        if (s.catalog.functionExists("dot_f32f64")) "dot_f32f64(embedding, cv)"
-        else "aggregate(zip_with(embedding, cv, (x, w) -> cast(x as double) * w), cast(0 as double), (acc, t) -> acc + t)"
-      val scored = sq.crossJoin(broadcast(cent))
-        .selectExpr("vec_id", "clabel", s"$dotExpr / sqrt(sq * csq) as cosc")
-      // top-2 of 16 centroids per vector: K is a small constant, so the
-      // rank collapses into ONE codegen'd aggregation (collect the 16
-      // (cosc, clabel) structs, sort in-register, slice) instead of a
-      // ranking operator — no second exchange, nothing persisted. Sort
-      // key struct(-cosc, clabel) replays the oracle's ORDER BY cosc
-      // DESC, clabel tie-break (double negation is an exact sign flip).
-      val top2 = Shared.temp(scored
-        .groupBy("vec_id")
-        .agg(expr("slice(transform(sort_array(collect_list(struct(-cosc as nc, clabel))), x -> x.clabel), 1, 2)").as("cl2")))
+      // coarse routing: top-2 of 16 centroids per vector — K is a small
+      // constant, so the rank collapses into ONE codegen'd aggregation
+      // (collect the 16 (cosc, clabel) structs, sort in-register,
+      // slice) instead of a ranking operator — no second exchange; the
+      // frame is the shared ivf_top2 tier entry (x101 reads it too)
+      val top2 = ivfTop2(s, dir)
       val assign = top2
         .selectExpr("vec_id as neighbor_id", "cl2[0] as clabel")
       val probes = top2.filter(col("vec_id") < 8)
@@ -487,16 +508,10 @@ object Similarity {
     // pipeline in SQL.
     "x49_pq_ann" -> { (s, dir) =>
       val cb = pqCodebook(s, dir)
-      // corpus → codes: one broadcast cross-join with the 80-row
-      // codebook, collapsed immediately by a map-side min-struct
-      // aggregation — nothing corpus×codebook-sized persists or
+      // corpus → codes: the shared pq_codes tier entry (x101 reads the
+      // same codes) — nothing corpus×codebook-sized persists or
       // shuffles (the exchange carries 8 code rows per vector)
-      val codes = t(s, dir, "embeddings")
-        .crossJoin(broadcast(cb))
-        .selectExpr("vec_id", "ss", "clabel", s"${sSubDist(s)} as d2")
-        .groupBy("vec_id", "ss")
-        .agg(expr("min(struct(d2, clabel))").as("m"))
-        .selectExpr("vec_id", "ss", "m.clabel as code")
+      val codes = pqCodes(s, dir)
       // per-probe distance table: 8 probes × 8 subspaces × 10 codewords
       // (columns renamed up front — both sides descend from the same
       // shared codebook plan, so unrenamed ss/clabel would be ambiguous)
@@ -512,6 +527,45 @@ object Similarity {
         .agg(sum(expr("cast(pd2 as decimal(24,12))")).cast("double").as("adc"))
       // rank ascending by distance: negate (exact sign flip) for the
       // descending native top-k
+      graft.plans.TopKPerKey.topKDesc(
+          adc.withColumn("nadc", -col("adc")),
+          Seq("query_id"), "nadc", Seq("neighbor_id"), TopK)
+        .selectExpr("query_id", "neighbor_id",
+          sRound6("adc") + " as adc_dist", "rk")
+        .orderBy("query_id", "rk")
+    },
+
+    // IVF+PQ COMPOSITE ANN — the billion-scale index layout (Jégou et
+    // al.'s IVFADC): IVF coarse routing bounds WHICH vectors are scored
+    // (members of the probe's 2 nearest cells — the shared ivf_top2
+    // frame is both the routing and the cell assignment), and PQ-ADC
+    // bounds WHAT is read per scored vector (8 one-byte codes from the
+    // shared pq_codes frame + the broadcast per-probe 8×10 distance
+    // table). At 100 TB the per-probe scan cost is |nprobe cells| ×
+    // 8 B — neither corpus-sized nor payload-sized, which is why this
+    // is the layout every production vector store converges on. The
+    // candidate set is ID-only until the ADC join, the code scan joins
+    // on neighbor_id (probe-bounded), and the ranking is the native
+    // bounded-heap top-k.
+    "x101_ivfpq_ann" -> { (s, dir) =>
+      val top2 = ivfTop2(s, dir)
+      val assign = top2.selectExpr("vec_id as neighbor_id", "cl2[0] as cell")
+      val probes = top2.filter(QuerySet)
+        .selectExpr("vec_id as query_id", "explode(cl2) as cell")
+      val cand = probes.join(assign, "cell")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct()
+      val pdist = t(s, dir, "embeddings").filter(QuerySet)
+        .crossJoin(broadcast(pqCodebook(s, dir)))
+        .selectExpr("vec_id as pqid", "ss as pss", "clabel as pcl",
+          s"${sSubDist(s)} as pd2")
+      val adc = cand
+        .join(pqCodes(s, dir).withColumnRenamed("vec_id", "neighbor_id"),
+          "neighbor_id")
+        .join(broadcast(pdist), col("query_id") === col("pqid") &&
+          col("ss") === col("pss") && col("code") === col("pcl"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(expr("cast(pd2 as decimal(24,12))")).cast("double").as("adc"))
       graft.plans.TopKPerKey.topKDesc(
           adc.withColumn("nadc", -col("adc")),
           Seq("query_id"), "nadc", Seq("neighbor_id"), TopK)
@@ -823,8 +877,61 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
   }
 
+  /** x101 oracle: x17's IVF routing CTE chain (1-based dims for the
+    * cosine assignment) composed with x49's PQ chain (0-based dims for
+    * the subspace split, renamed cd0/cm0 to avoid the clash), ADC
+    * restricted to the IVF candidate set. */
+  private val dX101Sql = {
+    val d2Chain = (1 to 8).map(j =>
+      s"(CAST(e.embedding[c.ss*8+$j] AS DOUBLE) - c.cw[$j])*(CAST(e.embedding[c.ss*8+$j] AS DOUBLE) - c.cw[$j])")
+      .mkString(" + ")
+    s"""WITH sq AS (SELECT vec_id, embedding, ${dSumSq("embedding")} AS sq FROM embeddings),
+       |cd AS (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+       |       FROM embeddings),
+       |cm AS (SELECT label, dim,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+       |       FROM cd GROUP BY label, dim),
+       |cent0 AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cm GROUP BY label),
+       |cent AS (SELECT clabel, cv, ${dSumSq64("cv")} AS csq FROM cent0),
+       |scored AS (SELECT vec_id, clabel,
+       |             (${dDotF64("sq.embedding", "cv")}) / sqrt(sq * csq) AS cosc
+       |           FROM sq CROSS JOIN cent),
+       |ranked AS (SELECT vec_id, clabel,
+       |             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosc DESC, clabel) AS rn
+       |           FROM scored),
+       |assign AS (SELECT vec_id AS neighbor_id, clabel FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, clabel FROM ranked WHERE vec_id < 8 AND rn <= 2),
+       |cand AS (SELECT DISTINCT query_id, neighbor_id
+       |         FROM probes JOIN assign USING (clabel)
+       |         WHERE query_id <> neighbor_id),
+       |cd0 AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
+       |        FROM embeddings),
+       |cm0 AS (SELECT label, dim,
+       |          CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+       |        FROM cd0 GROUP BY label, dim),
+       |cb AS (SELECT label AS clabel, dim // 8 AS ss, list(c ORDER BY dim) AS cw
+       |       FROM cm0 GROUP BY label, dim // 8),
+       |enc AS (SELECT e.vec_id, c.ss, c.clabel, $d2Chain AS d2
+       |        FROM embeddings e CROSS JOIN cb c),
+       |codes AS (SELECT vec_id, ss, clabel AS code FROM (
+       |            SELECT vec_id, ss, clabel,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id, ss ORDER BY d2, clabel) AS rn
+       |            FROM enc) WHERE rn = 1),
+       |adc AS (SELECT cand.query_id, cand.neighbor_id,
+       |          CAST(SUM(CAST(p.d2 AS DECIMAL(24,12))) AS DOUBLE) AS adc
+       |        FROM cand JOIN codes c ON cand.neighbor_id = c.vec_id
+       |             JOIN enc p ON p.vec_id = cand.query_id AND p.ss = c.ss AND p.clabel = c.code
+       |        GROUP BY cand.query_id, cand.neighbor_id),
+       |ranked2 AS (SELECT query_id, neighbor_id, adc,
+       |              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS BIGINT) AS rk
+       |            FROM adc)
+       |SELECT query_id, neighbor_id, ${dRound6("adc")} AS adc_dist, rk
+       |FROM ranked2 WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "x11_ann_topk" -> dX11Sql,
+    "x101_ivfpq_ann" -> dX101Sql,
     "x96_hard_negatives" -> dX96Sql,
     "x12_ann_lsh_topk" -> dX12Sql,
     "x13_cosine_neardup" ->
