@@ -925,11 +925,18 @@ object Dedup {
   /** MinHash-LSH candidate pairs (share ≥ 1 of 4 band buckets);
     * doc_a < doc_b, distinct. Band rows are shared: x07 and x35 both
     * read them, and the band self-join shuffles only (doc, band) rows. */
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sig = Shared.shared(s, dir, "lsh_bands") {
+  /** The materialized LSH band index (doc_id, bi, bh) over exact-dup
+    * reps — the standing structure an ingest-time gate probes
+    * (`Streaming.nearDupGateStream`) and the self-join recall arm
+    * reads. Shared tier: built once per corpus. */
+  private[graft] def lshBands(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "lsh_bands") {
       signatures(s, dir).selectExpr("doc_id",
         s"posexplode(array(${(0 until 4).map(sBandHash).mkString(", ")})) as (bi, bh)")
     }
+
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = lshBands(s, dir)
     val a = sig.select(col("doc_id").as("doc_a"), col("bi"), col("bh"))
     val b = sig.select(col("doc_id").as("doc_b"), col("bi"), col("bh"))
     a.join(b, Seq("bi", "bh"))

@@ -175,6 +175,54 @@ object Streaming {
         "coalesce(e_of, cast(-1 as bigint)) as dup_of")
   }
 
+  /** Streaming near-dup candidate gate — the LSH banding recall arm of
+    * the batch x07 pipeline applied at ingest time: each incoming doc
+    * computes its 16-seed minhash signature and 4 band hashes MAP-SIDE
+    * (the same md5-derived hash family the batch index uses, fused
+    * `minhash16` when the extension is installed) and probes the
+    * standing band index through four broadcast left joins against its
+    * per-bucket min-rep reduction (one row per (band, bucket), so the
+    * joins can never grow the stream) — no stream shuffle, no state.
+    * Emits `near_candidate` + `dup_hint` (the smallest rep sharing any
+    * band). Exact jaccard verification of candidates stays a batch
+    * concern, exactly as the batch pipeline verifies x07's candidates
+    * before acting on them: this gate's job at 100 TB is routing —
+    * suspected near-dups detour to the verifier instead of landing.
+    *
+    * `bandIndex` columns: (bi, bh, e_of) — band ordinal, band hash,
+    * representative doc id (`llm.Dedup.lshBands` renamed). */
+  def nearDupGateStream(docs: DataFrame, bandIndex: DataFrame): DataFrame = {
+    import graft.llm.Frag._
+    val s = docs.sparkSession
+    val shingleE =
+      if (s.catalog.functionExists("shingles3")) "shingles3(text)"
+      else sLet(sTokens, "tk", sShingles)
+    val sigE =
+      if (s.catalog.functionExists("minhash16")) "minhash16(shs)"
+      else "array(" + (0 until 16).map(i =>
+        s"array_min(transform(shs, sh0 -> ${sDerive(sH("sh0"), i)}))")
+        .mkString(", ") + ")"
+    def bh(b: Int) = sH(s"concat_ws(',', element_at(ms, ${4 * b + 1}), " +
+      s"element_at(ms, ${4 * b + 2}), element_at(ms, ${4 * b + 3}), " +
+      s"element_at(ms, ${4 * b + 4}))")
+    var cur = docs
+      .selectExpr("doc_id", "text", s"$shingleE as shs")
+      .selectExpr("doc_id", "text",
+        s"case when size(shs) > 0 then $sigE else null end as ms")
+    for (b <- 0 until 4) {
+      val idx = bandIndex.filter(col("bi") === b)
+        .groupBy("bh").agg(min(col("e_of")).as(s"e$b"))
+        .withColumnRenamed("bh", s"bh$b")
+      cur = cur
+        .withColumn(s"bh$b",
+          expr(s"case when ms is not null then ${bh(b)} else null end"))
+        .join(broadcast(idx), Seq(s"bh$b"), "left")
+    }
+    cur.selectExpr("doc_id", "text",
+      "coalesce(e0, e1, e2, e3) is not null as near_candidate",
+      "coalesce(least(e0, e1, e2, e3), cast(-1 as bigint)) as dup_hint")
+  }
+
   /** Streaming replay dedup — the streaming twin of the R1 batch
     * window: at-least-once re-deliveries of the same document
     * (type,id,version,chunk) inside the watermark horizon are dropped

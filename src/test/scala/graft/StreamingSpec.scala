@@ -137,6 +137,53 @@ class StreamingSpec extends SparkSpec {
       s"dedup gate must probe the store map-side:\n$plan")
   }
 
+  test("nearDupGateStream: banding candidates map-side against the standing index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bands = graft.llm.Dedup.lshBands(spark, sf001)
+      .selectExpr("bi", "bh", "doc_id as e_of")
+    // pick a real corpus doc: its verbatim re-crawl must share ALL its
+    // bands; expected dup_hint = least over its buckets' min reps
+    val base = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id", "text").filter("doc_id = 0").collect().head
+    val idx = bands.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    val myBuckets = graft.llm.Dedup.lshBands(spark, sf001)
+      .filter(s"doc_id = ${base.getLong(0)}").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    val expectedHint = myBuckets.map(idx).min
+    val probe = Seq(
+      (1000L, base.getString(1)),                     // verbatim re-crawl
+      (1001L, "zq xv wk jn pf dr tm bh ls cg novel"), // gibberish, novel shingles
+      (1002L, "too short"))                           // < 3 tokens → no shingles
+    // batch-mode pass through the SAME builder (plans identically)
+    val batchOut = Streaming.nearDupGateStream(
+        probe.toDF("doc_id", "text"), bands).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(batchOut(1000L) == ((true, expectedHint)), s"got ${batchOut(1000L)}")
+    assert(batchOut(1001L) == ((false, -1L)), s"got ${batchOut(1001L)}")
+    assert(batchOut(1002L) == ((false, -1L)), s"got ${batchOut(1002L)}")
+    // streaming pass must agree row-for-row
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.nearDupGateStream(mem.toDS().toDF("doc_id", "text"), bands)
+      .writeStream.format("memory").queryName("neargate")
+      .outputMode("append").start()
+    mem.addData(probe: _*)
+    q.processAllAvailable()
+    val streamOut = spark.table("neargate").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    q.stop()
+    assert(streamOut == batchOut, s"stream $streamOut != batch $batchOut")
+    // map-side: the gate over a batch frame must be broadcast joins
+    // with zero hash exchanges on the stream side
+    val plan = Streaming.nearDupGateStream(probe.toDF("doc_id", "text"), bands)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"gate must probe the index map-side:\n$plan")
+  }
+
   test("stream-stream interval join matches views in the window; outer row after watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
