@@ -618,8 +618,8 @@ object Similarity {
     "x62_ann_recall" -> { (s, dir) =>
       val exact = Shared.temp(queries("x11_ann_topk")(s, dir)
         .select(col("query_id"), col("neighbor_id")))
-      val appr = Seq("ivf" -> "x17_ivf_topk", "lsh" -> "x12_ann_lsh_topk",
-          "pq" -> "x49_pq_ann")
+      val appr = Seq("ivf" -> "x17_ivf_topk", "ivfpq" -> "x101_ivfpq_ann",
+          "lsh" -> "x12_ann_lsh_topk", "pq" -> "x49_pq_ann")
         .map { case (m, q) => queries(q)(s, dir)
           .select(lit(m).as("method"), col("query_id"), col("neighbor_id")) }
         .reduce(_ union _)
@@ -955,6 +955,8 @@ object Similarity {
       s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($dX11Sql)),
          |appr AS (
          |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ($dX17Sql)
+         |  UNION ALL
+         |  SELECT 'ivfpq' AS method, query_id, neighbor_id FROM ($dX101Sql)
          |  UNION ALL
          |  SELECT 'lsh' AS method, query_id, neighbor_id FROM ($dX12Sql)
          |  UNION ALL
