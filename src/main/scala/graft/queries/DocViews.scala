@@ -123,6 +123,16 @@ object DocViews {
       val inc = Views.latestIncremental(prev, land.filter(s"batch_date = $ts2"))
       Views.typedView(inc, "DOC", docSchema("DOC")).orderBy("DOCUMENT_ID")
     },
+    // SCD2 history view: validity intervals over the replay-deduped
+    // version history (valid_from/valid_to/is_current) — the
+    // point-in-time-join form of the version store; oracle recomputes
+    // the intervals directly from the documents fixture
+    "r70_scd2_history" -> { (s, dir) =>
+      Views.history(landing(s, dir))
+        .selectExpr("id as DOCUMENT_ID", "version as _VERSION",
+          "valid_from", "valid_to", "is_current")
+        .orderBy("DOCUMENT_ID", "_VERSION")
+    },
   )
 
   /** R1+R2 dedup over the synthetic landing — cached once for r24/r45. */
@@ -177,6 +187,19 @@ object DocViews {
     "r45_variant_latest_view" -> latestViewOracle,
     "r68_bucketed_latest" -> latestViewOracle,
     "r69_incremental_latest" -> latestViewOracle,
+    "r70_scd2_history" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID, v AS _VERSION,
+        |  valid_from, valid_to, is_current FROM (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS v,
+        |    TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+        |    CASE WHEN doc_id % 10 = 0 THEN TIMESTAMP '2026-01-02 00:00:00' END AS valid_to,
+        |    (doc_id % 10 <> 0) AS is_current
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT),
+        |    TIMESTAMP '2026-01-02 00:00:00', NULL, TRUE
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |ORDER BY DOCUMENT_ID, _VERSION""".stripMargin,
     "r25_record_list_flatten" ->
       """SELECT DOCUMENT_ID, LISTITEM_ID, VAL FROM (
         |  SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID, 'A' AS LISTITEM_ID,

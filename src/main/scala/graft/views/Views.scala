@@ -57,6 +57,29 @@ object Views {
       .filter(col("version") === col("__maxv")).drop("__maxv")
   }
 
+  /** SCD2 `_HISTORY` view: every surviving version of every document
+    * (R1's replay-deduped rows) annotated with its validity interval —
+    * valid_from = the version's document date, valid_to = the earliest
+    * date among STRICTLY LATER versions (null while current),
+    * is_current = no later version exists. The warehouse
+    * slowly-changing-dimension form of the version history that
+    * `_LATEST_ALL_VERSIONS` exposes raw (snowflake.go:264-276):
+    * point-in-time joins become BETWEEN predicates against this frame.
+    * valid_to is a RANGE-frame min over later versions (not a
+    * row-based lead), so chunk rows of one version share the interval
+    * instead of chaining through each other. One (type,id)-keyed
+    * window over the deduped history — the same exchange R1 already
+    * paid, so over a bucketed landing store the view is
+    * exchange-free. */
+  def history(landing: DataFrame): DataFrame = {
+    val w = Window.partitionBy("type", "id").orderBy(col("version"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    latestAllVersions(landing)
+      .withColumn("valid_from", col("date"))
+      .withColumn("valid_to", min(col("date")).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Incremental `_LATEST` refresh: fold a NEW landing batch into an
     * already-materialized latest frame without re-reading the version
     * history. Correct because both R1 (max batch_date per

@@ -119,6 +119,38 @@ class ViewsSpec extends SparkSpec {
     assert(again.collect().map(key).toSet == full.collect().map(key).toSet)
   }
 
+  test("SCD2 history: validity intervals; chunk rows share their version's interval") {
+    val df = landing(
+      rec("2026-01-01 00:00:00", "W", "d1", 1, chunk = 0, data = "v1c0"),
+      rec("2026-01-01 00:00:00", "W", "d1", 1, chunk = 1, data = "v1c1"),
+      rec("2026-01-01 00:00:00", "W", "d1", 1, data = "v1c0"), // same-batch replay of chunk 0
+      rec("2026-01-03 00:00:00", "W", "d1", 2, data = "v2"),
+      rec("2026-01-05 00:00:00", "W", "d1", 3, data = "v3"),
+      rec("2026-01-01 00:00:00", "W", "d2", 1, data = "only"))
+    val out = Views.history(df).collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[Long]("version"),
+        r.getAs[Int]("chunk")) ->
+        ((r.getAs[Timestamp]("valid_from"), r.getAs[Timestamp]("valid_to"),
+          r.getAs[Boolean]("is_current")))).toMap
+    assert(out.size == 5) // replay collapsed; 2 chunks of v1 + v2 + v3 + d2
+    // BOTH chunk rows of v1 carry v1's interval — a row-based lead
+    // would chain one chunk into the other (valid_to = its own date)
+    val v1 = (ts("2026-01-01 00:00:00"), ts("2026-01-03 00:00:00"), false)
+    assert(out(("d1", 1L, 0)) == v1 && out(("d1", 1L, 1)) == v1)
+    assert(out(("d1", 2L, 0)) ==
+      ((ts("2026-01-03 00:00:00"), ts("2026-01-05 00:00:00"), false)))
+    assert(out(("d1", 3L, 0)) == ((ts("2026-01-05 00:00:00"), null, true)))
+    assert(out(("d2", 1L, 0)) == ((ts("2026-01-01 00:00:00"), null, true)))
+    // point-in-time contract: for any probe date, exactly one current
+    // version per doc (the BETWEEN join target is unambiguous)
+    val probe = ts("2026-01-04 00:00:00")
+    val live = out.toSeq.filter { case ((id, _, c), (f, t, _)) =>
+      c == 0 && !f.after(probe) && (t == null || t.after(probe))
+    }
+    assert(live.map(_._1._1).sorted == Seq("d1", "d2"))
+    assert(live.find(_._1._1 == "d1").get._1._2 == 2L)
+  }
+
   test("R4 prune ∘ R1 = R1 (idempotent) and deletes = complement") {
     val df = landing(
       rec("2026-01-01 00:00:00", "W", "d1", 1),
