@@ -57,6 +57,37 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("incremental latest fold is associative for ANY landing split") {
+    import spark.implicits._
+    // row data is a pure function of the landing PK, so exact PK
+    // duplicates across the split are identical rows (R1's PK-restoring
+    // dropDuplicates can then never make an arbitrary choice)
+    val gen = for {
+      rs <- Gen.listOfN(30, for {
+        id <- Gen.oneOf("a", "b", "c", "d")
+        ver <- Gen.choose(1L, 4L)
+        day <- Gen.choose(1, 5)
+        chunk <- Gen.choose(0, 1)
+      } yield LandingRecord(Timestamp.valueOf(f"2026-01-$day%02d 00:00:00"),
+        "T", id, ver, chunk, "au", bd, (ver + day) % 2 == 0,
+        s"$id-$ver-$day-$chunk"))
+      cut <- Gen.choose(0, 30)
+    } yield (rs.distinct, cut)
+    check(Prop.forAll(gen) { case (rs, cut0) =>
+      val cut = math.min(cut0, rs.size)
+      val (h, b) = rs.splitAt(cut)
+      rs.isEmpty || {
+        val full = Views.latest(spark.createDataset(rs).toDF())
+          .collect().map(_.toSeq).toSet
+        val inc = Views.latestIncremental(
+            Views.latest(spark.createDataset(h).toDF()),
+            spark.createDataset(b).toDF())
+          .collect().map(_.toSeq).toSet
+        inc == full
+      }
+    })
+  }
+
   test("replays never change the latest view") {
     import spark.implicits._
     val gen = Gen.listOfN(20, for {
