@@ -559,9 +559,11 @@ object Similarity {
         .crossJoin(broadcast(pqCodebook(s, dir)))
         .selectExpr("vec_id as pqid", "ss as pss", "clabel as pcl",
           s"${sSubDist(s)} as pd2")
-      val adc = cand
-        .join(pqCodes(s, dir).withColumnRenamed("vec_id", "neighbor_id"),
-          "neighbor_id")
+      // the candidate list is probe-bounded (≤ probes × cell size), so
+      // it BROADCASTS into the streaming code scan — the codes frame
+      // (the corpus-sized side) never shuffles on the join key
+      val adc = pqCodes(s, dir).withColumnRenamed("vec_id", "neighbor_id")
+        .join(broadcast(cand), Seq("neighbor_id"))
         .join(broadcast(pdist), col("query_id") === col("pqid") &&
           col("ss") === col("pss") && col("code") === col("pcl"))
         .groupBy("query_id", "neighbor_id")

@@ -267,6 +267,24 @@ class Round10Spec extends SparkSpec {
         emb.size - 1), "IVF routing restricted nothing")
   }
 
+  test("x100/x101 plan guards: the corpus never shuffles wider than its key") {
+    // x100: the only exchanges allowed are the doc_id aggregation and
+    // the final orderBy range partitioning — the merge-frame joins must
+    // all broadcast (a hash-join here would shuffle the corpus three
+    // times); same discipline for x101's codebook/pdist joins
+    val p100 = graft.llm.TextAnalysis.queries("x100_bpe_stream")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p100.contains("SortMergeJoin") &&
+      !p100.contains("ShuffledHashJoin"),
+      s"x100 merge joins must broadcast:\n$p100")
+    val p101 = graft.llm.Similarity.queries("x101_ivfpq_ann")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p101.contains("SortMergeJoin"),
+      s"x101 must not sort-merge-join the corpus:\n$p101")
+    assert(p101.contains("BroadcastHashJoin") || p101.contains("BroadcastNestedLoopJoin"),
+      s"x101 pdist/codebook sides must broadcast:\n$p101")
+  }
+
   test("x100 stream segmentation reconciles with x98's vocab segmentation") {
     val (_, segs, _) = bpeRef
     val rows = graft.queries.Tables.t(spark, sf001, "documents")
