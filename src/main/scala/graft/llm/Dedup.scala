@@ -829,7 +829,8 @@ object Dedup {
     // batch against the STANDING corpus without re-deduping the corpus.
     // The batch is (a) docs with doc_id % 5 = 4 ("today's crawl") plus
     // (b) a re-crawl slice: base docs with doc_id % 97 = 0 re-ingested
-    // verbatim under a fresh doc_id (+100000) — the everyday case where
+    // verbatim under a fresh doc_id (+10^8, above any real id at any SF)
+    // — the everyday case where
     // a fetcher re-downloads an unchanged page. (b) exists because the
     // fixture corpus has no two distinct doc_ids with identical
     // normalized text, so without a re-crawl arm the 'exact' verdict
@@ -848,7 +849,7 @@ object Dedup {
       val fp = t(s, dir, "documents")
         .selectExpr("doc_id", s"md5($sNorm) as fp")
       val recrawl = fp.filter("doc_id % 5 != 4 and doc_id % 97 = 0")
-        .selectExpr("doc_id + 100000 as doc_id", "fp")
+        .selectExpr("doc_id + 100000000 as doc_id", "fp")
       val newDocs = fp.filter("doc_id % 5 = 4").unionByName(recrawl)
       val baseStore = fp.filter("doc_id % 5 != 4")
         .groupBy("fp").agg(min(col("doc_id")).as("e_of"))
@@ -1412,7 +1413,7 @@ object Dedup {
          |fpm AS (SELECT doc_id, md5($dNorm) AS fp FROM documents),
          |nw AS (SELECT doc_id, fp FROM fpm WHERE doc_id % 5 = 4
          |       UNION ALL
-         |       SELECT doc_id + 100000 AS doc_id, fp FROM fpm
+         |       SELECT doc_id + 100000000 AS doc_id, fp FROM fpm
          |       WHERE doc_id % 5 <> 4 AND doc_id % 97 = 0),
          |bstore AS (SELECT fp, MIN(doc_id) AS e_of FROM fpm
          |           WHERE doc_id % 5 <> 4 GROUP BY fp),

@@ -327,11 +327,11 @@ class Round10Spec extends SparkSpec {
       id -> md5hex(t.trim.toLowerCase.replaceAll("\\s+", " "))
     }.toMap
     // the batch: "today's crawl" (doc_id % 5 = 4) plus the re-crawl
-    // slice — base docs re-ingested verbatim under doc_id + 100000
+    // slice — base docs re-ingested verbatim under doc_id + 10^8
     val crawlIds = rows.map(_._1).filter(_ % 5 == 4).toSet
     val recrawl = rows.map(_._1)
       .filter(id => id % 5 != 4 && id % 97 == 0)
-      .map(id => (id + 100000L) -> fp0(id)).toMap
+      .map(id => (id + 100000000L) -> fp0(id)).toMap
     assert(recrawl.nonEmpty, "fixture has no re-crawl docs")
     val fp = fp0 ++ recrawl
     val newIds = crawlIds ++ recrawl.keySet
