@@ -638,6 +638,64 @@ object Relational {
           "coalesce(c_acctbal > mn, false) as beats_any")
         .orderBy("c_custkey")
     },
+
+    // windowed event funnel (view → click within 6 h → purchase within
+    // 6 h, strictly increasing timestamps, earliest-completion
+    // semantics) — the product-analytics staple neither engine ships
+    // as a primitive. Stage k's frame is the user-keyed min over
+    // events inside stage k-1's window, so the plan is three
+    // user-keyed aggregations chained by user-keyed joins: every frame
+    // past the first filter is user-sized, nothing broadcasts the
+    // corpus, and the event scan is shared (cached table). Timestamps
+    // compare at micros on both engines (ns truncated identically).
+    "r71_event_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
+      val s1 = ev.filter("event_type = 'view'")
+        .groupBy("user_id").agg(min("ts").as("ts_view"))
+      val s2 = ev.filter("event_type = 'click'")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("ts_view") &&
+          col("ts") <= col("ts_view") + expr("interval 6 hours"))
+        .groupBy("user_id").agg(min("ts").as("ts_click"))
+      val s3 = ev.filter("event_type = 'purchase'")
+        .join(s2, "user_id")
+        .filter(col("ts") > col("ts_click") &&
+          col("ts") <= col("ts_click") + expr("interval 6 hours"))
+        .groupBy("user_id").agg(min("ts").as("ts_purchase"))
+      ev.select("user_id").distinct()
+        .join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .selectExpr("user_id", "ts_view", "ts_click", "ts_purchase",
+          """cast(case when ts_purchase is not null then 3
+            |  when ts_click is not null then 2
+            |  when ts_view is not null then 1
+            |  else 0 end as bigint) as stage_reached""".stripMargin)
+        .orderBy("user_id")
+    },
+
+    // weekly cohort retention matrix (cohort = ISO week of first
+    // activity; cell = fraction of the cohort active k weeks later) —
+    // the second product-analytics staple. Two user-keyed aggregations
+    // + one (cohort, offset)-keyed count; the cohort-size join is
+    // against a weeks-sized frame. date_trunc('week') is ISO-Monday in
+    // both engines; the offset is integer day arithmetic.
+    "r72_cohort_retention" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .selectExpr("user_id", "cast(date_trunc('week', ts) as date) as wk")
+      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      val n = cohort.groupBy("cohort_week").agg(cnt.as("n_cohort"))
+      ev.distinct()
+        .join(cohort, "user_id")
+        .selectExpr("cohort_week",
+          "cast(datediff(wk, cohort_week) div 7 as bigint) as week_offset")
+        .groupBy("cohort_week", "week_offset").agg(cnt.as("n_active"))
+        .join(broadcast(n), "cohort_week")
+        .selectExpr("cast(cohort_week as timestamp) as cohort_week",
+          "week_offset", "n_active", "n_cohort",
+          r6("cast(n_active as double) / cast(n_cohort as double)") + " as retention_r")
+        .orderBy("cohort_week", "week_offset")
+    },
   )
 
   /** Bit-exact 6-dp presentation rounding (same contract as
@@ -710,6 +768,42 @@ object Relational {
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)"
 
   val oracleSql: Map[String, String] = Map(
+    "r71_event_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS ts_view FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS ts_click FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.ts_view
+        |         AND e.ts <= s1.ts_view + INTERVAL 6 HOUR GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS ts_purchase FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.ts_click
+        |         AND e.ts <= s2.ts_click + INTERVAL 6 HOUR GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id, s1.ts_view, s2.ts_click, s3.ts_purchase,
+        |  CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |            WHEN s2.user_id IS NOT NULL THEN 2
+        |            WHEN s1.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage_reached
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+    "r72_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |       FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id),
+        |n AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        |      FROM c GROUP BY cohort_week),
+        |x AS (SELECT c.cohort_week,
+        |        CAST(date_diff('day', c.cohort_week, ev.wk) // 7 AS BIGINT) AS week_offset
+        |      FROM ev JOIN c USING (user_id)),
+        |g AS (SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+        |      FROM x GROUP BY 1, 2)
+        |SELECT CAST(g.cohort_week AS TIMESTAMP) AS cohort_week,
+        |  g.week_offset, g.n_active, n.n_cohort,
+        |  CAST(CAST(CAST(g.n_active AS DOUBLE) / CAST(n.n_cohort AS DOUBLE) AS DECIMAL(16,6)) AS DOUBLE) AS retention_r
+        |FROM g JOIN n USING (cohort_week)
+        |ORDER BY 1, 2""".stripMargin,
     "r01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  $sumQty AS sum_qty,

@@ -267,6 +267,58 @@ class Round10Spec extends SparkSpec {
         emb.size - 1), "IVF routing restricted nothing")
   }
 
+  test("r71 funnel / r72 retention match in-memory references") {
+    val ev = graft.queries.Tables.t(spark, sf001, "events")
+      .selectExpr("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    // funnel: earliest view, then earliest click/purchase strictly
+    // after the previous stage and within its 6-hour window
+    val windowMs = 6L * 3600 * 1000
+    def plus6h(a: java.sql.Timestamp) = {
+      // whole-second shift, exact fractional seconds preserved — the
+      // compare must be micro-exact like the engine's
+      val u = new java.sql.Timestamp(a.getTime + windowMs)
+      u.setNanos(a.getNanos)
+      u
+    }
+    val byUser = ev.groupBy(_._1)
+    val fref = byUser.map { case (u, es) =>
+      def firstAfter(tpe: String, after: Option[java.sql.Timestamp]) =
+        es.filter(e => e._2 == tpe && after.forall(a =>
+            e._3.after(a) && !e._3.after(plus6h(a))))
+          .map(_._3).sortBy(t => (t.getTime, t.getNanos)).headOption
+      val v = es.filter(_._2 == "view").map(_._3).sortBy(_.getTime).headOption
+      val c = if (v.isDefined) firstAfter("click", v) else None
+      val p = if (c.isDefined) firstAfter("purchase", c) else None
+      u -> ((v, c, p, Seq(v, c, p).count(_.isDefined).toLong))
+    }
+    val fout = graft.queries.Relational.queries("r71_event_funnel")(spark, sf001)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3)), r.getLong(4)))).toMap
+    assert(fout.keySet == fref.keySet)
+    fref.foreach { case (u, e) => assert(fout(u) == e, s"funnel of user $u") }
+    // the fixture exercises more than one terminal stage
+    assert(fout.values.map(_._4).toSet.size > 1, "funnel stages degenerate")
+    // retention: cohort sizes partition the users; offset-0 cell is the
+    // full cohort (everyone is active in their own first week)
+    val rout = graft.queries.Relational.queries("r72_cohort_retention")(spark, sf001)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val cohortSizes = rout.groupBy(_._1._1).map { case (cw, cells) =>
+      cw -> cells.collect { case ((_, 0L), (na, nc, ret)) => (na, nc, ret) }.head
+    }
+    cohortSizes.foreach { case (cw, (na, nc, ret)) =>
+      assert(na == nc && ret == 1.0, s"offset-0 cell of cohort $cw")
+    }
+    assert(cohortSizes.values.map(_._2).sum == byUser.size.toLong,
+      "cohorts do not partition the users")
+    rout.foreach { case ((cw, off), (na, nc, ret)) =>
+      assert(off >= 0 && na <= nc && ret >= 0.0 && ret <= 1.0,
+        s"cell ($cw, $off) out of bounds")
+    }
+  }
+
   test("x100/x101 plan guards: the corpus never shuffles wider than its key") {
     // x100: the only exchanges allowed are the doc_id aggregation and
     // the final orderBy range partitioning — the merge-frame joins must
