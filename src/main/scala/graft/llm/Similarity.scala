@@ -576,6 +576,45 @@ object Similarity {
         .orderBy("query_id", "rk")
     },
 
+    // MATRYOSHKA TRUNCATION EVAL (MRL practice: serve a 16-dim prefix
+    // of the 64-dim embedding — 4× less memory and bandwidth — and
+    // measure what that costs in retrieval quality): per probe, top-10
+    // by cosine over the 16-dim PREFIX vs the exact 64-dim top-10
+    // (x11's pipeline reused verbatim), reported as overlap, recall@10
+    // and whether rank-1 survives. The read-before-committing report
+    // for any truncated-serving decision. Same 100 TB shape as x11 —
+    // broadcast probes, one corpus stream, native bounded-heap top-k;
+    // the prefix slice narrows the scan payload rather than widening
+    // the plan.
+    "x102_matryoshka_eval" -> { (s, dir) =>
+      val corpus = withSq(s, dir)
+        .selectExpr("vec_id", "slice(embedding, 1, 16) as e16")
+        .selectExpr("vec_id", "e16", s"${sSumSq("e16")} as sq16")
+      val probes = corpus.filter(QuerySet)
+        .select(col("vec_id").as("query_id"), col("e16").as("ea"),
+          col("sq16").as("sa"))
+      val cands = corpus.select(col("vec_id").as("neighbor_id"),
+        col("e16").as("eb"), col("sq16").as("sb"))
+      val scored = cands.crossJoin(broadcast(probes))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id",
+          sRound6(s"${sDot("ea", "eb")} / sqrt(sa * sb)") + " as cos16")
+      val trunc = graft.plans.TopKPerKey.topKDesc(scored, Seq("query_id"),
+        "cos16", Seq("neighbor_id"), TopK)
+      val exact = queries("x11_ann_topk")(s, dir)
+      trunc.select(col("query_id"), col("neighbor_id"), col("rk").as("trk"))
+        .join(exact.select(col("query_id"), col("neighbor_id"),
+            col("rk").as("erk")).withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("o0"),
+          max(when(col("trk") === 1 && col("erk") === 1, 1).otherwise(0)).as("t1"))
+        .selectExpr("query_id", "cast(o0 as bigint) as n_overlap",
+          sRound6(s"cast(o0 as double) / cast($TopK as double)") + " as recall_r",
+          "t1 = 1 as top1_match")
+        .orderBy("query_id")
+    },
+
     // DISTRIBUTED K-MEANS (Lloyd's algorithm, 2 iterations, k = 8,
     // deterministic seeding from the first 8 vectors — the clustering
     // primitive under SemDeDup/IVF/PQ when no labels exist). Each
@@ -931,9 +970,43 @@ object Similarity {
        |FROM ranked2 WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
   }
 
+  /** x102 oracle: 16-dim-prefix top-10 vs the exact 64-dim top-10 —
+    * the prefix dot/norm chains are explicit 16-term left-to-right
+    * chains matching the Spark fold. */
+  private val dX102Sql = {
+    def dDot16(a: String, b: String) =
+      (1 to 16).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+        .mkString(" + ")
+    s"""WITH sq AS (SELECT vec_id, embedding, ${dSumSq("embedding")} AS sq FROM embeddings),
+       |s16 AS (SELECT vec_id, embedding[1:16] AS e16 FROM embeddings),
+       |q16 AS (SELECT vec_id, e16, ${dDot16("e16", "e16")} AS sq16 FROM s16),
+       |sc16 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dRound6(s"(${dDot16("a.e16", "b.e16")}) / sqrt(a.sq16 * b.sq16)")} AS cos16
+       |  FROM q16 a JOIN q16 b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+       |tr AS (SELECT query_id, neighbor_id, rk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos16 DESC, neighbor_id) AS rk
+       |    FROM sc16) WHERE rk <= $TopK),
+       |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dCos AS cos_sim
+       |  FROM sq a JOIN sq b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+       |ex AS (SELECT query_id, neighbor_id, rk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM scored) WHERE rk <= $TopK),
+       |j AS (SELECT tr.query_id, tr.rk AS trk, ex.rk AS erk,
+       |        CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |      FROM tr LEFT JOIN ex ON tr.query_id = ex.query_id
+       |           AND tr.neighbor_id = ex.neighbor_id)
+       |SELECT query_id, CAST(SUM(hit) AS BIGINT) AS n_overlap,
+       |  ${dRound6(s"CAST(SUM(hit) AS DOUBLE) / CAST($TopK AS DOUBLE)")} AS recall_r,
+       |  COALESCE(MAX(CASE WHEN trk = 1 AND erk = 1 THEN 1 ELSE 0 END), 0) = 1 AS top1_match
+       |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "x11_ann_topk" -> dX11Sql,
     "x101_ivfpq_ann" -> dX101Sql,
+    "x102_matryoshka_eval" -> dX102Sql,
     "x96_hard_negatives" -> dX96Sql,
     "x12_ann_lsh_topk" -> dX12Sql,
     "x13_cosine_neardup" ->

@@ -267,6 +267,40 @@ class Round10Spec extends SparkSpec {
         emb.size - 1), "IVF routing restricted nothing")
   }
 
+  test("x102 matryoshka eval matches an in-memory truncation reference") {
+    val embs = graft.queries.Tables.t(spark, sf001, "embeddings")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < d) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def top10(d: Int): Map[Long, Seq[Long]] =
+      (0L until 8L).map { q =>
+        q -> embs.keys.filter(_ != q).map { n =>
+          n -> round6(dot(embs(q), embs(n), d) /
+            math.sqrt(dot(embs(q), embs(q), d) * dot(embs(n), embs(n), d)))
+        }.toSeq.sortBy { case (n, c) => (-c, n) }.take(10).map(_._1)
+      }.toMap
+    val exact = top10(64)
+    val trunc = top10(16)
+    val out = graft.llm.Similarity.queries("x102_matryoshka_eval")(spark, sf001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == (0L until 8L).toSet)
+    (0L until 8L).foreach { q =>
+      val ov = trunc(q).toSet.intersect(exact(q).toSet).size.toLong
+      assert(out(q)._1 == ov, s"overlap of probe $q")
+      assert(out(q)._2 == round6(ov.toDouble / 10.0), s"recall of probe $q")
+      assert(out(q)._3 == (trunc(q).head == exact(q).head), s"top1 of probe $q")
+    }
+    // truncation must cost something somewhere, and keep something
+    // somewhere — else the report diagnoses nothing on this fixture
+    assert(out.values.exists(_._1 < 10L), "truncation lossless everywhere")
+    assert(out.values.exists(_._1 > 0L), "truncation destroyed everything")
+  }
+
   test("r71 funnel / r72 retention match in-memory references") {
     val ev = graft.queries.Tables.t(spark, sf001, "events")
       .selectExpr("user_id", "event_type", "ts").collect()
