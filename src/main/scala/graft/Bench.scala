@@ -124,15 +124,19 @@ object Bench {
     // (no backfilling with shorter names), and the `_omitted` suffix is
     // reserved inside the budget so the object can never overflow it.
     val shown = {
-      val budget = 600 // chars for the queries object; plan ≈ same size
+      val budget = 600 // chars PER object; an entry must fit in both
       val entries = results.toSeq.sortBy(-_._2.sec)
       val keep = scala.collection.mutable.ArrayBuffer[(String, QueryResult)]()
-      var len = 2 + 20 // braces + reserved room for "_omitted":NNN
+      var qLen = 2 + 20 // braces + reserved room for "_omitted":NNN
+      var pLen = 2 + 20 // the plan object's own prefix budget
       var full = false
       entries.foreach { case (k, v) =>
-        val e = "\"" + k.takeWhile(_ != '_') + "\":" + ms(v.sec)
-        if (!full && len + e.length + 1 <= budget) {
-          keep += ((k, v)); len += e.length + 1
+        val name = k.takeWhile(_ != '_')
+        val qe = "\"" + name + "\":" + ms(v.sec)
+        val pe = "\"" + name + "\":\"" + v.jobs + "/" + v.stages + "\""
+        if (!full && qLen + qe.length + 1 <= budget &&
+            pLen + pe.length + 1 <= budget) {
+          keep += ((k, v)); qLen += qe.length + 1; pLen += pe.length + 1
         } else full = true
       }
       keep

@@ -182,8 +182,16 @@ object Ingest {
             s"$nBuckets — bucket count is fixed at table creation")
       }
       location.foreach { p =>
-        val want = new org.apache.hadoop.fs.Path(p).toUri.getPath
-        val have = new org.apache.hadoop.fs.Path(meta.location).toUri.getPath
+        // fully qualify both sides (scheme + authority + path) — a bare
+        // path comparison would let an append against a same-path
+        // location on a DIFFERENT filesystem pass the guard silently
+        val hconf = ss.sparkContext.hadoopConfiguration
+        def qualified(u: String): java.net.URI = {
+          val pa = new org.apache.hadoop.fs.Path(u)
+          pa.getFileSystem(hconf).makeQualified(pa).toUri
+        }
+        val want = qualified(p)
+        val have = qualified(meta.location.toString)
         require(have == want,
           s"$table exists at $have; append passed $want — location is " +
             "fixed at table creation")

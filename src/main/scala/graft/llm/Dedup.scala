@@ -849,7 +849,13 @@ object Dedup {
       val fp = t(s, dir, "documents")
         .selectExpr("doc_id", s"md5($sNorm) as fp")
       val recrawl = fp.filter("doc_id % 5 != 4 and doc_id % 97 = 0")
-        .selectExpr("doc_id + 100000000 as doc_id", "fp")
+        // assert_true pins the offset's precondition at runtime: if a
+        // corpus ever carries a doc_id ≥ 1e8, the query fails loudly
+        // instead of silently colliding re-crawl ids with real ones
+        // (assert_true yields NULL on success, so the ifnull term is 0)
+        .selectExpr("doc_id + 100000000 + cast(ifnull(assert_true(" +
+          "doc_id < 100000000, 'x99: doc_id >= 1e8 — re-crawl id offset " +
+          "would collide with a real id'), 0) as bigint) as doc_id", "fp")
       val newDocs = fp.filter("doc_id % 5 = 4").unionByName(recrawl)
       val baseStore = fp.filter("doc_id % 5 != 4")
         .groupBy("fp").agg(min(col("doc_id")).as("e_of"))

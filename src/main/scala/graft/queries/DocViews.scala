@@ -43,6 +43,66 @@ object DocViews {
       |  "N_CHARS": {"ACTIVE": true, "TYPE": "INTEGER", "NULLABLE": true}
       |}}""".stripMargin)
 
+  /** Two document types linked by a V4 DOCUMENT-reference field: DOC's
+    * SOURCE_REF points at the SRC document whose id is the doc's source
+    * string (the reference annotates exactly this FK so the projected
+    * DOCUMENT_ID column is joinable — snowflake.go:348
+    * `References <DOCUMENT_TYPE>.DOCUMENT_ID`). */
+  private val fkSchema = SchemaCodec.parse(
+    """{"DOC": {
+      |  "LANG": {"ACTIVE": true, "TYPE": "TEXT", "NULLABLE": true},
+      |  "N_CHARS": {"ACTIVE": true, "TYPE": "INTEGER", "NULLABLE": true},
+      |  "SOURCE_REF": {"ACTIVE": true, "TYPE": "DOCUMENT", "NULLABLE": true,
+      |    "DOCUMENT_TYPE": "SRC"}
+      |},
+      |"SRC": {
+      |  "SOURCE_NAME": {"ACTIVE": true, "TYPE": "TEXT", "NULLABLE": true}
+      |}}""".stripMargin)
+
+  /** Landing for the FK-join exercise: every document lands as a DOC
+    * carrying a SOURCE_REF document reference (NULL for id%13=0 — an
+    * unlinked producer), and each distinct source lands once as a SRC
+    * dimension document. DOC rows land twice (replay) so R1 still does
+    * real work on the corpus side. */
+  private def fkLanding(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+    def docRows(batch: String) = base.selectExpr(
+      s"$batch as batch_date", "'DOC' as type", "cast(doc_id as string) as id",
+      "cast(1 as bigint) as version", "0 as chunk", "source as author",
+      s"$ts1 as date", "false as deleted",
+      """to_json(named_struct('LANG', lang, 'N_CHARS', n_chars,
+        |  'SOURCE_REF', case when doc_id % 13 = 0 then null
+        |    else named_struct('DOCUMENT_ID', source) end)) as data""".stripMargin)
+    val srcRows = base.select("source").distinct().selectExpr(
+      s"$ts1 as batch_date", "'SRC' as type", "source as id",
+      "cast(1 as bigint) as version", "0 as chunk", "'loader' as author",
+      s"$ts1 as date", "false as deleted",
+      "to_json(named_struct('SOURCE_NAME', upper(source))) as data")
+    docRows(ts1).unionByName(docRows(ts2)).unionByName(srcRows)
+  }
+
+  /** R1+R2 over the FK landing — one cached frame feeds both typed
+    * views of r73 (corpus DOC side and dimension SRC side). */
+  private def latestFkLanding(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "latest_fk_landing") {
+      Views.latest(fkLanding(s, dir))
+    }
+
+  /** The r73 join, factored out so the plan-guard spec exercises the
+    * exact public plan: typed DOC view ⋈ typed SRC view on the
+    * projected FK. The referenced type is a dimension (|distinct
+    * sources| rows), so it is broadcast — at 100 TB the corpus side
+    * streams through the join without shuffling on the FK. Left join:
+    * docs with a NULL reference survive with a NULL dimension payload. */
+  private[graft] def fkReferenceJoin(s: SparkSession, dir: String): DataFrame = {
+    val latest = latestFkLanding(s, dir)
+    val docs = Views.typedView(latest, "DOC", fkSchema("DOC"))
+    val srcs = Views.typedView(latest, "SRC", fkSchema("SRC"))
+      .select(col("DOCUMENT_ID").as("__ref_id"), col("SOURCE_NAME"))
+    docs.join(broadcast(srcs), col("SOURCE_REF") === col("__ref_id"), "left")
+      .select("DOCUMENT_ID", "LANG", "N_CHARS", "SOURCE_REF", "SOURCE_NAME")
+  }
+
   private val listSchema = SchemaCodec.parse(
     """{"DOC": {
       |  "ITEMS": {"ACTIVE": true, "TYPE": "RECORD LIST", "NULLABLE": true,
@@ -133,6 +193,43 @@ object DocViews {
           "valid_from", "valid_to", "is_current")
         .orderBy("DOCUMENT_ID", "_VERSION")
     },
+    // V4 FK-REFERENCE JOIN — the query the reference's FK annotation
+    // exists to enable (snowflake.go:348 emits
+    // `/* References <DOCUMENT_TYPE>.DOCUMENT_ID */` on the projected
+    // column precisely so the warehouse user can join document →
+    // referenced document): the typed DOC view joins the typed SRC view
+    // on DOC.SOURCE_REF = SRC.DOCUMENT_ID. The referenced type is a
+    // dimension, so it broadcasts (plan-guarded in Round11Spec) — the
+    // corpus side never shuffles on the FK. NULL references (id%13=0)
+    // survive the left join with a NULL dimension payload.
+    "r73_fk_reference_join" -> { (s, dir) =>
+      fkReferenceJoin(s, dir).orderBy("DOCUMENT_ID")
+    },
+    // STORE LIFECYCLE — the round-8 store trio composed end-to-end as
+    // ONE pipeline over ONE bucketed landing table: (1) two batches
+    // land via Ingest.appendBatchBucketed (r68's path), (2) the second
+    // batch is folded into the materialized latest with
+    // Views.latestIncremental — refresh work |latest| + |batch|, never
+    // |history| (r69's path), (3) Views.history over the same store
+    // supplies the current row's validity start (r70's path), joined
+    // back on the document key the store is bucketed by. Every window
+    // in (1)–(3) keys on id-prefixed columns, so over the bucketed
+    // store the history branch runs exchange-free (Round11Spec asserts
+    // the plan); the fold pays its exchanges only on |latest|+|batch|
+    // rows. Result = the r24 latest view + when each current version
+    // became current; the oracle recomputes both from the fixture.
+    "r74_store_lifecycle" -> { (s, dir) =>
+      val store = bucketedStore(s, dir)
+      val prev = Views.latest(store.filter(s"batch_date = $ts1"))
+      val inc = Views.latestIncremental(prev, store.filter(s"batch_date = $ts2"))
+      val cur = Views.history(store).filter(col("is_current"))
+        .selectExpr("id as __hid", "version as __hv", "valid_from")
+      Views.typedView(inc, "DOC", docSchema("DOC"))
+        .join(cur, col("DOCUMENT_ID") === col("__hid") &&
+          col("_VERSION") === col("__hv"))
+        .drop("__hid", "__hv")
+        .orderBy("DOCUMENT_ID")
+    },
   )
 
   /** R1+R2 dedup over the synthetic landing — cached once for r24/r45. */
@@ -149,7 +246,7 @@ object DocViews {
     * bench's repeated invocations (append mode would otherwise double
     * the store every run). The store is tiny here; at scale the build
     * happens once at ingest and every view refresh amortizes it. */
-  private def bucketedLatest(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bucketedStore(s: SparkSession, dir: String): DataFrame = {
     val table = "graft_r68_landing"
     val loc = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"),
@@ -163,9 +260,12 @@ object DocViews {
     graft.ingest.Ingest.appendBatchBucketed(
       base.filter(s"batch_date = $ts2"), table, 8, Some(loc.toString))
     // partitionBy moved `type` to the tail — restore the canonical order
-    Views.latest(s.table(table).select("batch_date", "type", "id",
-      "version", "chunk", "author", "date", "deleted", "data"))
+    s.table(table).select("batch_date", "type", "id",
+      "version", "chunk", "author", "date", "deleted", "data")
   }
+
+  private def bucketedLatest(s: SparkSession, dir: String): DataFrame =
+    Views.latest(bucketedStore(s, dir))
 
   /** Expected latest-view semantics recomputed directly from
     * `documents` — shared by r24 (typed), r45 (variant), r68 (bucketed
@@ -200,6 +300,24 @@ object DocViews {
         |    TIMESTAMP '2026-01-02 00:00:00', NULL, TRUE
         |  FROM documents WHERE doc_id % 10 = 0)
         |ORDER BY DOCUMENT_ID, _VERSION""".stripMargin,
+    "r73_fk_reference_join" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID, lang AS LANG,
+        |  CAST(n_chars AS BIGINT) AS N_CHARS,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS SOURCE_REF,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE upper(source) END AS SOURCE_NAME
+        |FROM documents ORDER BY DOCUMENT_ID""".stripMargin,
+    "r74_store_lifecycle" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID,
+        |  lang AS LANG,
+        |  CAST(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS BIGINT) AS N_CHARS,
+        |  (doc_id % 20 = 0) AS _DELETED,
+        |  source AS _AUTHOR,
+        |  CAST(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS _VERSION,
+        |  CASE WHEN doc_id % 10 = 0 THEN TIMESTAMP '2026-01-02 00:00:00'
+        |       ELSE TIMESTAMP '2026-01-01 00:00:00' END AS _DATE,
+        |  CASE WHEN doc_id % 10 = 0 THEN TIMESTAMP '2026-01-02 00:00:00'
+        |       ELSE TIMESTAMP '2026-01-01 00:00:00' END AS valid_from
+        |FROM documents ORDER BY DOCUMENT_ID""".stripMargin,
     "r25_record_list_flatten" ->
       """SELECT DOCUMENT_ID, LISTITEM_ID, VAL FROM (
         |  SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID, 'A' AS LISTITEM_ID,

@@ -70,7 +70,17 @@ object Views {
     * instead of chaining through each other. One (type,id)-keyed
     * window over the deduped history — the same exchange R1 already
     * paid, so over a bucketed landing store the view is
-    * exchange-free. */
+    * exchange-free.
+    *
+    * PRECONDITION: document `date` must be monotone in `version` per
+    * (type,id) — the producer-timestamp contract the reference's
+    * `$DATE` carries. If an out-of-order producer stamps a LATER
+    * version with an EARLIER date, the affected rows get inverted
+    * intervals (valid_to < valid_from) and point-in-time BETWEEN
+    * probes can match zero or multiple versions for a date. Such rows
+    * are detectable as `valid_to < valid_from`; this view surfaces
+    * them rather than silently clamping (a clamp would fabricate an
+    * interval no producer ever asserted). */
   def history(landing: DataFrame): DataFrame = {
     val w = Window.partitionBy("type", "id").orderBy(col("version"))
       .rangeBetween(1L, Window.unboundedFollowing)
