@@ -35,9 +35,13 @@ object Streaming {
       landingPath: String,
       checkpointDir: String,
       chunkSize: Int = 10000,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
-    spark.readStream.textFile(srcDir)
+    maxFilesPerTrigger
+      .fold(spark.readStream)(n =>
+        spark.readStream.option("maxFilesPerTrigger", n.toLong))
+      .textFile(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

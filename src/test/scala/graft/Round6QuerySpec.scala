@@ -213,7 +213,7 @@ class Round6QuerySpec extends SparkSpec {
     val rows = graft.llm.Similarity.queries("x62_ann_recall")(spark, sf001)
       .collect()
     assert(rows.map(_.getString(0)).distinct.sorted.toSeq ==
-      Seq("ivf", "ivfpq", "lsh", "pq"))
+      Seq("ivf", "ivfadcr", "ivfpq", "lsh", "pq"))
     rows.foreach { r =>
       val (nAppr, nHit, nEx) = (r.getLong(2), r.getLong(3), r.getLong(4))
       assert(nHit <= math.min(nAppr, nEx), s"overlap bound: $r")
