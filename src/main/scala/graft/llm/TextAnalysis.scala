@@ -1588,7 +1588,96 @@ object TextAnalysis {
           sRound6("abs(cast(sp as double) / cast(n_docs as double) - cast(sy as double) / cast(n_docs as double))") + " as gap")
         .orderBy("bin")
     },
+
+    // PRIORITY SAMPLING (Duffield–Lund–Thorup 2007): a fixed-size
+    // weighted sample WITHOUT replacement — the production mechanism
+    // for "sample k documents proportional to quality/length weight"
+    // where x41's hash-threshold sampling can only hit a RATE, not an
+    // exact k. Priority q_i = w_i / u_i with u_i a deterministic
+    // uniform from the stable doc hash (u = (h32+0.5)/2^32 — no
+    // random(), reproducible across runs/engines/executors); the
+    // sample is the top-k priorities and tau = the (k+1)-th priority
+    // yields the unbiased subset-sum estimator w-hat_i = max(w_i, tau)
+    // (sum of w-hat over any subset of the sample estimates that
+    // subset's true weight). Every per-row value is a single IEEE
+    // multiply+divide on bit-identical operands, so priorities are
+    // bit-equal across engines and the top-k boundary cannot flip.
+    // 100 TB shape: the global top-(k+1) is the TopKRewrite path (map-
+    // side bounded heaps, the shuffle carries k·partitions rows, never
+    // the corpus), tau is a 1-row broadcast — no global sort anywhere.
+    "x104_priority_sample" -> { (s, dir) =>
+      val pri = graft.queries.Shared.temp(
+        docs(s, dir).selectExpr("doc_id", "lang", "source", "n_chars",
+          s"cast(n_chars as double) * cast(4294967296 as double) / " +
+            s"(cast((${sH("concat('ps:', doc_id)")} & 4294967295) as double) " +
+            "+ cast(0.5 as double)) as pri")
+          .orderBy(desc("pri"), col("doc_id")).limit(101))
+      val tau = pri.agg(min(col("pri")).as("tau"))
+      pri.orderBy(desc("pri"), col("doc_id")).limit(100)
+        .crossJoin(broadcast(tau))
+        .selectExpr("doc_id", "lang", "source", "n_chars",
+          "cast(cast(pri as decimal(24,6)) as double) as priority",
+          "cast(cast(greatest(cast(n_chars as double), tau) as decimal(24,6)) as double) as est_w")
+        .orderBy("doc_id")
+    },
+
+    // TEXTRANK KEYWORDS (Mihalcea & Tarau 2004): PageRank over the
+    // token co-occurrence graph — corpus-level keyword extraction, and
+    // the suite's one ITERATIVE GRAPH operator on the text side
+    // (x24's connected components is the other graph shape; this one
+    // converges scores instead of labels). Graph build is the only
+    // corpus-sized work: one pass emits adjacent-token pairs, one
+    // shuffle on (src,dst) counts them; everything after runs on the
+    // VOCABULARY-sized edge list (at 100 TB the graph is still only
+    // |vocab|²-bounded and in practice millions of edges, not
+    // corpus-sized). Five damped iterations s_{k+1}(v) = 0.15 + 0.85 ·
+    // Σ_{u→v} p(u,v)·s_k(u) with p = w/strength(u) (weighted
+    // row-stochastic transition), each a vocab-keyed join + aggregate
+    // against the one cached edge frame. Scores round at the END only
+    // (decimal-cast 6 dp; per-iteration float-sum order skew is
+    // ~1e-13, far under the rounding grain); ranking uses the ROUNDED
+    // score with token tiebreak so both engines cut the same top-20.
+    "x105_textrank" -> { (s, dir) =>
+      val en = textrankEdges(s, dir)
+      var score = en.select(col("src").as("token")).distinct()
+        .withColumn("score", expr("cast(1 as double)"))
+      for (_ <- 1 to 5) {
+        score = en.join(score, col("src") === col("token"))
+          .groupBy("dst")
+          .agg(sum(expr("p * score")).as("c"))
+          .selectExpr("dst as token",
+            "cast(0.15 as double) + cast(0.85 as double) * c as score")
+      }
+      score.selectExpr("token", sRound6("score") + " as score")
+        .orderBy(desc("score"), col("token")).limit(20)
+    },
   )
+
+  /** Row-stochastic co-occurrence edges for x105: undirected adjacent-
+    * token pairs (both directions), weight = corpus co-occurrence
+    * count, normalized by source-node strength. The ONLY corpus-sized
+    * stage of the TextRank family — cached so all five iterations (and
+    * repeated bench runs) reuse one build. */
+  private def textrankEdges(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Shared.shared(s, dir, "textrank_edges") {
+      val prs = docs(s, dir)
+        .selectExpr(s"filter($sTokens, x -> x != '') as tk")
+        .selectExpr(
+          """explode(case when size(tk) >= 2
+            |  then transform(sequence(1, size(tk)-1),
+            |    i -> named_struct('a', element_at(tk,i), 'b', element_at(tk,i+1)))
+            |  else cast(array() as array<struct<a:string,b:string>>) end) as pr""".stripMargin)
+        .selectExpr("pr.a as a", "pr.b as b")
+        .filter("a != b")
+      val und = prs.selectExpr("a as src", "b as dst")
+        .unionAll(prs.selectExpr("b as src", "a as dst"))
+      val edges = und.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val strength = edges.groupBy("src").agg(sum("w").as("strength"))
+        .withColumnRenamed("src", "s_src")
+      edges.join(strength, col("src") === col("s_src"))
+        .selectExpr("src", "dst",
+          "cast(w as double) / cast(strength as double) as p")
+    }
 
   /** Word-frequency table with marker-wrapped character segmentation —
     * the BPE working set (x97 learns on it, x98 applies to it). The
@@ -2510,6 +2599,43 @@ object TextAnalysis {
          |  ${dRound6("CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS frac_pos,
          |  ${dRound6("abs(CAST(SUM(pd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) - CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))")} AS gap
          |FROM bn GROUP BY bin ORDER BY bin""".stripMargin,
+    "x104_priority_sample" ->
+      s"""WITH pri AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    CAST(n_chars AS DOUBLE) * CAST(4294967296 AS DOUBLE) /
+         |      (CAST((${dH("concat('ps:', doc_id)")} & 4294967295) AS DOUBLE)
+         |       + CAST(0.5 AS DOUBLE)) AS pri
+         |  FROM documents),
+         |top AS (SELECT * FROM pri ORDER BY pri DESC, doc_id LIMIT 101),
+         |tau AS (SELECT MIN(pri) AS tau FROM top)
+         |SELECT doc_id, lang, source, n_chars,
+         |  CAST(CAST(pri AS DECIMAL(24,6)) AS DOUBLE) AS priority,
+         |  CAST(CAST(greatest(CAST(n_chars AS DOUBLE), tau) AS DECIMAL(24,6)) AS DOUBLE) AS est_w
+         |FROM (SELECT * FROM top ORDER BY pri DESC, doc_id LIMIT 100) s
+         |CROSS JOIN tau
+         |ORDER BY doc_id""".stripMargin,
+    "x105_textrank" -> {
+      val iters = (1 to 5).map { k =>
+        s"""s$k AS (SELECT en.dst AS token,
+           |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * SUM(en.p * s${k - 1}.score) AS score
+           |  FROM en JOIN s${k - 1} ON en.src = s${k - 1}.token GROUP BY en.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tkn AS (SELECT list_filter($dTokens, x -> x <> '') AS tk FROM documents),
+         |prs AS (SELECT pr.a AS a, pr.b AS b FROM (
+         |    SELECT UNNEST(list_transform(range(1, len(tk)),
+         |      i -> {'a': tk[i], 'b': tk[i+1]})) AS pr FROM tkn)
+         |  WHERE pr.a <> pr.b),
+         |und AS (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM und GROUP BY 1, 2),
+         |strg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS strength FROM edges GROUP BY 1),
+         |en AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(s.strength AS DOUBLE) AS p
+         |       FROM edges e JOIN strg s ON e.src = s.src),
+         |s0 AS (SELECT src AS token, CAST(1 AS DOUBLE) AS score FROM strg),
+         |$iters
+         |SELECT token, ${dRound6("score")} AS score FROM s5
+         |ORDER BY score DESC, token LIMIT 20""".stripMargin
+    },
   )
 
   /** The BPE training replay as a DuckDB WITH-chain (through `m1..m3`,

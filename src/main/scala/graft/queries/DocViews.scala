@@ -230,6 +230,35 @@ object DocViews {
         .drop("__hid", "__hv")
         .orderBy("DOCUMENT_ID")
     },
+    // POINT-IN-TIME JOIN over the SCD2 history — the query r70's
+    // validity intervals exist to answer ("which version of this
+    // document was current when this observation happened?"): a probe
+    // set (two timestamps per document — one inside v1's interval, one
+    // after the v2 cutover) equi-joins the history on the DOCUMENT KEY,
+    // with the interval containment (valid_from <= ts < valid_to,
+    // NULL-valid_to = open-ended) riding as the join's non-equi
+    // residual. That shape is deliberate: at 100 TB the join
+    // hash-partitions both sides on the id — never a range join, never
+    // a broadcast of the corpus-sized history — and each probe meets
+    // only its own document's handful of versions. Every probe matches
+    // EXACTLY one version (intervals partition the timeline; the
+    // half-open convention makes a probe equal to a cutover date land
+    // in the newer version) — the oracle's closed form pins that.
+    "r75_pit_join" -> { (s, dir) =>
+      val hist = Views.history(landing(s, dir))
+        .selectExpr("id", "version", "valid_from", "valid_to")
+      val probes = t(s, dir, "documents").selectExpr(
+        "cast(doc_id as string) as pid",
+        "explode(array(timestamp'2026-01-01 12:00:00', " +
+          "timestamp'2026-01-03 00:00:00')) as probe_ts")
+      probes.join(hist,
+          probes("pid") === hist("id") &&
+            hist("valid_from") <= probes("probe_ts") &&
+            (hist("valid_to").isNull || probes("probe_ts") < hist("valid_to")))
+        .selectExpr("pid as DOCUMENT_ID", "probe_ts",
+          "version as _VERSION")
+        .orderBy("DOCUMENT_ID", "probe_ts")
+    },
   )
 
   /** R1+R2 dedup over the synthetic landing — cached once for r24/r45. */
@@ -318,6 +347,14 @@ object DocViews {
         |  CASE WHEN doc_id % 10 = 0 THEN TIMESTAMP '2026-01-02 00:00:00'
         |       ELSE TIMESTAMP '2026-01-01 00:00:00' END AS valid_from
         |FROM documents ORDER BY DOCUMENT_ID""".stripMargin,
+    "r75_pit_join" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID, probe_ts,
+        |  CAST(CASE WHEN probe_ts = TIMESTAMP '2026-01-03 00:00:00'
+        |             AND doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS _VERSION
+        |FROM documents
+        |CROSS JOIN (SELECT UNNEST([TIMESTAMP '2026-01-01 12:00:00',
+        |                           TIMESTAMP '2026-01-03 00:00:00']) AS probe_ts) p
+        |ORDER BY DOCUMENT_ID, probe_ts""".stripMargin,
     "r25_record_list_flatten" ->
       """SELECT DOCUMENT_ID, LISTITEM_ID, VAL FROM (
         |  SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID, 'A' AS LISTITEM_ID,
