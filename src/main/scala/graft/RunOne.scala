@@ -5,10 +5,12 @@ import org.apache.spark.sql.SparkSession
   * per-repetition wall times — separates real per-query cost from
   * first-use attribution (cold parquet footers, shared-frame builds,
   * codegen JIT) that the full bench necessarily lumps into whichever
-  * query runs first. Usage: runMain graft.RunOne <name> [sfDir] [reps] */
+  * query runs first. Accepts a comma-separated name list so a
+  * multi-query measurement pays one JVM/session start.
+  * Usage: runMain graft.RunOne <name>[,<name>...] [sfDir] [reps] */
 object RunOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,13 +23,15 @@ object RunOne {
       .config("spark.sql.files.minPartitionNum", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    for (i <- 1 to reps) {
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[runone] $name rep$i: $dt%.3f s ($n rows)")
-      graft.queries.Shared.dropTransient()
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      for (i <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[runone] $name rep$i: $dt%.3f s ($n rows)")
+        graft.queries.Shared.dropTransient()
+      }
     }
     spark.stop()
   }
