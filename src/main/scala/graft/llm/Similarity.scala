@@ -91,12 +91,15 @@ object Similarity {
         .agg(expr("transform(sort_array(collect_list(struct(j, c))), x -> x.c)").as("cw"))
     }
 
-  /** IVF coarse routing table: per vector, its top-2 centroid cells by
-    * cosine (vec_id, cl2) — the assignment AND the probe routing in one
-    * frame. Shared tier: x17, x62 (through x17's pipeline) and the
-    * x101 composite all read it, one cached copy. Sort key
-    * struct(-cosc, clabel) replays the oracle's ORDER BY cosc DESC,
-    * clabel tie-break (double negation is an exact sign flip). */
+  /** IVF coarse routing table: per vector, its top-4 centroid cells by
+    * cosine, exposed as `cl4` (full routing depth, for the x106 nprobe
+    * sweep) and `cl2` (its 2-prefix — the assignment AND the default
+    * probe routing). Shared tier: x17, x62 (through x17's pipeline),
+    * the x101 composite and x106 all read it, one cached copy; the
+    * extra two slots cost nothing (the 16 cells are already collected
+    * and sorted per vector). Sort key struct(-cosc, clabel) replays the
+    * oracle's ORDER BY cosc DESC, clabel tie-break (double negation is
+    * an exact sign flip). */
   private[graft] def ivfTop2(s: SparkSession, dir: String): DataFrame =
     Shared.shared(s, dir, "ivf_top2") {
       val cent = centroids(s, dir)
@@ -106,7 +109,8 @@ object Similarity {
       withSq(s, dir).crossJoin(broadcast(cent))
         .selectExpr("vec_id", "clabel", s"$dotExpr / sqrt(sq * csq) as cosc")
         .groupBy("vec_id")
-        .agg(expr("slice(transform(sort_array(collect_list(struct(-cosc as nc, clabel))), x -> x.clabel), 1, 2)").as("cl2"))
+        .agg(expr("slice(transform(sort_array(collect_list(struct(-cosc as nc, clabel))), x -> x.clabel), 1, 4)").as("cl4"))
+        .selectExpr("vec_id", "cl4", "slice(cl4, 1, 2) as cl2")
     }
 
   /** PQ code table (vec_id, ss, code) — the corpus encoded
@@ -121,7 +125,7 @@ object Similarity {
         .selectExpr("vec_id", "ss", "clabel", s"${sSubDist(s)} as d2")
         .groupBy("vec_id", "ss")
         .agg(expr("min(struct(d2, clabel))").as("m"))
-        .selectExpr("vec_id", "ss", "m.clabel as code")
+        .selectExpr("vec_id", "ss", "m.clabel as code", "m.d2 as d2")
     }
 
   /** Squared L2 between the `ss`-th 8-dim slice of a float vector and a
@@ -762,6 +766,77 @@ object Similarity {
         .orderBy("method", "query_id")
     },
 
+    // NPROBE OPERATING CURVE — the sweep you run BEFORE freezing the
+    // one IVF knob that matters at 100 TB: nprobe trades scanned
+    // corpus fraction against recall. Per (nprobe ∈ {1,2,4}, probe):
+    // candidate-set recall@10 vs the exact top-10 and the fraction of
+    // the corpus the probe's cells force it to scan. Candidate recall
+    // IS end recall here: IVF re-ranks candidates by EXACT cosine, so
+    // any exact-top-10 member that lands in the candidate set
+    // necessarily survives the candidate top-10 cut (at most 9
+    // candidates can outscore it). The sweep rides the shared routing
+    // frame (cl4 — the 16 cells are already sorted per vector, deeper
+    // routing is a wider slice, not a new pass) and the shared exact
+    // ground truth; per-nprobe work is one broadcast routing join over
+    // the assignment stream — the inverted lists never shuffle.
+    "x106_nprobe_curve" -> { (s, dir) =>
+      val top4 = ivfTop2(s, dir)
+      val assign = top4.selectExpr("vec_id as neighbor_id", "cl4[0] as cell")
+      val exact = exactTopk(s, dir).select("query_id", "neighbor_id")
+      val nEx = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val nTot = t(s, dir, "embeddings").agg(count(lit(1)).as("n_corpus"))
+      val perNp = Seq(1, 2, 4).map { np =>
+        val probes = top4.filter(QuerySet)
+          .selectExpr("vec_id as query_id",
+            s"explode(slice(cl4, 1, $np)) as cell")
+        val cand = broadcast(probes).join(assign, "cell")
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id").distinct()
+        cand
+          .join(exact.withColumn("hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_cand"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hit0"))
+          .withColumn("nprobe", lit(np))
+      }.reduce(_ unionByName _)
+      perNp.join(broadcast(nEx), "query_id")
+        .crossJoin(broadcast(nTot))
+        .selectExpr("cast(nprobe as bigint) as nprobe", "query_id", "n_cand",
+          "cast(n_hit0 as bigint) as n_hit", "n_exact",
+          sRound6("cast(n_hit0 as double) / cast(n_exact as double)") + " as recall_at_k",
+          sRound6("cast(n_cand as double) / cast(n_corpus - 1 as double)") + " as scan_frac")
+        .orderBy("nprobe", "query_id")
+    },
+
+    // PQ DISTORTION REPORT — the codebook-quality gauge read BEFORE
+    // committing a corpus to an 8 B/vector layout (Jégou et al. 2011
+    // §IV: quantization MSE is the quantity PQ training minimizes and
+    // the predictor of ADC ranking quality): per subspace, the mean
+    // squared quantization error of the chosen codeword, the mean
+    // subvector energy, and their ratio (noise-to-signal — the
+    // scale-free number comparable across subspaces and corpora). A
+    // high-NSR subspace is where to spend more codebook bits. Reads
+    // the shared pq_codes frame (which retains the winning d2 — the
+    // encoding pass already computed it); the energy side is one
+    // corpus projection; everything after is 8 rows.
+    "x107_pq_distortion" -> { (s, dir) =>
+      val en = t(s, dir, "embeddings")
+        .selectExpr("explode(sequence(0, 7)) as ss", "embedding")
+        .selectExpr("ss", s"${sSumSq("slice(embedding, ss * 8 + 1, 8)")} as e2")
+        .groupBy("ss")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(expr("cast(e2 as decimal(24,12))")).cast("double").as("esum"))
+      val ds = pqCodes(s, dir).groupBy("ss")
+        .agg(sum(expr("cast(d2 as decimal(24,12))")).cast("double").as("dsum"))
+      en.join(ds, "ss")
+        .selectExpr("cast(ss as bigint) as subspace", "n_vectors",
+          sRound6("dsum / cast(n_vectors as double)") + " as mse",
+          sRound6("esum / cast(n_vectors as double)") + " as energy",
+          sRound6("(dsum / cast(n_vectors as double)) / (esum / cast(n_vectors as double))") + " as nsr")
+        .orderBy("subspace")
+    },
+
     // per-label centroids: distributed vector mean via posexplode +
     // exact decimal partial aggregation on (label, dim)
     "x14_label_centroids" -> { (s, dir) =>
@@ -1006,6 +1081,87 @@ object Similarity {
     * cosine assignment) composed with x49's PQ chain (0-based dims for
     * the subspace split, renamed cd0/cm0 to avoid the clash), ADC
     * restricted to the IVF candidate set. */
+  /** x106 oracle: x17's routing CTE chain generalized to rn ≤ nprobe
+    * for nprobe ∈ {1,2,4}, graded against the x11 exact chain. */
+  private val dX106Sql =
+    s"""WITH sq AS (SELECT vec_id, embedding, ${dSumSq("embedding")} AS sq FROM embeddings),
+       |cd AS (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+       |       FROM embeddings),
+       |cm AS (SELECT label, dim,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+       |       FROM cd GROUP BY label, dim),
+       |cent0 AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cm GROUP BY label),
+       |cent AS (SELECT clabel, cv, ${dSumSq64("cv")} AS csq FROM cent0),
+       |scored AS (SELECT vec_id, clabel,
+       |             (${dDotF64("sq.embedding", "cv")}) / sqrt(sq * csq) AS cosc
+       |           FROM sq CROSS JOIN cent),
+       |ranked AS (SELECT vec_id, clabel,
+       |             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosc DESC, clabel) AS rn
+       |           FROM scored),
+       |assign AS (SELECT vec_id AS neighbor_id, clabel FROM ranked WHERE rn = 1),
+       |np AS (SELECT UNNEST([1, 2, 4]) AS nprobe),
+       |probes AS (SELECT r.vec_id AS query_id, n.nprobe, r.clabel
+       |           FROM ranked r CROSS JOIN np n
+       |           WHERE r.vec_id < 8 AND r.rn <= n.nprobe),
+       |cand AS (SELECT DISTINCT nprobe, query_id, neighbor_id
+       |         FROM probes JOIN assign USING (clabel)
+       |         WHERE query_id <> neighbor_id),
+       |escored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dCos AS cos_sim
+       |            FROM sq a JOIN sq b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+       |eranked AS (SELECT query_id, neighbor_id,
+       |              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |            FROM escored),
+       |ex AS (SELECT query_id, neighbor_id FROM eranked WHERE rk <= $TopK),
+       |nex AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY query_id),
+       |ntot AS (SELECT COUNT(*) AS n_corpus FROM embeddings),
+       |stats AS (SELECT c.nprobe, c.query_id, COUNT(*) AS n_cand,
+       |            SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |          FROM cand c LEFT JOIN ex e
+       |            ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
+       |          GROUP BY c.nprobe, c.query_id)
+       |SELECT CAST(s.nprobe AS BIGINT) AS nprobe, s.query_id, s.n_cand,
+       |  CAST(s.n_hit AS BIGINT) AS n_hit, x.n_exact,
+       |  ${dRound6("CAST(s.n_hit AS DOUBLE) / CAST(x.n_exact AS DOUBLE)")} AS recall_at_k,
+       |  ${dRound6("CAST(s.n_cand AS DOUBLE) / CAST(t.n_corpus - 1 AS DOUBLE)")} AS scan_frac
+       |FROM stats s JOIN nex x USING (query_id) CROSS JOIN ntot t
+       |ORDER BY nprobe, query_id""".stripMargin
+
+  /** x107 oracle: x49's encoding chain with the winning d2 retained,
+    * plus the per-subspace energy chain over the raw corpus. */
+  private val dX107Sql = {
+    val d2Chain = (1 to 8).map(j =>
+      s"(CAST(e.embedding[c.ss*8+$j] AS DOUBLE) - c.cw[$j])*(CAST(e.embedding[c.ss*8+$j] AS DOUBLE) - c.cw[$j])")
+      .mkString(" + ")
+    val e2Chain = (1 to 8).map(j =>
+      s"CAST(e.embedding[s.ss*8+$j] AS DOUBLE)*CAST(e.embedding[s.ss*8+$j] AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH cd AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
+       |       FROM embeddings),
+       |cm AS (SELECT label, dim,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+       |       FROM cd GROUP BY label, dim),
+       |cb AS (SELECT label AS clabel, dim // 8 AS ss, list(c ORDER BY dim) AS cw
+       |       FROM cm GROUP BY label, dim // 8),
+       |enc AS (SELECT e.vec_id, c.ss, c.clabel, $d2Chain AS d2
+       |        FROM embeddings e CROSS JOIN cb c),
+       |mind AS (SELECT vec_id, ss, d2 FROM (
+       |           SELECT vec_id, ss, d2,
+       |             ROW_NUMBER() OVER (PARTITION BY vec_id, ss ORDER BY d2, clabel) AS rn
+       |           FROM enc) WHERE rn = 1),
+       |en AS (SELECT s.ss, COUNT(*) AS n_vectors,
+       |         CAST(SUM(CAST($e2Chain AS DECIMAL(24,12))) AS DOUBLE) AS esum
+       |       FROM embeddings e CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS ss) s
+       |       GROUP BY s.ss),
+       |ds AS (SELECT ss, CAST(SUM(CAST(d2 AS DECIMAL(24,12))) AS DOUBLE) AS dsum
+       |       FROM mind GROUP BY ss)
+       |SELECT CAST(en.ss AS BIGINT) AS subspace, en.n_vectors,
+       |  ${dRound6("dsum / CAST(n_vectors AS DOUBLE)")} AS mse,
+       |  ${dRound6("esum / CAST(n_vectors AS DOUBLE)")} AS energy,
+       |  ${dRound6("(dsum / CAST(n_vectors AS DOUBLE)) / (esum / CAST(n_vectors AS DOUBLE))")} AS nsr
+       |FROM en JOIN ds ON en.ss = ds.ss
+       |ORDER BY subspace""".stripMargin
+  }
+
   private val dX101Cte = {
     val d2Chain = (1 to 8).map(j =>
       s"(CAST(e.embedding[c.ss*8+$j] AS DOUBLE) - c.cw[$j])*(CAST(e.embedding[c.ss*8+$j] AS DOUBLE) - c.cw[$j])")
@@ -1129,6 +1285,8 @@ object Similarity {
          |            JOIN sq b ON cand.vec_b = b.vec_id)
          |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "x17_ivf_topk" -> dX17Sql,
+    "x106_nprobe_curve" -> dX106Sql,
+    "x107_pq_distortion" -> dX107Sql,
     "x62_ann_recall" ->
       s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($dX11Sql)),
          |appr AS (

@@ -103,6 +103,34 @@ object DocViews {
       .select("DOCUMENT_ID", "LANG", "N_CHARS", "SOURCE_REF", "SOURCE_NAME")
   }
 
+  /** FK landing with deliberately broken references, for the r76
+    * integrity audit: SRC dimension docs are MISSING for source index
+    * % 7 = 3 (never landed — a dangling reference), and TOMBSTONED
+    * (deleted v2) for index % 5 = 0 among the ones that did land.
+    * Distinct from r73's fixture — r73 proves the happy-path join,
+    * r76 proves the audit finds every way the FK can rot. */
+  private def fkAuditLanding(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+    val docRows = base.selectExpr(
+      s"$ts1 as batch_date", "'DOC' as type", "cast(doc_id as string) as id",
+      "cast(1 as bigint) as version", "0 as chunk", "source as author",
+      s"$ts1 as date", "false as deleted",
+      """to_json(named_struct('LANG', lang, 'N_CHARS', n_chars,
+        |  'SOURCE_REF', case when doc_id % 13 = 0 then null
+        |    else named_struct('DOCUMENT_ID', source) end)) as data""".stripMargin)
+    val srcIdx = base.select("source").distinct()
+      .selectExpr("source", "cast(substring(source, 4) as int) as idx")
+    def srcRows(pred: String, batch: String, ver: Int, del: String) =
+      srcIdx.filter(pred).selectExpr(
+        s"$batch as batch_date", "'SRC' as type", "source as id",
+        s"cast($ver as bigint) as version", "0 as chunk",
+        "'loader' as author", s"$batch as date", s"$del as deleted",
+        "to_json(named_struct('SOURCE_NAME', upper(source))) as data")
+    docRows
+      .unionByName(srcRows("idx % 7 != 3", ts1, 1, "false"))
+      .unionByName(srcRows("idx % 7 != 3 and idx % 5 = 0", ts2, 2, "true"))
+  }
+
   private val listSchema = SchemaCodec.parse(
     """{"DOC": {
       |  "ITEMS": {"ACTIVE": true, "TYPE": "RECORD LIST", "NULLABLE": true,
@@ -204,6 +232,30 @@ object DocViews {
     // survive the left join with a NULL dimension payload.
     "r73_fk_reference_join" -> { (s, dir) =>
       fkReferenceJoin(s, dir).orderBy("DOCUMENT_ID")
+    },
+    // FK INTEGRITY AUDIT — the data-quality query run right after r73's
+    // join exists: classify every document's DOCUMENT-reference as
+    // null_ref / ok / dangling (the referenced document never landed) /
+    // deleted_ref (the referenced document's LATEST version is a
+    // tombstone — visible in the typed view per V1's "tombstones are
+    // visible" contract, and exactly what a blind r73-style join would
+    // silently treat as a live parent). Same plan shape as r73: the
+    // dimension side broadcasts with its _DELETED flag, the corpus side
+    // streams — the audit costs one case-expression more than the join
+    // it audits, at any corpus size.
+    "r76_fk_integrity_audit" -> { (s, dir) =>
+      val latest = Views.latest(fkAuditLanding(s, dir))
+      val docs = Views.typedView(latest, "DOC", fkSchema("DOC"))
+      val srcs = Views.typedView(latest, "SRC", fkSchema("SRC"))
+        .select(col("DOCUMENT_ID").as("__ref_id"),
+          col("_DELETED").as("__ref_deleted"))
+      docs.join(broadcast(srcs), col("SOURCE_REF") === col("__ref_id"), "left")
+        .selectExpr("DOCUMENT_ID", "SOURCE_REF",
+          """case when SOURCE_REF is null then 'null_ref'
+            |  when __ref_id is null then 'dangling'
+            |  when __ref_deleted then 'deleted_ref'
+            |  else 'ok' end as REF_STATUS""".stripMargin)
+        .orderBy("DOCUMENT_ID")
     },
     // STORE LIFECYCLE — the round-8 store trio composed end-to-end as
     // ONE pipeline over ONE bucketed landing table: (1) two batches
@@ -334,6 +386,14 @@ object DocViews {
         |  CAST(n_chars AS BIGINT) AS N_CHARS,
         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS SOURCE_REF,
         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE upper(source) END AS SOURCE_NAME
+        |FROM documents ORDER BY DOCUMENT_ID""".stripMargin,
+    "r76_fk_integrity_audit" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS SOURCE_REF,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'null_ref'
+        |       WHEN CAST(substring(source, 4) AS INT) % 7 = 3 THEN 'dangling'
+        |       WHEN CAST(substring(source, 4) AS INT) % 5 = 0 THEN 'deleted_ref'
+        |       ELSE 'ok' END AS REF_STATUS
         |FROM documents ORDER BY DOCUMENT_ID""".stripMargin,
     "r74_store_lifecycle" ->
       """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID,
