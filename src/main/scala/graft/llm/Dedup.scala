@@ -192,6 +192,41 @@ object Dedup {
        |         FROM th, range(0, 60) r(b) GROUP BY doc_id, b),
        |sh2 AS (SELECT doc_id, SUM(bv)::BIGINT AS simhash FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** x58/x109 shared oracle chain: simhash pair graph + Gopher gate +
+    * exact dedup + quality + near-dedup, ending at fs3 (survivors with
+    * their token counts). */
+  private lazy val dFunnelCte =
+    s"""$dSimhash,
+       |chunks AS (SELECT doc_id, simhash, c AS ci, (simhash >> (15*c)) & 32767 AS chunk
+       |           FROM sh2, range(0, 4) r(c)),
+       |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |        FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+       |             AND a.doc_id < b.doc_id
+       |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |gtf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       |        FROM (SELECT doc_id, unnest($dTokens) AS token FROM documents)
+       |        WHERE token <> '' GROUP BY doc_id, token),
+       |ga AS (SELECT doc_id, SUM(tf) AS nt, MAX(tf) AS max_tf,
+       |         SUM(length(token) * tf) AS n_tok_chars,
+       |         SUM(CASE WHEN token IN ('the', 'a', 'and', 'of', 'to', 'le', 'la', 'el', 'der', 'die') THEN tf ELSE 0 END) AS sh
+       |       FROM gtf GROUP BY doc_id),
+       |gate AS (SELECT doc_id, CAST(nt AS BIGINT) AS nt,
+       |           (CAST(nt AS BIGINT) BETWEEN 20 AND 100000)
+       |             AND (${dRound6("CAST(n_tok_chars AS DOUBLE) / CAST(nt AS DOUBLE)")} BETWEEN 2.0 AND 10.0)
+       |             AND (${dRound6("CAST(max_tf AS DOUBLE) / CAST(nt AS DOUBLE)")} <= 0.2)
+       |             AND (sh >= 2) AS pass
+       |         FROM ga),
+       |d0 AS (SELECT d.doc_id, md5($dNorm) AS fp,
+       |         COALESCE(g.nt, 0) AS nt, COALESCE(g.pass, FALSE) AS pass
+       |       FROM documents d LEFT JOIN gate g USING (doc_id)),
+       |freps AS (SELECT MIN(doc_id) AS doc_id FROM d0 GROUP BY fp),
+       |fs1 AS (SELECT d0.* FROM d0 JOIN freps USING (doc_id)),
+       |fs2 AS (SELECT * FROM fs1 WHERE pass),
+       |drp AS (SELECT DISTINCT p.doc_b AS doc_id
+       |        FROM prs p JOIN fs2 a ON p.doc_a = a.doc_id
+       |                   JOIN fs2 b ON p.doc_b = b.doc_id),
+       |fs3 AS (SELECT * FROM fs2 WHERE doc_id NOT IN (SELECT doc_id FROM drp))""".stripMargin
+
   /** Spark simhash over shingles: explode the shingle hashes and take a
     * per-bit majority vote as 60 codegen'd conditional sums in ONE
     * aggregation (map-side partial agg, one shuffle on doc_id), then
@@ -629,6 +664,57 @@ object Dedup {
         .orderBy("df")
     },
 
+    // LSH BUCKET-SKEW REPORT — x64 gauges the raw corpus's shingle
+    // pressure; this gauges the INDEX the dedup join actually runs on:
+    // the distribution of (band, band_hash) bucket sizes, with each
+    // size's candidate-pair mass s·(s−1)/2 · n_buckets and its share
+    // of the total. The pair-mass tail is the join's fan-out forecast —
+    // a single mega-bucket here is the hot key that stalls the 100 TB
+    // banding join, and THIS report (two keyed aggregations, the
+    // second bounded by max bucket size) is how you see it before
+    // paying for it. Rides the shared lsh_bands frame.
+    "x108_lsh_bucket_skew" -> { (s, dir) =>
+      val hist = lshBands(s, dir)
+        .groupBy("bi", "bh").agg(count(lit(1)).as("bsz"))
+        .groupBy("bsz").agg(count(lit(1)).as("n_buckets"))
+        .selectExpr("bsz", "n_buckets",
+          "((bsz * (bsz - 1)) div 2) * n_buckets as pair_mass")
+      val tot = hist.agg(sum(col("pair_mass")).as("total_pairs"))
+      hist.crossJoin(broadcast(tot))
+        .selectExpr("bsz as bucket_size", "n_buckets", "pair_mass",
+          sRound6("case when total_pairs = 0 then cast(0 as double) " +
+            "else cast(pair_mass as double) / cast(total_pairs as double) end") +
+            " as pair_frac")
+        .orderBy("bucket_size")
+    },
+
+    // CORPUS-BUILD MANIFEST — the composition every single-stage query
+    // exists to serve, run end-to-end as ONE dag: exact dedup →
+    // quality gate → near dedup (x58's survivor chain, shared) →
+    // benchmark decontamination (drop held-out-split docs AND any
+    // survivor sharing an 8-gram with the held-out grams — x21's scan
+    // pointed at the training side, the direction a real corpus build
+    // runs it) → deterministic shard assignment. The output is the
+    // artifact a training run consumes: (doc_id, n_tokens, shard).
+    // Every stage rides a shared/cached frame; the composition itself
+    // adds two anti-joins and one hash projection — at 100 TB the
+    // manifest costs no more than its most expensive stage.
+    "x109_corpus_manifest" -> { (s, dir) =>
+      val (_, _, _, s3) = funnelStages(s, dir)
+      val grams = splitGrams(s, dir)
+      val bench = grams.filter("bucket >= 90")
+        .selectExpr("explode(gs) as g").distinct()
+      val contaminated = grams.selectExpr("doc_id", "explode(gs) as g")
+        .join(bench, "g").select("doc_id").distinct()
+      s3
+        .join(grams.filter("bucket >= 90").select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .selectExpr("doc_id", "nt as n_tokens",
+          s"${sH("concat('shard:', doc_id)")} % 8 as shard")
+        .orderBy("doc_id")
+    },
+
     // MINHASH ESTIMATOR CALIBRATION — x35 grades the LSH *recall
     // pipeline*; this grades the *estimator itself*: per candidate
     // pair, the signature-agreement estimate ĵ = |{s : mₛ(A)=mₛ(B)}|/16
@@ -730,22 +816,7 @@ object Dedup {
     // semi/anti joins on doc_id, four one-row aggregates. The retention
     // divisor is a broadcast one-row count — no global window anywhere.
     "x58_curation_funnel" -> { (s, dir) =>
-      val gate = TextAnalysis.gopherGate(s, dir)
-        .select("doc_id", "n_tokens", "pass")
-      val d0 = Shared.temp(t(s, dir, "documents")
-        .selectExpr("doc_id", s"md5($sNorm) as fp")
-        .join(gate, Seq("doc_id"), "left")
-        .selectExpr("doc_id", "fp",
-          "coalesce(n_tokens, cast(0 as bigint)) as nt",
-          "coalesce(pass, false) as pass"))
-      val reps = d0.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-      val s1 = Shared.temp(d0.join(reps.select("doc_id"), "doc_id"))
-      val s2 = Shared.temp(s1.filter("pass"))
-      val drop = simhashPairs(s, dir).select("doc_a", "doc_b")
-        .join(s2.select(col("doc_id").as("doc_a")), "doc_a")
-        .join(s2.select(col("doc_id").as("doc_b")), "doc_b")
-        .select(col("doc_b").as("doc_id")).distinct()
-      val s3 = s2.join(drop, Seq("doc_id"), "left_anti")
+      val (d0, s1, s2, s3) = funnelStages(s, dir)
       def stage(df: DataFrame, id: Int, name: String): DataFrame =
         df.agg(count(lit(1)).as("nd"), sum(col("nt")).as("ntok"))
           .selectExpr(s"cast($id as bigint) as stage",
@@ -942,6 +1013,34 @@ object Dedup {
         s"posexplode(array(${(0 until 4).map(sBandHash).mkString(", ")})) as (bi, bh)")
     }
 
+  /** Curation-funnel stage frames, shared by x58 (attrition report) and
+    * x109 (the final manifest): d0 = corpus with fingerprint / token
+    * count / Gopher pass flag, s1 = exact-dedup representatives, s2 =
+    * quality survivors, s3 = near-dedup survivors (one-step greedy
+    * keep-smallest over the simhash pair graph). Stage frames are
+    * transient-cached so each caller's set algebra runs the pipeline
+    * once. */
+  private def funnelStages(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val gate = TextAnalysis.gopherGate(s, dir)
+      .select("doc_id", "n_tokens", "pass")
+    val d0 = Shared.temp(t(s, dir, "documents")
+      .selectExpr("doc_id", s"md5($sNorm) as fp")
+      .join(gate, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "fp",
+        "coalesce(n_tokens, cast(0 as bigint)) as nt",
+        "coalesce(pass, false) as pass"))
+    val reps = d0.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val s1 = Shared.temp(d0.join(reps.select("doc_id"), "doc_id"))
+    val s2 = Shared.temp(s1.filter("pass"))
+    val drop = simhashPairs(s, dir).select("doc_a", "doc_b")
+      .join(s2.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(s2.select(col("doc_id").as("doc_b")), "doc_b")
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s3 = s2.join(drop, Seq("doc_id"), "left_anti")
+    (d0, s1, s2, s3)
+  }
+
   private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     val sig = lshBands(s, dir)
     val a = sig.select(col("doc_id").as("doc_a"), col("bi"), col("bh"))
@@ -1091,6 +1190,35 @@ object Dedup {
          |SELECT df, n_shingles, CAST(mass AS BIGINT) AS mass,
          |  ${dRound6("CAST(mass AS DOUBLE) / CAST(total_mass AS DOUBLE)")} AS mass_frac
          |FROM b2, tot ORDER BY df""".stripMargin,
+    "x108_lsh_bucket_skew" ->
+      s"""$dShingled $dSig,
+         |bands AS (
+         |${(0 until 4).map(b => s"  SELECT doc_id, $b AS bi, ${dBandHash(b)} AS bh FROM sig")
+             .mkString("\n  UNION ALL\n")}),
+         |bs AS (SELECT bi, bh, CAST(COUNT(*) AS BIGINT) AS bsz
+         |       FROM bands GROUP BY bi, bh),
+         |hist AS (SELECT bsz, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |           CAST(((bsz * (bsz - 1)) // 2) * COUNT(*) AS BIGINT) AS pair_mass
+         |         FROM bs GROUP BY bsz),
+         |tot AS (SELECT SUM(pair_mass) AS total_pairs FROM hist)
+         |SELECT bsz AS bucket_size, n_buckets, pair_mass,
+         |  ${dRound6("CASE WHEN total_pairs = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(pair_mass AS DOUBLE) / CAST(total_pairs AS DOUBLE) END")} AS pair_frac
+         |FROM hist, tot ORDER BY bucket_size""".stripMargin,
+    "x109_corpus_manifest" ->
+      s"""$dFunnelCte,
+         |tkn9 AS (SELECT doc_id, $dTokens AS tk FROM documents),
+         |g9 AS (SELECT doc_id, ${dSplitBucket("doc_id")} AS bucket,
+         |         $dGrams8 AS gs FROM tkn9),
+         |bench AS (SELECT DISTINCT unnest(gs) AS g FROM g9 WHERE bucket >= 90),
+         |contam AS (SELECT DISTINCT e.doc_id
+         |           FROM (SELECT doc_id, unnest(gs) AS g FROM g9) e
+         |           JOIN bench USING (g)),
+         |clean AS (SELECT * FROM fs3
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM g9 WHERE bucket >= 90)
+         |            AND doc_id NOT IN (SELECT doc_id FROM contam))
+         |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |  ${dH("concat('shard:', doc_id)")} % 8 AS shard
+         |FROM clean ORDER BY doc_id""".stripMargin,
     "x63_minhash_calibration" -> {
       val agree = (0 until Seeds)
         .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
@@ -1445,36 +1573,7 @@ object Dedup {
          |ORDER BY nw.doc_id""".stripMargin,
     // stop list and gate bounds literal-identical to x50's oracle
     "x58_curation_funnel" ->
-      s"""$dSimhash,
-         |chunks AS (SELECT doc_id, simhash, c AS ci, (simhash >> (15*c)) & 32767 AS chunk
-         |           FROM sh2, range(0, 4) r(c)),
-         |prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |        FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
-         |             AND a.doc_id < b.doc_id
-         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-         |gtf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-         |        FROM (SELECT doc_id, unnest($dTokens) AS token FROM documents)
-         |        WHERE token <> '' GROUP BY doc_id, token),
-         |ga AS (SELECT doc_id, SUM(tf) AS nt, MAX(tf) AS max_tf,
-         |         SUM(length(token) * tf) AS n_tok_chars,
-         |         SUM(CASE WHEN token IN ('the', 'a', 'and', 'of', 'to', 'le', 'la', 'el', 'der', 'die') THEN tf ELSE 0 END) AS sh
-         |       FROM gtf GROUP BY doc_id),
-         |gate AS (SELECT doc_id, CAST(nt AS BIGINT) AS nt,
-         |           (CAST(nt AS BIGINT) BETWEEN 20 AND 100000)
-         |             AND (${dRound6("CAST(n_tok_chars AS DOUBLE) / CAST(nt AS DOUBLE)")} BETWEEN 2.0 AND 10.0)
-         |             AND (${dRound6("CAST(max_tf AS DOUBLE) / CAST(nt AS DOUBLE)")} <= 0.2)
-         |             AND (sh >= 2) AS pass
-         |         FROM ga),
-         |d0 AS (SELECT d.doc_id, md5($dNorm) AS fp,
-         |         COALESCE(g.nt, 0) AS nt, COALESCE(g.pass, FALSE) AS pass
-         |       FROM documents d LEFT JOIN gate g USING (doc_id)),
-         |freps AS (SELECT MIN(doc_id) AS doc_id FROM d0 GROUP BY fp),
-         |fs1 AS (SELECT d0.* FROM d0 JOIN freps USING (doc_id)),
-         |fs2 AS (SELECT * FROM fs1 WHERE pass),
-         |drp AS (SELECT DISTINCT p.doc_b AS doc_id
-         |        FROM prs p JOIN fs2 a ON p.doc_a = a.doc_id
-         |                   JOIN fs2 b ON p.doc_b = b.doc_id),
-         |fs3 AS (SELECT * FROM fs2 WHERE doc_id NOT IN (SELECT doc_id FROM drp)),
+      s"""$dFunnelCte,
          |nz AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n0 FROM d0),
          |fun AS (
          |  SELECT 0 AS stage, 'all' AS stage_name,

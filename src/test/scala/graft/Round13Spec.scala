@@ -113,6 +113,68 @@ class Round13Spec extends SparkSpec {
       Set("null_ref", "dangling", "deleted_ref", "ok"))
   }
 
+  test("x108: histogram reconstructs the band table exactly and the " +
+      "pair-mass identity C(s,2)*n holds per row") {
+    import graft.llm.Frag._
+    val rows = SparkEntry.queries("x108_lsh_bucket_skew")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (bsz, n, mass, _) =>
+      assert(mass == bsz * (bsz - 1) / 2 * n, s"pair mass wrong at size $bsz")
+    }
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4,
+      "pair_frac must sum to ~1 over the histogram")
+    // every rep doc with a nonempty shingle set contributes exactly 4
+    // band rows, so sum(bsz * n_buckets) = 4 * |rep docs|
+    val nReps = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id", s"$sNorm as norm", s"size($sTokens) as ntk")
+      .filter("ntk >= 3")
+      .selectExpr("norm").distinct().count()
+    assert(rows.map(r => r._1 * r._2).sum == 4 * nReps,
+      s"band rows != 4 * $nReps rep docs")
+  }
+
+  test("x109: the manifest is decontaminated — no held-out doc, no " +
+      "survivor sharing an 8-gram with the held-out split (recomputed " +
+      "in memory), shards in range") {
+    import graft.llm.Frag._
+    val manifest = SparkEntry.queries("x109_corpus_manifest")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(manifest.nonEmpty)
+    manifest.foreach { case (id, nt, shard) =>
+      assert(shard >= 0 && shard < 8, s"doc $id shard $shard out of range")
+      assert(nt > 0, s"doc $id survived the gate with 0 tokens")
+    }
+    // independent in-memory recompute of the held-out split + 8-grams
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id", s"${sSplitBucket("doc_id")} as bucket", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def grams8(text: String): Set[String] = {
+      val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 8) Set.empty
+      else tk.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val heldOut = docs.filter(_._2 >= 90)
+    val benchGrams = heldOut.flatMap(d => grams8(d._3)).toSet
+    val heldOutIds = heldOut.map(_._1).toSet
+    val byId = docs.map(d => d._1 -> d._3).toMap
+    manifest.foreach { case (id, _, _) =>
+      assert(!heldOutIds.contains(id), s"held-out doc $id leaked in")
+      assert(grams8(byId(id)).intersect(benchGrams).isEmpty,
+        s"doc $id shares an 8-gram with the held-out split")
+    }
+  }
+
+  test("x109: manifest is a subset of x58's stage-3 survivors") {
+    val survivors = SparkEntry.queries("x58_curation_funnel")(spark, sf001)
+      .filter("stage = 3").select("n_docs").collect().head.getLong(0)
+    val manifest = SparkEntry.queries("x109_corpus_manifest")(spark, sf001)
+      .count()
+    assert(manifest <= survivors && manifest > 0,
+      s"manifest $manifest vs survivors $survivors")
+  }
+
   test("r76 plan guard: the audit joins the corpus against a BROADCAST " +
       "dimension — no shuffle on the FK column") {
     val plan = SparkEntry.queries("r76_fk_integrity_audit")(spark, sf001)
