@@ -1520,8 +1520,7 @@ object TextAnalysis {
     // the chain replays training's v1→v2→v3 exactly).
     "x98_bpe_segment" -> { (s, dir) =>
       val m = bpeMerges(s, dir)
-      def mk(k: Int) = m.filter(s"step = $k")
-        .selectExpr(s"left_sym as a$k", s"right_sym as b$k")
+      def mk(k: Int) = mergeStep(m, k)
       def rep(k: Int, inner: String): String =
         s"replace($inner, concat(chr(1), a$k, chr(2), chr(1), b$k, chr(2)), " +
           s"concat(chr(1), a$k, b$k, chr(2)))"
@@ -1550,8 +1549,7 @@ object TextAnalysis {
     // learner's vocabulary (both engines).
     "x100_bpe_stream" -> { (s, dir) =>
       val m = bpeMerges(s, dir)
-      def mk(k: Int) = m.filter(s"step = $k")
-        .selectExpr(s"left_sym as a$k", s"right_sym as b$k")
+      def mk(k: Int) = mergeStep(m, k)
       def rep(k: Int, inner: String): String =
         s"replace($inner, concat(chr(1), a$k, chr(2), chr(1), b$k, chr(2)), " +
           s"concat(chr(1), a$k, b$k, chr(2)))"
@@ -1702,7 +1700,9 @@ object TextAnalysis {
     graft.queries.Shared.shared(s, dir, "bpe_merges") {
       var cur = bpeWords(s, dir)
       val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      for (k <- 1 to 3) {
+      var k = 1
+      var exhausted = false
+      while (k <= 3 && !exhausted) {
         val pairs = cur
           .selectExpr("freq",
             "transform(filter(split(seg, chr(1)), p -> p != ''), " +
@@ -1715,23 +1715,42 @@ object TextAnalysis {
           .groupBy("a", "b").agg(sum("freq").as("cnt"))
         val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
           .localCheckpoint()
-        // a degenerate vocabulary (all words single-symbol) would make
-        // `best` empty and the crossJoin below silently collapse every
-        // downstream frame to zero rows — fail loudly instead (the
-        // frame is checkpointed and ≤1 row, so this count is free)
-        require(best.count() == 1,
-          s"BPE merge step $k found no adjacent symbol pairs — " +
-            "vocabulary is fully merged or degenerate")
-        merges += best.selectExpr(s"cast($k as bigint) as step",
-          "a as left_sym", "b as right_sym", "concat(a, b) as merged",
-          "cast(cnt as bigint) as pair_count")
-        cur = cur.crossJoin(broadcast(best))
-          .selectExpr("word", "freq",
-            "replace(seg, concat(chr(1), a, chr(2), chr(1), b, chr(2)), " +
-              "concat(chr(1), a, b, chr(2))) as seg")
+        // a degenerate vocabulary (empty corpus, or all words already
+        // single-symbol) has no adjacent pairs left: stop learning and
+        // return the merges found so far — consumers apply missing
+        // steps as no-ops. The check is free: the frame is
+        // checkpointed and ≤ 1 row.
+        if (best.isEmpty) exhausted = true
+        else {
+          merges += best.selectExpr(s"cast($k as bigint) as step",
+            "a as left_sym", "b as right_sym", "concat(a, b) as merged",
+            "cast(cnt as bigint) as pair_count")
+          cur = cur.crossJoin(broadcast(best))
+            .selectExpr("word", "freq",
+              "replace(seg, concat(chr(1), a, chr(2), chr(1), b, chr(2)), " +
+                "concat(chr(1), a, b, chr(2))) as seg")
+        }
+        k += 1
       }
-      merges.reduce(_ unionByName _).localCheckpoint()
+      if (merges.isEmpty)
+        s.range(0).selectExpr("id as step",
+          "cast(null as string) as left_sym",
+          "cast(null as string) as right_sym",
+          "cast(null as string) as merged",
+          "cast(null as bigint) as pair_count")
+      else merges.reduce(_ unionByName _).localCheckpoint()
     }
+
+  /** One-row per-step merge frame for the x98/x100 replace chains:
+    * the learned (left, right) pair when step k exists, else a no-op
+    * pair built from the \x02 marker — symbols are marker-free, so
+    * the pattern `\x01 + \x02 + \x02 …` can never occur in a
+    * segmentation and the replace is the identity. Keeps the apply
+    * chains total on corpora where fewer than 3 merges exist. */
+  private def mergeStep(m: DataFrame, k: Int): DataFrame =
+    m.filter(s"step = $k")
+      .agg(expr(s"coalesce(max(left_sym), chr(2))").as(s"a$k"),
+        expr(s"coalesce(max(right_sym), chr(2))").as(s"b$k"))
 
   /** The x94 probe's 3-epoch training loop (see x94's scaladoc for the
     * featurization rationale). Returns the (dim, w decimal(16,6))
@@ -1764,7 +1783,10 @@ object TextAnalysis {
         w.join(gd.unionByName(gb), Seq("dim"), "left")
           .crossJoin(broadcast(n))
           .selectExpr("dim",
-            "cast(cast(w as double) - cast(1 as double) * cast(coalesce(gs, cast(0 as decimal(24,12))) as double) / cast(n_docs as double) as decimal(16,6)) as w")
+            // greatest(n_docs, 1): on a 0-row corpus the gradient sum
+            // is 0 and the division must stay total (0/1 = 0, weights
+            // stay at init) — value-identical whenever n_docs >= 1
+            "cast(cast(w as double) - cast(1 as double) * cast(coalesce(gs, cast(0 as decimal(24,12))) as double) / cast(greatest(n_docs, 1) as double) as decimal(16,6)) as w")
       }
       var w: DataFrame = s.range(-1, 256)
         .selectExpr("id as dim", "cast(0 as decimal(16,6)) as w")
