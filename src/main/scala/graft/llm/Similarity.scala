@@ -147,6 +147,32 @@ object Similarity {
          |  (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),
          |  cast(0 as double), (acc, t) -> acc + t)""".stripMargin
 
+  /** Converged (2-iteration) Lloyd centroids from the deterministic
+    * 8-seed init — shared tier: x51's inertia report and x111's
+    * silhouette gauge both read the SAME 8-row centroid frame, so the
+    * two Lloyd iterations (the expensive part: two corpus passes each)
+    * run once per corpus, not once per query. */
+  private def km2Cent(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "km2_cent") {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val init = emb.filter(QuerySet)
+        .selectExpr("vec_id as cl",
+          "transform(embedding, x -> cast(x as double)) as cv")
+      var cent = init
+      for (_ <- 1 to 2)
+        cent = kmUpdate(emb, kmAssign(emb, cent))
+      cent
+    }
+
+  /** The converged assignment (vec_id, cl, d2) over [[km2Cent]] —
+    * shared tier: x51's inertia and x112's purity/NMI audit read the
+    * same frame, so the final assignment pass also runs once. */
+  private def km2Asg(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "km2_asg") {
+      kmAssign(t(s, dir, "embeddings").select("vec_id", "embedding"),
+        km2Cent(s, dir))
+    }
+
   /** One Lloyd assignment: nearest centroid by squared L2 (ties to the
     * smaller cluster id). Broadcast centroids; the cross product is
     * collapsed immediately by a map-side min-struct aggregation. */
@@ -709,19 +735,102 @@ object Similarity {
     // every centroid coordinate and every distance bit-identical to the
     // oracle's SQL replay, so even the iterated fixpoint hash-matches.
     "x51_kmeans" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val init = emb.filter(QuerySet)
-        .selectExpr("vec_id as cl",
-          "transform(embedding, x -> cast(x as double)) as cv")
-      var cent = init
-      for (_ <- 1 to 2)
-        cent = kmUpdate(emb, kmAssign(emb, cent))
-      kmAssign(emb, cent)
+      km2Asg(s, dir)
         .groupBy("cl")
         .agg(count(lit(1)).as("n_members"),
           sum(expr("cast(d2 as decimal(24,12))")).cast("double").as("inertia0"))
         .selectExpr("cast(cl as bigint) as cluster_id",
           "n_members", sRound6("inertia0") + " as inertia")
+        .orderBy("cluster_id")
+    },
+
+    // SIMPLIFIED SILHOUETTE (Hruschka et al.'s centroid-based variant
+    // — the cluster-quality gauge read next to x51's inertia before
+    // trusting a clustering for SemDeDup/IVF/curation decisions; the
+    // classic silhouette's all-pairs distances are quadratic and dead
+    // at 100 TB, the centroid form is one corpus × k scan, the SAME
+    // broadcast-crossJoin shape as the Lloyd assignment it grades):
+    // per point, a = dist to its own centroid, b = dist to the nearest
+    // OTHER centroid, s = (b-a)/max(a,b) = (b-a)/b since b ≥ a; the
+    // per-vector top-2 collapses in one map-side sorted-slice
+    // aggregation (no ranking exchange), exactly the ivf_top2 routing
+    // shape. Reads the shared km2_cent frame — the Lloyd iterations
+    // are not re-run. A cluster whose points average s → 0 overlaps
+    // its neighbor (merge candidate); s → 1 is well-separated.
+    "x111_kmeans_silhouette" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val two = emb.crossJoin(broadcast(km2Cent(s, dir)))
+        .selectExpr("vec_id", "cl", s"${sL2In(s, "embedding", "cv")} as d2")
+        .groupBy("vec_id")
+        .agg(expr("slice(sort_array(collect_list(struct(d2, cl))), 1, 2)")
+          .as("t2"))
+        .selectExpr("vec_id", "t2[0].cl as cl", "sqrt(t2[0].d2) as sa",
+          "t2[1].d2 as bd2")
+      two
+        .selectExpr("cl", "sa",
+          // one centroid total (or a point equidistant at 0): s = 0
+          """case when bd2 is null then cast(0.0 as double)
+            |     when sqrt(bd2) = cast(0.0 as double) then cast(0.0 as double)
+            |     else (sqrt(bd2) - sa) / sqrt(bd2) end as sil""".stripMargin)
+        .groupBy("cl")
+        .agg(count(lit(1)).as("n_members"),
+          sum(expr("cast(sil as decimal(24,12))")).cast("double").as("sil0"),
+          sum(expr("cast(sa as decimal(24,12))")).cast("double").as("sa0"))
+        .selectExpr("cast(cl as bigint) as cluster_id", "n_members",
+          sRound6("sil0 / cast(n_members as double)") + " as mean_silhouette",
+          sRound6("sa0 / cast(n_members as double)") + " as mean_dist")
+        .orderBy("cluster_id")
+    },
+
+    // EXTERNAL CLUSTER VALIDITY (purity + NMI against the planted
+    // labels — x111 asks "are the clusters separated?", this asks "are
+    // they the RIGHT clusters?"; the audit run whenever ground truth
+    // exists for a sample, e.g. a labeled eval slice of a 100 TB
+    // corpus, before trusting the clustering for curation/routing):
+    // per cluster, its majority label and purity; globally, normalized
+    // mutual information 2·I(C;L)/(H(C)+H(L)) — purity alone is gamed
+    // by shattering into tiny clusters, NMI penalizes exactly that.
+    // Everything derives from the 8×|labels| contingency table: ONE
+    // (cl,label)-keyed aggregation over the shared assignment frame
+    // (the Lloyd passes are not re-run), then arithmetic over ≤64
+    // broadcast rows — the corpus is touched once, k·L rows move.
+    "x112_cluster_purity" -> { (s, dir) =>
+      // the contingency table feeds five derivations — persist it for
+      // the query's lifetime (≤ k·L rows) instead of re-joining
+      val ct = Shared.temp(km2Asg(s, dir).select("vec_id", "cl")
+        .join(t(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+        .groupBy("cl", "label").agg(count(lit(1)).as("n")))
+      val nC = ct.groupBy("cl").agg(sum("n").as("n_c"))
+      val nL = ct.groupBy("label").agg(sum("n").as("n_l"))
+      val nTot = ct.agg(sum("n").as("n_tot"))
+      // global MI and entropies: ≤ k·L cells, one-row frames throughout
+      val mi = ct.join(broadcast(nC), "cl").join(broadcast(nL), "label")
+        .crossJoin(broadcast(nTot))
+        .selectExpr("""cast(cast(n as double) / cast(n_tot as double) *
+          |ln(cast(n_tot as double) * cast(n as double) /
+          |   (cast(n_c as double) * cast(n_l as double)))
+          |as decimal(24,12)) as term""".stripMargin)
+        .agg(sum("term").cast("double").as("mi"))
+      def entropy(nk: DataFrame, c: String) = nk.crossJoin(broadcast(nTot))
+        .selectExpr(s"""cast(-(cast($c as double) / cast(n_tot as double)) *
+          |ln(cast($c as double) / cast(n_tot as double))
+          |as decimal(24,12)) as term""".stripMargin)
+        .agg(sum("term").cast("double").as(s"h_$c"))
+      val nmi = mi.crossJoin(entropy(nC, "n_c")).crossJoin(entropy(nL, "n_l"))
+        .selectExpr("""case when h_n_c + h_n_l = cast(0.0 as double)
+          |then cast(0.0 as double)
+          |else 2.0d * mi / (h_n_c + h_n_l) end as nmi""".stripMargin)
+      val maj = ct.groupBy("cl")
+        .agg(expr("max(named_struct('n', n, 'negl', -label))").as("m"),
+          sum("n").as("n_members"))
+        .selectExpr("cl", "n_members", "-m.negl as majority_label",
+          "m.n as n_maj")
+      maj.crossJoin(broadcast(nmi))
+        .selectExpr("cast(cl as bigint) as cluster_id",
+          "n_members", "cast(majority_label as bigint) as majority_label",
+          sRound6("cast(n_maj as double) / cast(n_members as double)") +
+            " as purity",
+          sRound6("nmi") + " as nmi")
         .orderBy("cluster_id")
     },
 
@@ -763,6 +872,51 @@ object Similarity {
         .selectExpr("method", "query_id", "n_approx",
           "cast(n_hit0 as bigint) as n_hit", "n_exact",
           sRound6("cast(n_hit0 as double) / cast(n_exact as double)") + " as recall_at_k")
+        .orderBy("method", "query_id")
+    },
+
+    // RANKED RETRIEVAL METRICS — x62 grades the five ANN methods as
+    // SETS (recall@k); this grades them as RANKINGS: MRR@k (reciprocal
+    // rank of the first true neighbor — the "how far down is the first
+    // good hit" latency proxy) and binary-relevance NDCG@k (position-
+    // discounted overlap with the exact top-k — the standard ranking
+    // score an IR/RAG eval reports). Two methods with equal recall can
+    // differ sharply here: ADC-approximate orderings (pq, ivfpq) put
+    // true neighbors lower than exact re-ranked ones (ivfadcr), and
+    // only a rank-aware metric sees it. Same 100 TB shape as x62: each
+    // method contributes its ORDERED top-k (rk is the native bounded-
+    // heap operator's rank — total order, ties broken by neighbor id
+    // on both engines), the exact frame doubles as its own ideal-DCG
+    // (its rk IS the ideal ranking), and the composition adds only an
+    // overlap join of tiny ranked lists over the session-cached stages.
+    "x110_retrieval_metrics" -> { (s, dir) =>
+      val exact = exactTopk(s, dir).select("query_id", "neighbor_id", "rk")
+      val idcg = exact.groupBy("query_id")
+        .agg(sum(expr("cast(cast(1.0 as double)/log2(cast(rk as double) + " +
+            "cast(1.0 as double)) as decimal(24,12))"))
+          .cast("double").as("idcg"))
+      val appr = Seq("ivf" -> ivfTopkCore _, "ivfadcr" -> ivfadcrTopkCore _,
+          "ivfpq" -> ivfpqTopkCore _, "lsh" -> lshTopkCore _,
+          "pq" -> pqTopkCore _)
+        .map { case (m, core) => core(s, dir)
+          .select(lit(m).as("method"), col("query_id"), col("neighbor_id"),
+            col("rk")) }
+        .reduce(_ union _)
+      appr
+        .join(exact.select(col("query_id"), col("neighbor_id"),
+          lit(1).as("rel")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("method", "query_id")
+        .agg(sum(coalesce(col("rel"), lit(0))).as("n_rel0"),
+          max(expr("case when rel = 1 then cast(1.0 as double)/" +
+            "cast(rk as double) else cast(0.0 as double) end")).as("rr"),
+          sum(expr("cast(case when rel = 1 then cast(1.0 as double)/" +
+              "log2(cast(rk as double) + cast(1.0 as double)) " +
+              "else cast(0.0 as double) end as decimal(24,12))"))
+            .cast("double").as("dcg"))
+        .join(broadcast(idcg), "query_id")
+        .selectExpr("method", "query_id", "cast(n_rel0 as bigint) as n_rel",
+          sRound6("rr") + " as mrr_at_k",
+          sRound6("dcg / idcg") + " as ndcg_at_k")
         .orderBy("method", "query_id")
     },
 
@@ -974,6 +1128,36 @@ object Similarity {
         .orderBy("label_a", "label_b")
     },
   )
+
+  /** Lloyd-chain oracle pieces, factored so x51 (inertia) and x111
+    * (silhouette) replay the identical 2-iteration centroid fixpoint. */
+  private def dKmL2(e: String, cv: String): String =
+    (1 to Frag.Dim).map(i =>
+      s"(CAST($e[$i] AS DOUBLE)-$cv[$i])*(CAST($e[$i] AS DOUBLE)-$cv[$i])")
+      .mkString(" + ")
+  private def dKmAsg(name: String, cent: String): String =
+    s"""$name AS (SELECT vec_id, cl, d2 FROM (
+       |  SELECT e.vec_id, c.cl, ${dKmL2("e.embedding", "c.cv")} AS d2,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dKmL2("e.embedding", "c.cv")}, c.cl) AS rn
+       |  FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+  private def dKmUpd(name: String, asgName: String): String =
+    s"""${name}m AS (SELECT cl, dim,
+       |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+       |  FROM (SELECT a.cl, generate_subscripts(e.embedding, 1) - 1 AS dim, unnest(e.embedding) AS v
+       |        FROM $asgName a JOIN embeddings e USING (vec_id))
+       |  GROUP BY cl, dim),
+       |$name AS (SELECT cl, list(c ORDER BY dim) AS cv FROM ${name}m GROUP BY cl)""".stripMargin
+  /** init → a1 → c1 → a2 → c2: the shared 2-iteration centroid chain
+    * (no WITH prefix; compose as `WITH $dKm2Cte, …`). */
+  private val dKm2Cte =
+    s"""init AS (SELECT vec_id AS cl,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |${dKmAsg("a1", "init")},
+       |${dKmUpd("c1", "a1")},
+       |${dKmAsg("a2", "c1")},
+       |${dKmUpd("c2", "a2")}""".stripMargin
 
   /** x11/x12/x17/x49 oracle texts, factored out so the x62 recall
     * harness can embed each one as a derived table. */
@@ -1310,6 +1494,35 @@ object Similarity {
          |  ${dRound6("CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE)")} AS recall_at_k
          |FROM h JOIN nex ON h.query_id = nex.query_id
          |ORDER BY method, h.query_id""".stripMargin,
+    "x110_retrieval_metrics" ->
+      s"""WITH exact AS (SELECT query_id, neighbor_id, rk FROM ($dX11Sql)),
+         |idcg AS (SELECT query_id,
+         |    CAST(SUM(CAST(CAST(1.0 AS DOUBLE)/log2(CAST(rk AS DOUBLE) + CAST(1.0 AS DOUBLE)) AS DECIMAL(24,12))) AS DOUBLE) AS idcg
+         |  FROM exact GROUP BY query_id),
+         |appr AS (
+         |  SELECT 'ivf' AS method, query_id, neighbor_id, rk FROM ($dX17Sql)
+         |  UNION ALL
+         |  SELECT 'ivfadcr' AS method, query_id, neighbor_id, rk FROM ($dX103Sql)
+         |  UNION ALL
+         |  SELECT 'ivfpq' AS method, query_id, neighbor_id, rk FROM ($dX101Sql)
+         |  UNION ALL
+         |  SELECT 'lsh' AS method, query_id, neighbor_id, rk FROM ($dX12Sql)
+         |  UNION ALL
+         |  SELECT 'pq' AS method, query_id, neighbor_id, rk FROM ($dX49Sql)),
+         |j AS (SELECT method, a.query_id, a.rk,
+         |        CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |      FROM appr a LEFT JOIN exact e
+         |        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+         |m AS (SELECT method, query_id,
+         |        CAST(SUM(rel) AS BIGINT) AS n_rel,
+         |        MAX(CASE WHEN rel = 1 THEN CAST(1.0 AS DOUBLE)/CAST(rk AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS rr,
+         |        CAST(SUM(CAST(CASE WHEN rel = 1 THEN CAST(1.0 AS DOUBLE)/log2(CAST(rk AS DOUBLE) + CAST(1.0 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(24,12))) AS DOUBLE) AS dcg
+         |      FROM j GROUP BY method, query_id)
+         |SELECT method, m.query_id, n_rel,
+         |  ${dRound6("rr")} AS mrr_at_k,
+         |  ${dRound6("dcg / idcg")} AS ndcg_at_k
+         |FROM m JOIN idcg ON m.query_id = idcg.query_id
+         |ORDER BY method, m.query_id""".stripMargin,
     "x18_embedding_quantize" ->
       s"""WITH s1 AS (SELECT vec_id, embedding,
          |              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / CAST(127 AS DOUBLE) AS scale
@@ -1385,37 +1598,65 @@ object Similarity {
          |  FROM votes)
          |SELECT query_id, label AS predicted_label, votes
          |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin,
-    "x51_kmeans" -> {
-      def dL2(e: String, cv: String): String =
-        (1 to Frag.Dim).map(i =>
-          s"(CAST($e[$i] AS DOUBLE)-$cv[$i])*(CAST($e[$i] AS DOUBLE)-$cv[$i])")
-          .mkString(" + ")
-      def asg(name: String, cent: String): String =
-        s"""$name AS (SELECT vec_id, cl, d2 FROM (
-           |  SELECT e.vec_id, c.cl, ${dL2("e.embedding", "c.cv")} AS d2,
-           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${dL2("e.embedding", "c.cv")}, c.cl) AS rn
-           |  FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
-      def upd(name: String, asgName: String): String =
-        s"""${name}m AS (SELECT cl, dim,
-           |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
-           |  FROM (SELECT a.cl, generate_subscripts(e.embedding, 1) - 1 AS dim, unnest(e.embedding) AS v
-           |        FROM $asgName a JOIN embeddings e USING (vec_id))
-           |  GROUP BY cl, dim),
-           |$name AS (SELECT cl, list(c ORDER BY dim) AS cv FROM ${name}m GROUP BY cl)""".stripMargin
-      s"""WITH init AS (SELECT vec_id AS cl,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-         |  FROM embeddings WHERE vec_id < 8),
-         |${asg("a1", "init")},
-         |${upd("c1", "a1")},
-         |${asg("a2", "c1")},
-         |${upd("c2", "a2")},
-         |${asg("fin", "c2")}
+    "x51_kmeans" ->
+      s"""WITH $dKm2Cte,
+         |${dKmAsg("fin", "c2")}
          |SELECT CAST(cl AS BIGINT) AS cluster_id,
          |  CAST(COUNT(*) AS BIGINT) AS n_members,
          |  ${dRound6("CAST(SUM(CAST(d2 AS DECIMAL(24,12))) AS DOUBLE)")} AS inertia
-         |FROM fin GROUP BY cl ORDER BY cluster_id""".stripMargin
-    },
+         |FROM fin GROUP BY cl ORDER BY cluster_id""".stripMargin,
+    "x111_kmeans_silhouette" ->
+      s"""WITH $dKm2Cte,
+         |all2 AS (SELECT e.vec_id, c.cl, ${dKmL2("e.embedding", "c.cv")} AS d2,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dKmL2("e.embedding", "c.cv")}, c.cl) AS rn
+         |  FROM embeddings e CROSS JOIN c2 c),
+         |ab AS (SELECT a.vec_id, a.cl, sqrt(a.d2) AS sa, b.d2 AS bd2
+         |       FROM (SELECT * FROM all2 WHERE rn = 1) a
+         |       LEFT JOIN (SELECT * FROM all2 WHERE rn = 2) b USING (vec_id)),
+         |sil AS (SELECT cl, sa,
+         |          CASE WHEN bd2 IS NULL THEN CAST(0.0 AS DOUBLE)
+         |               WHEN sqrt(bd2) = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+         |               ELSE (sqrt(bd2) - sa) / sqrt(bd2) END AS s
+         |        FROM ab)
+         |SELECT CAST(cl AS BIGINT) AS cluster_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  ${dRound6("CAST(SUM(CAST(s AS DECIMAL(24,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS mean_silhouette,
+         |  ${dRound6("CAST(SUM(CAST(sa AS DECIMAL(24,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS mean_dist
+         |FROM sil GROUP BY cl ORDER BY cluster_id""".stripMargin,
+    "x112_cluster_purity" ->
+      s"""WITH $dKm2Cte,
+         |${dKmAsg("fin", "c2")},
+         |ct AS (SELECT f.cl, e.label, COUNT(*) AS n
+         |       FROM fin f JOIN embeddings e USING (vec_id)
+         |       GROUP BY f.cl, e.label),
+         |nc AS (SELECT cl, SUM(n) AS n_c FROM ct GROUP BY cl),
+         |nl AS (SELECT label, SUM(n) AS n_l FROM ct GROUP BY label),
+         |nt AS (SELECT SUM(n) AS n_tot FROM ct),
+         |mi AS (SELECT CAST(SUM(CAST(CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE) *
+         |           ln(CAST(n_tot AS DOUBLE) * CAST(n AS DOUBLE) /
+         |              (CAST(n_c AS DOUBLE) * CAST(n_l AS DOUBLE))) AS DECIMAL(24,12))) AS DOUBLE) AS mi
+         |       FROM ct JOIN nc USING (cl) JOIN nl USING (label) CROSS JOIN nt),
+         |hc AS (SELECT CAST(SUM(CAST(-(CAST(n_c AS DOUBLE) / CAST(n_tot AS DOUBLE)) *
+         |           ln(CAST(n_c AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS DECIMAL(24,12))) AS DOUBLE) AS h_c
+         |       FROM nc CROSS JOIN nt),
+         |hl AS (SELECT CAST(SUM(CAST(-(CAST(n_l AS DOUBLE) / CAST(n_tot AS DOUBLE)) *
+         |           ln(CAST(n_l AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS DECIMAL(24,12))) AS DOUBLE) AS h_l
+         |       FROM nl CROSS JOIN nt),
+         |nmi AS (SELECT CASE WHEN h_c + h_l = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+         |               ELSE CAST(2.0 AS DOUBLE) * mi / (h_c + h_l) END AS nmi
+         |        FROM mi CROSS JOIN hc CROSS JOIN hl),
+         |mx AS (SELECT cl, MAX(n) AS n_maj FROM ct GROUP BY cl),
+         |maj AS (SELECT ct.cl, MIN(label) AS majority_label
+         |        FROM ct JOIN mx ON ct.cl = mx.cl AND ct.n = mx.n_maj
+         |        GROUP BY ct.cl)
+         |SELECT CAST(nc.cl AS BIGINT) AS cluster_id,
+         |  CAST(n_c AS BIGINT) AS n_members,
+         |  CAST(majority_label AS BIGINT) AS majority_label,
+         |  ${dRound6("CAST(n_maj AS DOUBLE) / CAST(n_c AS DOUBLE)")} AS purity,
+         |  ${dRound6("nmi")} AS nmi
+         |FROM nc JOIN mx USING (cl) JOIN maj USING (cl) CROSS JOIN nmi
+         |ORDER BY cluster_id""".stripMargin,
     "x49_pq_ann" -> dX49Sql,
     "x14_label_centroids" ->
       """SELECT label, dim,

@@ -1,0 +1,109 @@
+package graft
+
+/** Round-9 third wave: ranked retrieval metrics (x110) and the
+  * simplified silhouette (x111). The specs pin the cross-query
+  * identities that make the two gauges trustworthy: x110's set-level
+  * numbers must agree with x62's independently computed recall (same
+  * cores, different composition), full recall under an exact-cosine
+  * final ordering must force perfect rank metrics, and x111's cluster
+  * memberships must be exactly x51's Lloyd assignment (both read the
+  * shared km2_cent frame — the silhouette grades the SAME clustering
+  * the inertia report describes, not a re-run).
+  */
+class Round14Spec extends SparkSpec {
+
+  private val Methods = Set("ivf", "ivfadcr", "ivfpq", "lsh", "pq")
+  private val TopK = 10
+
+  test("x110: metrics well-formed, n_rel agrees with x62's n_hit " +
+      "per (method, query)") {
+    val rows = SparkEntry.queries("x110_retrieval_metrics")(spark, sf001)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(rows.nonEmpty)
+    assert(rows.keySet.map(_._1) == Methods)
+    rows.foreach { case ((m, q), (nRel, mrr, ndcg)) =>
+      assert(nRel >= 0 && nRel <= TopK, s"$m q$q n_rel $nRel")
+      assert(mrr >= 0.0 && mrr <= 1.0, s"$m q$q mrr $mrr")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"$m q$q ndcg $ndcg")
+      // any relevant item in the list implies a positive first-hit rank
+      assert((nRel > 0) == (mrr > 0.0), s"$m q$q n_rel $nRel but mrr $mrr")
+      assert((nRel > 0) == (ndcg > 0.0), s"$m q$q n_rel $nRel but ndcg $ndcg")
+    }
+    val x62 = SparkEntry.queries("x62_ann_recall")(spark, sf001)
+      .select("method", "query_id", "n_hit")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.keySet == x62.keySet, "method/query grid differs from x62")
+    rows.foreach { case (k, (nRel, _, _)) =>
+      assert(nRel == x62(k), s"$k: x110 n_rel $nRel != x62 n_hit ${x62(k)}")
+    }
+  }
+
+  test("x110: full recall + exact-cosine final ordering forces perfect " +
+      "rank metrics (true members must occupy the top-k in exact order)") {
+    val nExact = SparkEntry.queries("x62_ann_recall")(spark, sf001)
+      .select("query_id", "n_exact").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("x110_retrieval_metrics")(spark, sf001)
+      .collect()
+      .filter(r => Set("ivf", "lsh", "ivfadcr").contains(r.getString(0)))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, q, nRel) = (r.getString(0), r.getLong(1), r.getLong(2))
+      if (nRel == nExact(q)) {
+        // every true neighbor retrieved, and the method ranks by exact
+        // cosine with the same tiebreak — the ranking IS the ideal one
+        assert(r.getDouble(3) == 1.0, s"$m q$q full recall but mrr != 1")
+        assert(r.getDouble(4) == 1.0, s"$m q$q full recall but ndcg != 1")
+      }
+    }
+  }
+
+  test("x111: memberships are exactly x51's Lloyd assignment, and the " +
+      "silhouette is well-formed separation evidence") {
+    val sil = SparkEntry.queries("x111_kmeans_silhouette")(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val km = SparkEntry.queries("x51_kmeans")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sil.keySet == km.keySet, "cluster ids differ from x51")
+    sil.foreach { case (cl, (n, s, d)) =>
+      assert(n == km(cl), s"cluster $cl: n_members $n != x51 ${km(cl)}")
+      assert(s >= -1.0 && s <= 1.0, s"cluster $cl silhouette $s out of range")
+      assert(d >= 0.0, s"cluster $cl mean_dist $d negative")
+    }
+    // the synthetic corpus is built from planted vector clusters — a
+    // clustering this gauge approves of must exist: overall (member-
+    // weighted) silhouette strictly positive
+    val overall = sil.values.map { case (n, s, _) => n * s }.sum /
+      sil.values.map(_._1).sum.toDouble
+    assert(overall > 0.0, s"overall silhouette $overall not positive")
+  }
+
+  test("x112: memberships match x51, purity and NMI well-formed, one " +
+      "global NMI, and purity is consistent with the contingency bound") {
+    val rows = SparkEntry.queries("x112_cluster_purity")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val km = SparkEntry.queries("x51_kmeans")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet == km.keySet, "cluster ids differ from x51")
+    rows.foreach { case (cl, n, _, purity, nmi) =>
+      assert(n == km(cl), s"cluster $cl n_members $n != x51 ${km(cl)}")
+      // majority covers at least an even share and at most everything
+      assert(purity > 0.0 && purity <= 1.0, s"cluster $cl purity $purity")
+      assert(purity >= 1.0 / n.toDouble, s"cluster $cl purity below floor")
+      assert(nmi >= 0.0 && nmi <= 1.0 + 1e-9, s"nmi $nmi out of range")
+    }
+    assert(rows.map(_._5).distinct.length == 1, "NMI must be global")
+    // totals must reconcile: clusters partition the corpus
+    val nVecs = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == nVecs, "clusters do not partition corpus")
+  }
+}

@@ -11,6 +11,9 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# thread-hungry oracle chains (kmeans cross joins) can hit pthread_create
+# EAGAIN at DuckDB's default thread count on a loaded host
+con.execute(f"SET threads TO {os.environ.get('DUCK_THREADS', '8')}")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sfdir}/{t}.parquet"
