@@ -378,6 +378,21 @@ object Similarity {
       .selectExpr("query_id", "neighbor_id",
         sRound6("adc") + " as adc_dist", "rk")
 
+  /** The five ANN methods' ordered top-k lists as one frame (method,
+    * query_id, neighbor_id, rk) — shared tier: x62 (set-level recall)
+    * and x110 (rank-level MRR/NDCG) grade the SAME retrievals, so the
+    * five method cores run once per corpus, not once per harness. */
+  private def annMethodTopk(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "ann_method_topk") {
+      Seq("ivf" -> ivfTopkCore _, "ivfadcr" -> ivfadcrTopkCore _,
+          "ivfpq" -> ivfpqTopkCore _, "lsh" -> lshTopkCore _,
+          "pq" -> pqTopkCore _)
+        .map { case (m, core) => core(s, dir)
+          .select(lit(m).as("method"), col("query_id"), col("neighbor_id"),
+            col("rk")) }
+        .reduce(_ union _)
+    }
+
   /** Candidates re-ranked per probe before the final cut (x103). */
   private val RerankK = 30
 
@@ -855,12 +870,8 @@ object Similarity {
       // truth, no sorts inside the composition
       val exact = exactTopk(s, dir)
         .select(col("query_id"), col("neighbor_id"))
-      val appr = Seq("ivf" -> ivfTopkCore _, "ivfadcr" -> ivfadcrTopkCore _,
-          "ivfpq" -> ivfpqTopkCore _, "lsh" -> lshTopkCore _,
-          "pq" -> pqTopkCore _)
-        .map { case (m, core) => core(s, dir)
-          .select(lit(m).as("method"), col("query_id"), col("neighbor_id")) }
-        .reduce(_ union _)
+      val appr = annMethodTopk(s, dir)
+        .select("method", "query_id", "neighbor_id")
       val nEx = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       appr
         .join(exact.withColumn("hit", lit(1)),
@@ -895,13 +906,7 @@ object Similarity {
         .agg(sum(expr("cast(cast(1.0 as double)/log2(cast(rk as double) + " +
             "cast(1.0 as double)) as decimal(24,12))"))
           .cast("double").as("idcg"))
-      val appr = Seq("ivf" -> ivfTopkCore _, "ivfadcr" -> ivfadcrTopkCore _,
-          "ivfpq" -> ivfpqTopkCore _, "lsh" -> lshTopkCore _,
-          "pq" -> pqTopkCore _)
-        .map { case (m, core) => core(s, dir)
-          .select(lit(m).as("method"), col("query_id"), col("neighbor_id"),
-            col("rk")) }
-        .reduce(_ union _)
+      val appr = annMethodTopk(s, dir)
       appr
         .join(exact.select(col("query_id"), col("neighbor_id"),
           lit(1).as("rel")), Seq("query_id", "neighbor_id"), "left")
