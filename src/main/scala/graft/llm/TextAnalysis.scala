@@ -472,6 +472,53 @@ object TextAnalysis {
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy("lang", "seq_id")
     },
+
+    // PACKING-EFFICIENCY SWEEP (the max_seq_len knob study run before
+    // committing a corpus to x25's packing: under concat-and-chop,
+    // longer contexts waste almost nothing in tail padding but split
+    // more documents across sequence boundaries — the cross-document
+    // attention-contamination the packing trades against). Per context
+    // length L ∈ {256, 512, 1024}: sequences produced, documents
+    // straddling a boundary, the token mass inside straddling docs,
+    // and the tail-padding fraction (only each language shard's last
+    // sequence pads). ONE lang-partitioned cumulative-sum pass (x25's
+    // window) feeds all three lengths — the explode triples only the
+    // narrow per-doc stats frame, never the text — then two keyed
+    // aggregations over (L × lang) rows. Integer-exact throughout.
+    "x113_packing_sweep" -> { (s, dir) =>
+      val run = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val split = "n_tok > 0 and (start div context_len) != " +
+        "((start + n_tok - 1) div context_len)"
+      docs(s, dir)
+        .selectExpr("doc_id", "lang", s"cast(size($sTokens) as bigint) as n_tok")
+        .withColumn("start", sum(col("n_tok")).over(run) - col("n_tok"))
+        .selectExpr("lang", "n_tok", "start",
+          "explode(array(256L, 512L, 1024L)) as context_len")
+        .groupBy("context_len", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("lang_tokens"),
+          sum(expr(s"case when $split then 1 else 0 end")).as("n_split"),
+          sum(expr(s"case when $split then n_tok else 0L end"))
+            .as("split_tokens"))
+        .withColumn("n_seqs",
+          expr("(lang_tokens + context_len - 1) div context_len"))
+        .groupBy("context_len")
+        .agg(sum("n_seqs").as("n_seqs"), sum("n_docs").as("n_docs"),
+          sum("n_split").as("n_docs_split"),
+          sum("lang_tokens").as("total_tokens"),
+          sum("split_tokens").as("split_tokens"),
+          sum(expr("context_len * n_seqs")).as("capacity"))
+        .selectExpr("context_len", "n_seqs", "n_docs", "n_docs_split",
+          sRound6("case when capacity = 0 then cast(0.0 as double) " +
+            "else cast(capacity - total_tokens as double) / " +
+            "cast(capacity as double) end") + " as pad_frac",
+          sRound6("case when total_tokens = 0 then cast(0.0 as double) " +
+            "else cast(split_tokens as double) / " +
+            "cast(total_tokens as double) end") + " as split_tok_frac")
+        .orderBy("context_len")
+    },
     // TF-IDF top terms per document: tf from one explode+groupBy, df
     // from a second aggregation over the SAME (doc,token) frame (no
     // re-tokenize), corpus size broadcast as a 1-row cross join. The
@@ -2054,6 +2101,29 @@ object TextAnalysis {
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c GROUP BY lang, seq_id
          |ORDER BY lang, seq_id""".stripMargin,
+    "x113_packing_sweep" ->
+      s"""WITH tk AS (SELECT doc_id, lang, CAST(len($dTokens) AS BIGINT) AS n_tok
+         |            FROM documents),
+         |c AS (SELECT doc_id, lang, n_tok,
+         |        CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start
+         |      FROM tk),
+         |e AS (SELECT c.*, CAST(l.context_len AS BIGINT) AS context_len
+         |      FROM c CROSS JOIN (VALUES (256), (512), (1024)) l(context_len)),
+         |pl AS (SELECT context_len, lang, COUNT(*) AS n_docs,
+         |         SUM(n_tok) AS lang_tokens,
+         |         SUM(CASE WHEN n_tok > 0 AND (start // context_len) <> ((start + n_tok - 1) // context_len) THEN 1 ELSE 0 END) AS n_split,
+         |         SUM(CASE WHEN n_tok > 0 AND (start // context_len) <> ((start + n_tok - 1) // context_len) THEN n_tok ELSE 0 END) AS split_tokens
+         |       FROM e GROUP BY context_len, lang),
+         |p2 AS (SELECT context_len, n_docs, lang_tokens, n_split, split_tokens,
+         |         (lang_tokens + context_len - 1) // context_len AS n_seqs
+         |       FROM pl)
+         |SELECT context_len, CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
+         |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_split) AS BIGINT) AS n_docs_split,
+         |  ${dRound6("CASE WHEN SUM(context_len * n_seqs) = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(SUM(context_len * n_seqs) - SUM(lang_tokens) AS DOUBLE) / CAST(SUM(context_len * n_seqs) AS DOUBLE) END")} AS pad_frac,
+         |  ${dRound6("CASE WHEN SUM(lang_tokens) = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(SUM(split_tokens) AS DOUBLE) / CAST(SUM(lang_tokens) AS DOUBLE) END")} AS split_tok_frac
+         |FROM p2 GROUP BY context_len ORDER BY context_len""".stripMargin,
     "x37_stratified_sample" ->
       s"""SELECT doc_id, lang, h, rk FROM (
          |  SELECT doc_id, lang, h,

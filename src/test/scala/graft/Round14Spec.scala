@@ -106,4 +106,29 @@ class Round14Spec extends SparkSpec {
     val nVecs = spark.read.parquet(s"$sf001/embeddings.parquet").count()
     assert(rows.map(_._2).sum == nVecs, "clusters do not partition corpus")
   }
+
+  test("x113: sweep is monotone the right way per knob direction, " +
+      "conserves the corpus, and its 256 point reconciles with x25") {
+    val rows = SparkEntry.queries("x113_packing_sweep")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1) sameElements Array(256L, 512L, 1024L))
+    assert(rows.map(_._3).distinct.length == 1, "n_docs must not vary with L")
+    rows.foreach { case (l, seqs, docs, split, pad, sfrac) =>
+      assert(split <= docs && seqs >= 1)
+      assert(pad >= 0.0 && pad < 1.0, s"L=$l pad_frac $pad")
+      assert(sfrac >= 0.0 && sfrac <= 1.0, s"L=$l split frac $sfrac")
+    }
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      // doubling the context can only merge sequences and heal splits
+      assert(a._2 >= b._2, s"n_seqs not non-increasing: $a -> $b")
+      assert(a._4 >= b._4, s"n_docs_split not non-increasing: $a -> $b")
+      assert(a._6 >= b._6, s"split_tok_frac not non-increasing: $a -> $b")
+    }
+    // the L=256 sequence count IS x25's packing (same cumsum, same chop)
+    val x25 = SparkEntry.queries("x25_sequence_packing")(spark, sf001).count()
+    assert(rows.head._2 == x25, s"x113@256 ${rows.head._2} != x25 rows $x25")
+  }
 }
