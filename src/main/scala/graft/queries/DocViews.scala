@@ -103,6 +103,52 @@ object DocViews {
       .select("DOCUMENT_ID", "LANG", "N_CHARS", "SOURCE_REF", "SOURCE_NAME")
   }
 
+  /** Self-referencing document type for the r77 lineage closure: SRC
+    * documents form a binary tree via PARENT_REF (idx → idx / 2, root
+    * idx 0 has a NULL parent). */
+  private val lineageSchema = SchemaCodec.parse(
+    """{"SRC": {
+      |  "SOURCE_NAME": {"ACTIVE": true, "TYPE": "TEXT", "NULLABLE": true},
+      |  "PARENT_REF": {"ACTIVE": true, "TYPE": "DOCUMENT", "NULLABLE": true,
+      |    "DOCUMENT_TYPE": "SRC"}
+      |}}""".stripMargin)
+
+  /** Landing for r77: every distinct source lands as a SRC document
+    * whose PARENT_REF climbs a binary tree (idx // 2); idx % 3 = 0
+    * docs additionally land a v2 replay with the same payload, so R2
+    * does real version work before the closure runs. */
+  private def lineageLanding(s: SparkSession, dir: String): DataFrame = {
+    val srcIdx = t(s, dir, "documents").select("source").distinct()
+      .selectExpr("source", "cast(substring(source, 4) as int) as idx")
+    def rows(pred: String, batch: String, ver: Int) =
+      srcIdx.filter(pred).selectExpr(
+        s"$batch as batch_date", "'SRC' as type", "source as id",
+        s"cast($ver as bigint) as version", "0 as chunk",
+        "'loader' as author", s"$batch as date", "false as deleted",
+        """to_json(named_struct('SOURCE_NAME', upper(source),
+          |  'PARENT_REF', case when idx = 0 then null
+          |    else named_struct('DOCUMENT_ID',
+          |      concat('src', cast(idx div 2 as string))) end)) as data"""
+          .stripMargin)
+    rows("true", ts1, 1).unionByName(rows("idx % 3 = 0", ts2, 2))
+  }
+
+  /** The r77 recursive closure over an `edges(id, parent)` relation —
+    * ONE SQL text drives both engines (r47's pattern); only the edge
+    * derivation differs (typed-view projection vs closed-form). */
+  private def r77Sql(edgesBody: String): String =
+    s"""WITH RECURSIVE edges AS ($edgesBody),
+       |lineage AS (
+       |  SELECT id, id AS anc, 0 AS depth FROM edges
+       |  UNION ALL
+       |  SELECT l.id, e.parent, l.depth + 1
+       |  FROM lineage l JOIN edges e ON l.anc = e.id
+       |  WHERE e.parent IS NOT NULL)
+       |SELECT id AS DOCUMENT_ID, anc AS ROOT_ID, CAST(depth AS BIGINT) AS DEPTH
+       |FROM (SELECT id, anc, depth,
+       |        MAX(depth) OVER (PARTITION BY id) AS md FROM lineage) x
+       |WHERE depth = md ORDER BY DOCUMENT_ID""".stripMargin
+
   /** FK landing with deliberately broken references, for the r76
     * integrity audit: SRC dimension docs are MISSING for source index
     * % 7 = 3 (never landed — a dangling reference), and TOMBSTONED
@@ -257,6 +303,28 @@ object DocViews {
             |  else 'ok' end as REF_STATUS""".stripMargin)
         .orderBy("DOCUMENT_ID")
     },
+    // REFERENCE LINEAGE — the multi-hop extension of r73: a V4
+    // DOCUMENT reference can point at a document of the SAME type
+    // (part-of / derived-from chains are the reference's own data
+    // model: any field may be `TYPE: DOCUMENT` of any document type,
+    // schema.go's RootSchema places no acyclicity shortcut), and the
+    // provenance question is then transitive — "resolve every document
+    // to its ROOT ancestor and how far away it is". One recursive CTE
+    // (r47 proved the UnionLoop machinery) over the typed view's
+    // projected FK: the frontier is dimension-sized and shrinks
+    // geometrically on the tree fixture, each step is a frontier ⋈
+    // dimension-view join — at 100 TB the recursion runs on the
+    // |distinct parents| edge list, never on the corpus, and depth is
+    // bounded by the reference graph's height (log |dim| here).
+    "r77_reference_lineage" -> { (s, dir) =>
+      val latest = Shared.shared(s, dir, "lineage_landing") {
+        Views.latest(lineageLanding(s, dir))
+      }
+      Views.typedView(latest, "SRC", lineageSchema("SRC"))
+        .selectExpr("DOCUMENT_ID as id", "PARENT_REF as parent")
+        .createOrReplaceTempView("graft_lineage_edges")
+      s.sql(r77Sql("SELECT id, parent FROM graft_lineage_edges"))
+    },
     // STORE LIFECYCLE — the round-8 store trio composed end-to-end as
     // ONE pipeline over ONE bucketed landing table: (1) two batches
     // land via Ingest.appendBatchBucketed (r68's path), (2) the second
@@ -387,6 +455,12 @@ object DocViews {
         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS SOURCE_REF,
         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE upper(source) END AS SOURCE_NAME
         |FROM documents ORDER BY DOCUMENT_ID""".stripMargin,
+    "r77_reference_lineage" -> r77Sql(
+      """SELECT source AS id,
+        |  CASE WHEN CAST(substring(source, 4) AS INT) = 0 THEN NULL
+        |       ELSE 'src' || CAST(CAST(substring(source, 4) AS INT) // 2 AS VARCHAR)
+        |  END AS parent
+        |FROM (SELECT DISTINCT source FROM documents)""".stripMargin),
     "r76_fk_integrity_audit" ->
       """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID,
         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS SOURCE_REF,

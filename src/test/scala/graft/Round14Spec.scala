@@ -131,4 +131,21 @@ class Round14Spec extends SparkSpec {
     val x25 = SparkEntry.queries("x25_sequence_packing")(spark, sf001).count()
     assert(rows.head._2 == x25, s"x113@256 ${rows.head._2} != x25 rows $x25")
   }
+
+  test("r77: every source resolves to the single tree root at exactly " +
+      "its binary-tree depth (closed form: depth = bit length of idx)") {
+    val rows = SparkEntry.queries("r77_reference_lineage")(spark, sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val nSrc = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length == nSrc, "one lineage row per source document")
+    rows.foreach { case (id, root, depth) =>
+      assert(root == "src0", s"$id resolved to $root, not the tree root")
+      val idx = id.stripPrefix("src").toInt
+      val want = if (idx == 0) 0 else 32 - Integer.numberOfLeadingZeros(idx)
+      assert(depth == want, s"$id depth $depth != bit-length $want")
+    }
+  }
 }
