@@ -195,7 +195,17 @@ object Streaming {
     *
     * `bandIndex` columns: (bi, bh, e_of) — band ordinal, band hash,
     * representative doc id (`llm.Dedup.lshBands` renamed). */
-  def nearDupGateStream(docs: DataFrame, bandIndex: DataFrame): DataFrame = {
+  def nearDupGateStream(docs: DataFrame, bandIndex: DataFrame): DataFrame =
+    withBandHits(docs, bandIndex).selectExpr("doc_id", "text",
+      "coalesce(e0, e1, e2, e3) is not null as near_candidate",
+      "coalesce(least(e0, e1, e2, e3), cast(-1 as bigint)) as dup_hint")
+
+  /** The banding probe shared by [[nearDupGateStream]] and the fused
+    * [[ingestGateStream]]: adds `e0..e3` (per-band standing-index min
+    * rep, null = no bucket hit) to `docs`, preserving every input
+    * column. Four broadcast left joins against per-bucket min-rep
+    * reductions — no stream shuffle, no state. */
+  private def withBandHits(docs: DataFrame, bandIndex: DataFrame): DataFrame = {
     import graft.llm.Frag._
     val s = docs.sparkSession
     val shingleE =
@@ -210,9 +220,9 @@ object Streaming {
       s"element_at(ms, ${4 * b + 2}), element_at(ms, ${4 * b + 3}), " +
       s"element_at(ms, ${4 * b + 4}))")
     var cur = docs
-      .selectExpr("doc_id", "text", s"$shingleE as shs")
-      .selectExpr("doc_id", "text",
-        s"case when size(shs) > 0 then $sigE else null end as ms")
+      .withColumn("shs", expr(shingleE))
+      .withColumn("ms",
+        expr(s"case when size(shs) > 0 then $sigE else null end"))
     for (b <- 0 until 4) {
       val idx = bandIndex.filter(col("bi") === b)
         .groupBy("bh").agg(min(col("e_of")).as(s"e$b"))
@@ -222,9 +232,42 @@ object Streaming {
           expr(s"case when ms is not null then ${bh(b)} else null end"))
         .join(broadcast(idx), Seq(s"bh$b"), "left")
     }
-    cur.selectExpr("doc_id", "text",
-      "coalesce(e0, e1, e2, e3) is not null as near_candidate",
-      "coalesce(least(e0, e1, e2, e3), cast(-1 as bigint)) as dup_hint")
+    cur.drop("shs", "ms", "bh0", "bh1", "bh2", "bh3")
+  }
+
+  /** The composed ingest-time admission gate — the three standing-
+    * index gates fused into ONE map-side pass over the stream, the
+    * shape a 100 TB ingest front door actually runs (each doc is
+    * fingerprinted, banded, and gram-scanned once; all three standing
+    * structures broadcast; no stream shuffle, no state): routing
+    * precedence `exact` (verbatim re-crawl — drop) > `near_candidate`
+    * (detour to the batch verifier) > `contaminated` (benchmark
+    * 8-gram hit — quarantine) > `admit`. `dup_ref` carries the exact
+    * rep or the band hint for the first two routes. */
+  def ingestGateStream(
+      docs: DataFrame, // streaming: (doc_id, text)
+      fpStore: DataFrame, // static: (fp, e_of)
+      bandIndex: DataFrame, // static: (bi, bh, e_of)
+      bloom: DataFrame, // static one-row: (bloom: array<bigint>)
+      seeds: Int = 3): DataFrame = {
+    import graft.llm.Frag._
+    val probed = docs
+      .selectExpr("doc_id", "text", s"md5($sNorm) as fp")
+      .join(broadcast(fpStore.withColumnRenamed("e_of", "x_of")),
+        Seq("fp"), "left")
+    withBandHits(probed, bandIndex)
+      .crossJoin(broadcast(bloom))
+      .selectExpr("doc_id", "text", "x_of", "e0", "e1", "e2", "e3",
+        s"${sLet(sTokens, "tk", sGrams8)} as gs", "bloom")
+      .selectExpr("doc_id", "text", "x_of", "e0", "e1", "e2", "e3",
+        s"cast(size(filter(gs, g -> bloom_might_contain(bloom, ${sH("g")}, $seeds))) as bigint) as n_flagged")
+      .selectExpr("doc_id", "text",
+        """case when x_of is not null then 'exact'
+          |  when coalesce(e0, e1, e2, e3) is not null then 'near_candidate'
+          |  when n_flagged > 0 then 'contaminated'
+          |  else 'admit' end as route""".stripMargin,
+        "coalesce(x_of, least(e0, e1, e2, e3), cast(-1 as bigint)) as dup_ref",
+        "n_flagged")
   }
 
   /** Streaming replay dedup — the streaming twin of the R1 batch

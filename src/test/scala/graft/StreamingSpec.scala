@@ -491,4 +491,68 @@ class StreamingSpec extends SparkSpec {
     val raw = spark.read.schema(graft.ingest.Landing.schema).parquet(land).count()
     assert(raw >= 2L * nFiles - 1)
   }
+
+  test("ingestGateStream: the three gates fuse into one map-side pass " +
+      "with exact > near > contaminated > admit routing, stream ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Frag._
+    // standing structures over the real sf0.001 corpus
+    // materialized standing store (a real deployment reads it back from
+    // its landing table, so the gate's plan contains no store-build
+    // aggregation — mirror that here)
+    val fpStore = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr(s"md5($sNorm) as fp", "doc_id")
+      .groupBy("fp").agg(org.apache.spark.sql.functions.expr("min(doc_id) as e_of"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("fp", "e_of")
+    val bands = graft.llm.Dedup.lshBands(spark, sf001)
+      .selectExpr("bi", "bh", "doc_id as e_of")
+    val banned = "the quick brown fox jumps over the lazy dog tonight"
+    val bloom = Seq(banned).toDF("text")
+      .selectExpr(s"explode(${sLet(sTokens, "tk", sGrams8)}) as g")
+      .selectExpr(s"${sH("g")} as h")
+      .agg(org.apache.spark.sql.functions.expr("bloom_bits(h, 4096, 3) as bloom"))
+    val base = graft.queries.Tables.t(spark, sf001, "documents")
+      .selectExpr("doc_id", "text").filter("doc_id = 0").collect().head
+    val probe = Seq(
+      (1000L, base.getString(1)), // verbatim re-crawl → exact (beats near)
+      (1001L, banned + " plus fresh trailing words"), // bloom hit → contaminated
+      (1002L, "zq xv wk jn pf dr tm bh ls cg novel"), // novel → admit
+      (1003L, "too short")) // no grams, no shingles → admit
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Streaming.ingestGateStream(df, fpStore, bands, bloom)
+    val batchOut = run(probe.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(batchOut(1000L)._1 == "exact", s"got ${batchOut(1000L)}")
+    assert(batchOut(1000L)._2 == 0L, "exact route must carry the store rep")
+    assert(batchOut(1001L)._1 == "contaminated", s"got ${batchOut(1001L)}")
+    assert(batchOut(1002L) == (("admit", -1L)), s"got ${batchOut(1002L)}")
+    assert(batchOut(1003L) == (("admit", -1L)), s"got ${batchOut(1003L)}")
+    // streaming pass through the same builder must agree row-for-row
+    val mem = MemoryStream[(Long, String)]
+    val q = run(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ingestgate")
+      .outputMode("append").start()
+    mem.addData(probe: _*)
+    q.processAllAvailable()
+    val streamOut = spark.table("ingestgate").collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    q.stop()
+    assert(streamOut == batchOut, s"stream $streamOut != batch $batchOut")
+    // one map-side pass: all five standing-structure probes (fp + 4
+    // bands) are broadcast joins, the bloom is a broadcast nested loop,
+    // and nothing sort-merges — the only exchanges are the static
+    // band-index reductions, never the stream
+    val plan = run(probe.toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"standing-structure probes must broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bloom must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"fused gate must stay map-side:\n$plan")
+  }
 }
