@@ -849,6 +849,44 @@ object Similarity {
         .orderBy("cluster_id")
     },
 
+    // SEMANTIC DECONTAMINATION (x67's n-gram eval-set scrub in
+    // embedding space — the stage modern pipelines run because
+    // paraphrased benchmark leakage carries no shared n-grams but
+    // sits next to the eval item in embedding space): flag every
+    // TRAIN vector cosine-near (≥ 0.4, x13's near-dup operating
+    // point) ANY held-out eval vector. Directional and bounded the
+    // same way x13 is: candidates come from shared LSH band
+    // collisions (eval side is a fixed slice, so its band rows
+    // broadcast), candidate IDs dedup BEFORE the vectors join back,
+    // and the corpus-side embedding payload joins once. At 100 TB
+    // the eval set is fixed-size, so per-corpus work is one band
+    // probe + |candidates| exact cosines — never corpus × eval.
+    "x114_semantic_decontam" -> { (s, dir) =>
+      val all = withBands(s, dir)
+      val sq = withSq(s, dir)
+      val evalPred = "vec_id % 50 = 0"
+      val cand = all.filter(evalPred)
+        .select(col("vec_id").as("eval_id"), col("bi"), col("bv"))
+        .join(all.filter(s"not ($evalPred)")
+          .select(col("vec_id").as("train_id"), col("bi"), col("bv")),
+          Seq("bi", "bv"))
+        .select("train_id", "eval_id").distinct()
+      cand
+        .join(broadcast(sq.filter(evalPred)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("ea"),
+            col("sq").as("sa"))), "eval_id")
+        .join(sq.select(col("vec_id").as("train_id"),
+          col("embedding").as("eb"), col("sq").as("sb")), "train_id")
+        .selectExpr("train_id", "eval_id", s"${sCosIn(s)} as cos_sim")
+        .filter("cos_sim >= 0.4")
+        .groupBy("train_id")
+        .agg(count(lit(1)).as("n_eval_near"),
+          max(expr("struct(cos_sim, eval_id)")).as("m"))
+        .selectExpr("train_id", "n_eval_near", "m.eval_id as nearest_eval",
+          sRound6("m.cos_sim") + " as max_cos")
+        .orderBy("train_id")
+    },
+
     // ANN RECALL HARNESS — the tuning report behind every approximate
     // index deployment (x35's role for LSH dedup, here for vector
     // search): recall@k of each approximate method (IVF 2-probe,
@@ -1662,6 +1700,23 @@ object Similarity {
          |  ${dRound6("nmi")} AS nmi
          |FROM nc JOIN mx USING (cl) JOIN maj USING (cl) CROSS JOIN nmi
          |ORDER BY cluster_id""".stripMargin,
+    "x114_semantic_decontam" ->
+      s"""$dSq $dBands,
+         |cand AS (SELECT DISTINCT b.vec_id AS train_id, a.vec_id AS eval_id
+         |         FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+         |           AND a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0),
+         |sc AS (SELECT train_id, eval_id, $dCos AS cos_sim
+         |       FROM cand JOIN sq a ON cand.eval_id = a.vec_id
+         |                 JOIN sq b ON cand.train_id = b.vec_id),
+         |f AS (SELECT * FROM sc WHERE cos_sim >= 0.4),
+         |r AS (SELECT train_id, eval_id, cos_sim,
+         |        ROW_NUMBER() OVER (PARTITION BY train_id
+         |          ORDER BY cos_sim DESC, eval_id DESC) AS rn,
+         |        COUNT(*) OVER (PARTITION BY train_id) AS n
+         |      FROM f)
+         |SELECT train_id, CAST(n AS BIGINT) AS n_eval_near,
+         |  eval_id AS nearest_eval, ${dRound6("cos_sim")} AS max_cos
+         |FROM r WHERE rn = 1 ORDER BY train_id""".stripMargin,
     "x49_pq_ann" -> dX49Sql,
     "x14_label_centroids" ->
       """SELECT label, dim,

@@ -132,6 +132,33 @@ class Round14Spec extends SparkSpec {
     assert(rows.head._2 == x25, s"x113@256 ${rows.head._2} != x25 rows $x25")
   }
 
+  test("x114: flags only train vectors, every flagged pair is truly " +
+      "cosine-near its eval neighbor (exact in-memory recompute)") {
+    val rows = SparkEntry.queries("x114_semantic_decontam")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val nEval = emb.keys.count(_ % 50 == 0)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    rows.foreach { case (train, n, eval, mc) =>
+      assert(train % 50 != 0, s"eval vector $train flagged as train")
+      assert(eval % 50 == 0, s"nearest_eval $eval not in the eval set")
+      assert(n >= 1 && n <= nEval)
+      assert(mc >= 0.4, s"flagged pair below threshold: $mc")
+      val exact = cos(emb(train), emb(eval))
+      assert(math.abs(exact - mc) < 1e-5,
+        s"train $train vs eval $eval: reported $mc, exact $exact")
+    }
+  }
+
   test("r77: every source resolves to the single tree root at exactly " +
       "its binary-tree depth (closed form: depth = bit length of idx)") {
     val rows = SparkEntry.queries("r77_reference_lineage")(spark, sf001)
