@@ -831,7 +831,8 @@ object Similarity {
           |ln(cast($c as double) / cast(n_tot as double))
           |as decimal(24,12)) as term""".stripMargin)
         .agg(sum("term").cast("double").as(s"h_$c"))
-      val nmi = mi.crossJoin(entropy(nC, "n_c")).crossJoin(entropy(nL, "n_l"))
+      val nmi = mi.crossJoin(broadcast(entropy(nC, "n_c")))
+        .crossJoin(broadcast(entropy(nL, "n_l")))
         .selectExpr("""case when h_n_c + h_n_l = cast(0.0 as double)
           |then cast(0.0 as double)
           |else 2.0d * mi / (h_n_c + h_n_l) end as nmi""".stripMargin)
@@ -865,8 +866,8 @@ object Similarity {
       val all = withBands(s, dir)
       val sq = withSq(s, dir)
       val evalPred = "vec_id % 50 = 0"
-      val cand = all.filter(evalPred)
-        .select(col("vec_id").as("eval_id"), col("bi"), col("bv"))
+      val cand = broadcast(all.filter(evalPred)
+          .select(col("vec_id").as("eval_id"), col("bi"), col("bv")))
         .join(all.filter(s"not ($evalPred)")
           .select(col("vec_id").as("train_id"), col("bi"), col("bv")),
           Seq("bi", "bv"))

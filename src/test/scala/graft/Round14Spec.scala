@@ -157,6 +157,12 @@ class Round14Spec extends SparkSpec {
       assert(math.abs(exact - mc) < 1e-5,
         s"train $train vs eval $eval: reported $mc, exact $exact")
     }
+    // plan guard: the fixed-size eval side broadcasts into the corpus
+    // band stream — the corpus never shuffles to meet the eval set
+    val plan = SparkEntry.queries("x114_semantic_decontam")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval band probe must broadcast:\n$plan")
   }
 
   test("r77: every source resolves to the single tree root at exactly " +
