@@ -850,6 +850,46 @@ object Similarity {
         .orderBy("cluster_id")
     },
 
+    // INCREMENTAL IVF MAINTENANCE (the ANN-index analogue of r69's
+    // incremental latest view and x99's ingest-time dedup: a standing
+    // IVF index is NEVER rebuilt per sync cycle — the coarse quantizer
+    // stays frozen, the batch's vectors are routed to their cells, and
+    // the inverted lists grow by |batch|): this cycle's new vectors
+    // (re-embedded re-crawls, shifted ids) are assigned by ONE
+    // |batch| × k broadcast cross join — the corpus routing tier is
+    // read, not re-run — and the report is the index-health view an
+    // operator checks after each cycle: per cell, standing list size,
+    // new arrivals, growth fraction (a cell growing much faster than
+    // the rest is drift: the frozen quantizer no longer fits the data
+    // and a re-clustering cycle is due).
+    "x115_incremental_ivf" -> { (s, dir) =>
+      val standing = ivfTop2(s, dir)
+        .selectExpr("cl2[0] as cell").groupBy("cell")
+        .agg(count(lit(1)).as("n_standing"))
+      val cent = centroids(s, dir)
+      val dotE =
+        if (s.catalog.functionExists("dot_f32f64")) "dot_f32f64(embedding, cv)"
+        else "aggregate(zip_with(embedding, cv, (x, w) -> cast(x as double) * w), cast(0 as double), (acc, t) -> acc + t)"
+      val asg = withSq(s, dir).filter("vec_id % 97 = 0")
+        .selectExpr("vec_id + 1000000000 as vec_id", "embedding", "sq")
+        .crossJoin(broadcast(cent))
+        .selectExpr("vec_id", "clabel", s"$dotE / sqrt(sq * csq) as cosc")
+        .groupBy("vec_id")
+        .agg(expr("min(struct(-cosc as nc, clabel))").as("m"))
+        .selectExpr("vec_id", "m.clabel as cell")
+      standing
+        .join(asg.groupBy("cell").agg(count(lit(1)).as("n_new0")),
+          Seq("cell"), "full_outer")
+        .selectExpr("cast(cell as bigint) as cell",
+          "coalesce(n_standing, cast(0 as bigint)) as n_standing",
+          "coalesce(n_new0, cast(0 as bigint)) as n_new",
+          sRound6("case when coalesce(n_standing, cast(0 as bigint)) = 0 " +
+            "then cast(0.0 as double) else cast(coalesce(n_new0, " +
+            "cast(0 as bigint)) as double) / cast(n_standing as double) end") +
+            " as growth_frac")
+        .orderBy("cell")
+    },
+
     // SEMANTIC DECONTAMINATION (x67's n-gram eval-set scrub in
     // embedding space — the stage modern pipelines run because
     // paraphrased benchmark leakage carries no shared n-grams but
@@ -1706,6 +1746,39 @@ object Similarity {
          |  ${dRound6("nmi")} AS nmi
          |FROM nc JOIN mx USING (cl) JOIN maj USING (cl) CROSS JOIN nmi
          |ORDER BY cluster_id""".stripMargin,
+    "x115_incremental_ivf" ->
+      s"""WITH sq AS (SELECT vec_id, embedding, ${dSumSq("embedding")} AS sq FROM embeddings),
+         |cd AS (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+         |       FROM embeddings),
+         |cm AS (SELECT label, dim,
+         |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+         |       FROM cd GROUP BY label, dim),
+         |cent0 AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cm GROUP BY label),
+         |cent AS (SELECT clabel, cv, ${dSumSq64("cv")} AS csq FROM cent0),
+         |scored AS (SELECT vec_id, clabel,
+         |             (${dDotF64("sq.embedding", "cv")}) / sqrt(sq * csq) AS cosc
+         |           FROM sq CROSS JOIN cent),
+         |ranked AS (SELECT vec_id, clabel,
+         |             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosc DESC, clabel) AS rn
+         |           FROM scored),
+         |standing AS (SELECT clabel AS cell, COUNT(*) AS n_standing
+         |             FROM ranked WHERE rn = 1 GROUP BY clabel),
+         |batch AS (SELECT vec_id + 1000000000 AS vec_id, embedding, sq
+         |          FROM sq WHERE vec_id % 97 = 0),
+         |bscored AS (SELECT batch.vec_id, clabel,
+         |              (${dDotF64("batch.embedding", "cv")}) / sqrt(sq * csq) AS cosc
+         |            FROM batch CROSS JOIN cent),
+         |branked AS (SELECT vec_id, clabel,
+         |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosc DESC, clabel) AS rn
+         |            FROM bscored),
+         |newc AS (SELECT clabel AS cell, COUNT(*) AS n_new0
+         |         FROM branked WHERE rn = 1 GROUP BY clabel)
+         |SELECT CAST(cell AS BIGINT) AS cell,
+         |  CAST(COALESCE(n_standing, 0) AS BIGINT) AS n_standing,
+         |  CAST(COALESCE(n_new0, 0) AS BIGINT) AS n_new,
+         |  ${dRound6("CASE WHEN COALESCE(n_standing, 0) = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(COALESCE(n_new0, 0) AS DOUBLE) / CAST(n_standing AS DOUBLE) END")} AS growth_frac
+         |FROM standing FULL JOIN newc USING (cell)
+         |ORDER BY cell""".stripMargin,
     "x114_semantic_decontam" ->
       s"""$dSq $dBands,
          |cand AS (SELECT DISTINCT b.vec_id AS train_id, a.vec_id AS eval_id

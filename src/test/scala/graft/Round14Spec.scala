@@ -166,6 +166,26 @@ class Round14Spec extends SparkSpec {
       s"eval band probe must broadcast:\n$plan")
   }
 
+  test("x115: batch routes like its source vectors (identical " +
+      "embeddings), partitions conserve, and growth is bounded") {
+    val rows = SparkEntry.queries("x115_incremental_ivf")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val nCorpus = emb.count()
+    val nBatch = emb.filter("vec_id % 97 = 0").count()
+    assert(rows.map(_._2).sum == nCorpus, "standing lists must partition")
+    assert(rows.map(_._3).sum == nBatch, "every batch vector must route")
+    rows.foreach { case (cell, nS, nN, g) =>
+      // the batch is re-crawls of standing vectors with identical
+      // embeddings — cosine routing is deterministic, so a cell can
+      // never receive more new vectors than it has standing sources
+      assert(nN <= nS, s"cell $cell: $nN new > $nS standing")
+      assert(g >= 0.0 && g <= 1.0, s"cell $cell growth $g")
+    }
+  }
+
   test("r77: every source resolves to the single tree root at exactly " +
       "its binary-tree depth (closed form: depth = bit length of idx)") {
     val rows = SparkEntry.queries("r77_reference_lineage")(spark, sf001)
