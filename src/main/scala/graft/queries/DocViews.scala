@@ -325,6 +325,32 @@ object DocViews {
         .createOrReplaceTempView("graft_lineage_edges")
       s.sql(r77Sql("SELECT id, parent FROM graft_lineage_edges"))
     },
+    // DELETE PROPAGATION — the "forget this document" workflow (GDPR
+    // erasure, retracted sources) composed from the pieces the
+    // reference gives a warehouse user: soft-delete semantics (§1.1 —
+    // documents are tombstoned, never updated in place), the R2 latest
+    // view, and the V4 FK projection. Forgetting SRC 'src1' emits the
+    // tombstone action for the victim AND an 'orphaned_ref' action for
+    // every live document whose reference now points at the tombstone
+    // — the set a blind r73 join would silently treat as live parents
+    // (r76's deleted_ref class, materialized as a work list). Plan is
+    // r73's: the victim set is dimension-sized and broadcasts; the
+    // corpus side streams. At 100 TB forgetting one document costs one
+    // broadcast probe of the corpus, not a corpus shuffle.
+    "r78_delete_propagation" -> { (s, dir) =>
+      val latest = latestFkLanding(s, dir)
+      val docs = Views.typedView(latest, "DOC", fkSchema("DOC"))
+      val victims = Views.typedView(latest, "SRC", fkSchema("SRC"))
+        .filter("DOCUMENT_ID = 'src1'")
+        .selectExpr("DOCUMENT_ID", "'tombstone' as action",
+          "cast(null as string) as ref")
+      val orphans = docs
+        .join(broadcast(victims.select(col("DOCUMENT_ID").as("__v"))),
+          col("SOURCE_REF") === col("__v"))
+        .selectExpr("DOCUMENT_ID", "'orphaned_ref' as action",
+          "SOURCE_REF as ref")
+      victims.unionByName(orphans).orderBy("action", "DOCUMENT_ID")
+    },
     // STORE LIFECYCLE — the round-8 store trio composed end-to-end as
     // ONE pipeline over ONE bucketed landing table: (1) two batches
     // land via Ingest.appendBatchBucketed (r68's path), (2) the second
@@ -455,6 +481,15 @@ object DocViews {
         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS SOURCE_REF,
         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE upper(source) END AS SOURCE_NAME
         |FROM documents ORDER BY DOCUMENT_ID""".stripMargin,
+    "r78_delete_propagation" ->
+      """SELECT source AS DOCUMENT_ID, 'tombstone' AS action,
+        |  CAST(NULL AS VARCHAR) AS ref
+        |FROM (SELECT DISTINCT source FROM documents) WHERE source = 'src1'
+        |UNION ALL
+        |SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID,
+        |  'orphaned_ref' AS action, source AS ref
+        |FROM documents WHERE source = 'src1' AND doc_id % 13 <> 0
+        |ORDER BY action, DOCUMENT_ID""".stripMargin,
     "r77_reference_lineage" -> r77Sql(
       """SELECT source AS id,
         |  CASE WHEN CAST(substring(source, 4) AS INT) = 0 THEN NULL

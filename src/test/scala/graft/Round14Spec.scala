@@ -186,6 +186,27 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("r78: the tombstone row plus exactly the live referencing docs, " +
+      "victim side broadcast") {
+    val df = SparkEntry.queries("r78_delete_propagation")(spark, sf001)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+    val tomb = rows.filter(_._2 == "tombstone")
+    assert(tomb.toSeq == Seq(("src1", "tombstone", None)))
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter("source = 'src1' and doc_id % 13 != 0")
+      .select("doc_id").collect().map(_.getLong(0).toString).toSet
+    val orphans = rows.filter(_._2 == "orphaned_ref")
+    assert(orphans.map(_._1).toSet == docs,
+      "orphaned_ref set must be exactly the live docs referencing src1")
+    orphans.foreach { case (_, _, ref) => assert(ref.contains("src1")) }
+    // the victim set is dimension-sized: it must broadcast, the corpus
+    // must not shuffle to meet it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"victim probe must broadcast:\n$plan")
+  }
+
   test("r77: every source resolves to the single tree root at exactly " +
       "its binary-tree depth (closed form: depth = bit length of idx)") {
     val rows = SparkEntry.queries("r77_reference_lineage")(spark, sf001)
