@@ -103,6 +103,28 @@ object DocViews {
       .select("DOCUMENT_ID", "LANG", "N_CHARS", "SOURCE_REF", "SOURCE_NAME")
   }
 
+  /** Landing for the r79 snapshot diff: disjoint residue classes
+    * (doc_id % 12) exercise every CDC transition — m=1 late arrival
+    * (absent from batch 1), m=2 live v2 update, m=3 v2 tombstone,
+    * m=4 tombstoned v1 then restored live at v2; everything else is
+    * an unchanged v1 replay. */
+  private def cdcLanding(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+    def rows(pred: String, batch: String, ver: Int, del: String) =
+      base.filter(pred).selectExpr(
+        s"$batch as batch_date", "'DOC' as type",
+        "cast(doc_id as string) as id", s"cast($ver as bigint) as version",
+        "0 as chunk", "source as author", s"$batch as date",
+        s"$del as deleted",
+        "to_json(named_struct('LANG', lang, 'N_CHARS', n_chars)) as data")
+    rows("doc_id % 12 != 1 and doc_id % 12 != 4", ts1, 1, "false")
+      .unionByName(rows("doc_id % 12 = 4", ts1, 1, "true"))
+      .unionByName(rows("doc_id % 12 = 1", ts2, 1, "false"))
+      .unionByName(rows("doc_id % 12 = 2", ts2, 2, "false"))
+      .unionByName(rows("doc_id % 12 = 3", ts2, 2, "true"))
+      .unionByName(rows("doc_id % 12 = 4", ts2, 2, "false"))
+  }
+
   /** Self-referencing document type for the r77 lineage closure: SRC
     * documents form a binary tree via PARENT_REF (idx → idx / 2, root
     * idx 0 has a NULL parent). */
@@ -325,6 +347,27 @@ object DocViews {
         .createOrReplaceTempView("graft_lineage_edges")
       s.sql(r77Sql("SELECT id, parent FROM graft_lineage_edges"))
     },
+    // SNAPSHOT DIFF — the daily CDC question ("what changed since the
+    // last sync cycle?") as a first-class view-layer operator:
+    // Views.changes classifies the only four transitions a versioned
+    // soft-delete store permits — added / updated / deleted / restored
+    // — by one full-outer join of the T1 and T2 latest snapshots on
+    // the document key. Both sides are |latest|-sized and partition on
+    // (type,id) (co-located exchange-free over the bucketed store);
+    // per cycle the cost is |latest|, never |history|. The T2 side is
+    // built with latestIncremental, so the cycle's total work is the
+    // r69 fold plus this join.
+    "r79_snapshot_diff" -> { (s, dir) =>
+      val store = Shared.shared(s, dir, "cdc_landing") { cdcLanding(s, dir) }
+      val prev = Views.latest(store.filter(s"batch_date = $ts1"))
+      val cur = Views.latestIncremental(prev,
+        store.filter(s"batch_date = $ts2"))
+      Views.changes(prev, cur)
+        .selectExpr("id as DOCUMENT_ID", "change",
+          "cast(old_version as bigint) as old_version",
+          "cast(new_version as bigint) as new_version")
+        .orderBy("DOCUMENT_ID")
+    },
     // DELETE PROPAGATION — the "forget this document" workflow (GDPR
     // erasure, retracted sources) composed from the pieces the
     // reference gives a warehouse user: soft-delete semantics (§1.1 —
@@ -481,6 +524,14 @@ object DocViews {
         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS SOURCE_REF,
         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE upper(source) END AS SOURCE_NAME
         |FROM documents ORDER BY DOCUMENT_ID""".stripMargin,
+    "r79_snapshot_diff" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID,
+        |  CASE doc_id % 12 WHEN 1 THEN 'added' WHEN 2 THEN 'updated'
+        |       WHEN 3 THEN 'deleted' WHEN 4 THEN 'restored' END AS change,
+        |  CASE WHEN doc_id % 12 = 1 THEN NULL ELSE CAST(1 AS BIGINT) END AS old_version,
+        |  CASE WHEN doc_id % 12 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS new_version
+        |FROM documents WHERE doc_id % 12 IN (1, 2, 3, 4)
+        |ORDER BY DOCUMENT_ID""".stripMargin,
     "r78_delete_propagation" ->
       """SELECT source AS DOCUMENT_ID, 'tombstone' AS action,
         |  CAST(NULL AS VARCHAR) AS ref

@@ -110,6 +110,40 @@ object Views {
   def latestIncremental(prevLatest: DataFrame, batch: DataFrame): DataFrame =
     latest(prevLatest.unionByName(batch))
 
+  /** CDC between two latest snapshots — "what changed since the last
+    * sync cycle", classified the only four ways a versioned
+    * soft-delete store (§1.1 semantics: tombstones, never in-place
+    * updates) can change: `added` (absent before, live now),
+    * `updated` (live→live at a higher version), `deleted` (live→
+    * tombstone), `restored` (tombstone→live — the reference permits a
+    * new live version after a soft delete). Documents born dead,
+    * unchanged, or tombstone-over-tombstone produce no row. One
+    * full-outer hash join on the document key: both sides are
+    * |latest|-sized and partition on (type,id) — over the bucketed
+    * store the join co-locates exchange-free, and per cycle the cost
+    * is |latest|, never |history|. `prev`/`cur` must be frames
+    * produced by [[latest]] / [[latestIncremental]]. */
+  def changes(prev: DataFrame, cur: DataFrame): DataFrame = {
+    // chunk-0 carries the document's metadata; split-out array chunks
+    // (§2.2) would otherwise duplicate the (type,id) key
+    val p = prev.filter("chunk = 0").selectExpr("type", "id",
+      "version as old_version", "deleted as old_deleted")
+    val c = cur.filter("chunk = 0").selectExpr("type", "id",
+      "version as new_version", "deleted as new_deleted")
+    p.join(c, Seq("type", "id"), "full_outer")
+      .selectExpr("type", "id", "old_version", "new_version",
+        """case
+          |  when old_version is null and new_deleted then null
+          |  when old_version is null then 'added'
+          |  when new_version is null then null
+          |  when new_version = old_version then null
+          |  when new_deleted and not old_deleted then 'deleted'
+          |  when old_deleted and not new_deleted then 'restored'
+          |  when not new_deleted then 'updated'
+          |  else null end as change""".stripMargin)
+      .filter("change is not null")
+  }
+
   /** R4 — prune: the complement of R1. Returns the compacted landing set
     * (rows that ARE the latest batch_date for their key); a writer can
     * overwrite the store with this (Delta DELETE analogue). */

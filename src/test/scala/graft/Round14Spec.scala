@@ -186,6 +186,36 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("Views.changes: all four CDC transitions classified, and the " +
+      "three silent classes (born dead, unchanged, tombstone-over-" +
+      "tombstone) produce no row") {
+    import spark.implicits._
+    def land(rows: (String, Long, Boolean, String)*) =
+      rows.toSeq.toDF("id", "version", "deleted", "batch")
+        .selectExpr("cast(batch as timestamp) as batch_date",
+          "'T' as type", "id", "version", "0 as chunk", "'a' as author",
+          "cast(batch as timestamp) as date", "deleted", "'{}' as data")
+    val t1 = "2026-01-01 00:00:00"
+    val t2 = "2026-01-02 00:00:00"
+    val prev = graft.views.Views.latest(land(
+      ("upd", 1L, false, t1), ("del", 1L, false, t1),
+      ("res", 1L, true, t1), ("same", 1L, false, t1),
+      ("still_dead", 1L, true, t1)))
+    val cur = graft.views.Views.latest(land(
+      ("upd", 2L, false, t2), ("del", 2L, true, t2),
+      ("res", 2L, false, t2), ("same", 1L, false, t2),
+      ("still_dead", 2L, true, t2), ("add", 1L, false, t2),
+      ("born_dead", 1L, true, t2),
+      ("upd", 1L, false, t1), ("del", 1L, false, t1),
+      ("res", 1L, true, t1), ("same", 1L, false, t1),
+      ("still_dead", 1L, true, t1)))
+    val out = graft.views.Views.changes(prev, cur).collect()
+      .map(r => r.getString(1) -> r.getString(4)).toMap
+    assert(out == Map("add" -> "added", "upd" -> "updated",
+      "del" -> "deleted", "res" -> "restored"),
+      s"got ${out.toSeq.sorted}")
+  }
+
   test("r78: the tombstone row plus exactly the live referencing docs, " +
       "victim side broadcast") {
     val df = SparkEntry.queries("r78_delete_propagation")(spark, sf001)
