@@ -3,6 +3,7 @@ package graft.llm
 import graft.queries.Shared
 import graft.queries.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Frag._
@@ -38,6 +39,11 @@ object Similarity {
 
   private val QuerySet = "vec_id < 8"
   private val TopK = 10
+
+  /** x116 per-cluster sample budget — fixed at any corpus size (the
+    * balanced-sampling contract: the epoch mix, not the corpus, sets
+    * the budget). */
+  private val SampleCap = 25
 
   /** embeddings + per-row sum-of-squares (norm² — computed once).
     * repartition: the test corpus is one parquet file = one input
@@ -847,6 +853,44 @@ object Similarity {
           sRound6("cast(n_maj as double) / cast(n_members as double)") +
             " as purity",
           sRound6("nmi") + " as nmi")
+        .orderBy("cluster_id")
+    },
+
+    // CLUSTER-BALANCED SAMPLING (the curation step after clustering:
+    // draw a FIXED per-cluster budget so dominant clusters don't swamp
+    // the training mix — the cluster-and-balance selection used in
+    // SSL-curation pipelines over web-scale corpora, where near-
+    // duplicate-heavy clusters would otherwise contribute most of the
+    // epoch). Per cluster of the shared Lloyd assignment, take the
+    // first CAP members in a deterministic pseudo-random order — a
+    // Knuth multiplicative-hash surrogate key ((vec_id·2654435761)
+    // mod 2³², a bijection on 32-bit ids since the constant is odd, so
+    // no collision ties) — and report the per-cluster audit row:
+    // size, taken, take rate, mean within-cluster d² of the sample.
+    // Scale shape: the row_number ≤ CAP idiom is rewritten by
+    // TopKRewrite into the native TopKPerKey operator — map-side
+    // bounded heaps, the exchange moves ≤ k·CAP rows per partition —
+    // instead of sorting corpus/k rows inside each of only k window
+    // partitions (the shape that dies at 100 TB). The Lloyd tier is
+    // read, not re-run; output is 8 rows at any corpus size.
+    "x116_balanced_sample" -> { (s, dir) =>
+      val asg = km2Asg(s, dir)
+      val sizes = asg.groupBy("cl").agg(count(lit(1)).as("n_members"))
+      asg
+        .selectExpr("vec_id", "cl", "d2",
+          "(vec_id * 2654435761) % 4294967296 as pk")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cl").orderBy("pk", "vec_id")))
+        .filter(col("rn") <= lit(SampleCap))
+        .groupBy("cl")
+        .agg(count(lit(1)).as("n_taken"),
+          sum(expr("cast(d2 as decimal(24,12))")).cast("double").as("d2s"))
+        .join(broadcast(sizes), "cl")
+        .selectExpr("cast(cl as bigint) as cluster_id", "n_members",
+          "n_taken",
+          sRound6("cast(n_taken as double) / cast(n_members as double)") +
+            " as take_rate",
+          sRound6("d2s / cast(n_taken as double)") + " as mean_d2_taken")
         .orderBy("cluster_id")
     },
 
@@ -1745,6 +1789,24 @@ object Similarity {
          |  ${dRound6("CAST(n_maj AS DOUBLE) / CAST(n_c AS DOUBLE)")} AS purity,
          |  ${dRound6("nmi")} AS nmi
          |FROM nc JOIN mx USING (cl) JOIN maj USING (cl) CROSS JOIN nmi
+         |ORDER BY cluster_id""".stripMargin,
+    "x116_balanced_sample" ->
+      s"""WITH $dKm2Cte,
+         |${dKmAsg("fin", "c2")},
+         |keyed AS (SELECT vec_id, cl, d2,
+         |            (vec_id * 2654435761) % 4294967296 AS pk FROM fin),
+         |ranked AS (SELECT cl, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY cl ORDER BY pk, vec_id) AS rn
+         |  FROM keyed),
+         |sizes AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS n_members
+         |          FROM fin GROUP BY cl),
+         |tk AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS n_taken,
+         |         CAST(SUM(CAST(d2 AS DECIMAL(24,12))) AS DOUBLE) AS d2s
+         |       FROM ranked WHERE rn <= $SampleCap GROUP BY cl)
+         |SELECT CAST(t.cl AS BIGINT) AS cluster_id, n_members, n_taken,
+         |  ${dRound6("CAST(n_taken AS DOUBLE) / CAST(n_members AS DOUBLE)")} AS take_rate,
+         |  ${dRound6("d2s / CAST(n_taken AS DOUBLE)")} AS mean_d2_taken
+         |FROM tk t JOIN sizes s ON t.cl = s.cl
          |ORDER BY cluster_id""".stripMargin,
     "x115_incremental_ivf" ->
       s"""WITH sq AS (SELECT vec_id, embedding, ${dSumSq("embedding")} AS sq FROM embeddings),

@@ -368,6 +368,24 @@ object DocViews {
           "cast(new_version as bigint) as new_version")
         .orderBy("DOCUMENT_ID")
     },
+    // TIME TRAVEL — reconstruct a PAST _LATEST snapshot from the
+    // append-only landing store: Views.asOf(store, t1) filters the
+    // store to batches landed at or before t1 and replays the same R1
+    // + R2 argmax fold — after BOTH cdc batches have landed, the read
+    // returns exactly the snapshot a reader at t1 saw (the r79 diff's
+    // `prev` side, recomputed here from the full store rather than
+    // carried forward). No per-cycle copies are kept anywhere: the
+    // versioned store IS its own snapshot history. Plan: the
+    // batch_date predicate is pushed into the scan (partition-pruned
+    // on a date-partitioned 100 TB store), then the two windows
+    // latest() always pays.
+    "r80_time_travel" -> { (s, dir) =>
+      val store = Shared.shared(s, dir, "cdc_landing") { cdcLanding(s, dir) }
+      Views.asOf(store, expr(ts1))
+        .selectExpr("id as DOCUMENT_ID",
+          "cast(version as bigint) as _VERSION", "deleted as _DELETED")
+        .orderBy("DOCUMENT_ID")
+    },
     // DELETE PROPAGATION — the "forget this document" workflow (GDPR
     // erasure, retracted sources) composed from the pieces the
     // reference gives a warehouse user: soft-delete semantics (§1.1 —
@@ -531,6 +549,12 @@ object DocViews {
         |  CASE WHEN doc_id % 12 = 1 THEN NULL ELSE CAST(1 AS BIGINT) END AS old_version,
         |  CASE WHEN doc_id % 12 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS new_version
         |FROM documents WHERE doc_id % 12 IN (1, 2, 3, 4)
+        |ORDER BY DOCUMENT_ID""".stripMargin,
+    "r80_time_travel" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID,
+        |  CAST(1 AS BIGINT) AS _VERSION,
+        |  doc_id % 12 = 4 AS _DELETED
+        |FROM documents WHERE doc_id % 12 <> 1
         |ORDER BY DOCUMENT_ID""".stripMargin,
     "r78_delete_propagation" ->
       """SELECT source AS DOCUMENT_ID, 'tombstone' AS action,

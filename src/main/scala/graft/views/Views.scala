@@ -144,6 +144,23 @@ object Views {
       .filter("change is not null")
   }
 
+  /** Time-travel read: the `_LATEST` snapshot as it stood when batch
+    * `at` was the newest landed batch — [[latest]] over only the rows
+    * with `batch_date <= at`. This is the read primitive the rest of
+    * the store family composes: `latest` is `asOf(∞)`, the r79 CDC
+    * diff is `changes(asOf(t1), asOf(t2))`, and an audit can replay
+    * any past cycle without the writer having kept per-cycle copies —
+    * the append-only landing store IS the full snapshot history.
+    *
+    * Scale shape: the predicate is a plain comparison on the landing
+    * column, so it reaches the parquet scan as a pushed filter — over
+    * a batch_date-partitioned 100 TB store, time travel prunes to the
+    * ≤at partitions before any exchange; the two windows that follow
+    * are exactly the ones [[latest]] always pays (and over the
+    * bucketed store they run exchange-free). */
+  def asOf(landing: DataFrame, at: Column): DataFrame =
+    latest(landing.filter(col("batch_date") <= at))
+
   /** R4 — prune: the complement of R1. Returns the compacted landing set
     * (rows that ARE the latest batch_date for their key); a writer can
     * overwrite the store with this (Delta DELETE analogue). */

@@ -1,0 +1,106 @@
+package graft
+
+import graft.ingest.LandingRecord
+import graft.views.Views
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-9 fourth wave: time-travel snapshot reads (Views.asOf / r80)
+  * and cluster-balanced sampling (x116). The asOf specs pin the store
+  * identities that make time travel trustworthy (asOf at the newest
+  * batch IS latest; folding the suffix batches into a past snapshot
+  * reproduces the present — the same associativity r69 relies on);
+  * the x116 specs pin the plan (the native TopKPerKey operator, not a
+  * k-partition window sort) and the sample-accounting invariants.
+  */
+class Round15Spec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def rec(batch: String, id: String, ver: Long,
+      deleted: Boolean = false) =
+    LandingRecord(ts(batch), "W", id, ver, 0, "a", ts(batch), deleted, "{}")
+
+  private def landing(rs: LandingRecord*): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(rs).toDF()
+  }
+
+  private val store = landing(
+    rec("2026-01-01 00:00:00", "d1", 1),
+    rec("2026-01-02 00:00:00", "d1", 1), // replay of v1 at t2
+    rec("2026-01-02 00:00:00", "d1", 2),
+    rec("2026-01-01 00:00:00", "d2", 1),
+    rec("2026-01-03 00:00:00", "d2", 2, deleted = true),
+    rec("2026-01-03 00:00:00", "d3", 1)) // born at t3
+
+  private def snap(df: DataFrame): Set[(String, Long, Boolean)] =
+    df.select("id", "version", "deleted").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+
+  test("asOf at the newest batch date IS the latest view") {
+    assert(snap(Views.asOf(store, lit(ts("2026-01-03 00:00:00")))) ==
+      snap(Views.latest(store)))
+  }
+
+  test("asOf reconstructs each past cycle's snapshot from the full store") {
+    assert(snap(Views.asOf(store, lit(ts("2026-01-01 00:00:00")))) ==
+      Set(("d1", 1L, false), ("d2", 1L, false)))
+    assert(snap(Views.asOf(store, lit(ts("2026-01-02 00:00:00")))) ==
+      Set(("d1", 2L, false), ("d2", 1L, false)))
+    // before the first batch: nothing had landed
+    assert(Views.asOf(store, lit(ts("2025-12-31 00:00:00"))).count() == 0)
+  }
+
+  test("asOf(t) + incremental fold of the suffix batches == latest " +
+      "(the r69 associativity, anchored at a time-travel read)") {
+    val suffix = store.filter(col("batch_date") > lit(ts("2026-01-01 00:00:00")))
+    assert(snap(Views.latestIncremental(
+      Views.asOf(store, lit(ts("2026-01-01 00:00:00"))), suffix)) ==
+      snap(Views.latest(store)))
+  }
+
+  test("r80 public query: the t1 snapshot read back from the full cdc " +
+      "store (live rows at v1, t1 tombstones visible, t2-born docs absent)") {
+    val rows = SparkEntry.queries("r80_time_travel")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) == 1L)) // every doc at v1 at t1
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = docs.filter(_ % 12 != 1)
+    assert(rows.map(_.getString(0).toLong).toSet == expect)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getString(0).toLong % 12 == 4))
+    }
+  }
+
+  test("x116 plan: the per-cluster budget runs on the native TopKPerKey " +
+      "operator (map-side bounded heaps), not a k-partition window sort") {
+    val plan = SparkEntry.queries("x116_balanced_sample")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
+      plan.take(2000))
+    assert(!plan.contains("RunningWindowFunction"), plan.take(2000))
+  }
+
+  test("x116 invariants: clusters partition the corpus, the cap binds " +
+      "exactly at min(cap, cluster size), and the audit agrees with x51") {
+    val dir = "/root/testdata/sf0.01" // 500 vectors: the 25-cap binds
+    val rows = SparkEntry.queries("x116_balanced_sample")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val nCorpus = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == nCorpus, "cluster sizes must partition the corpus")
+    rows.foreach { case (cl, members, taken, rate) =>
+      assert(taken == math.min(25L, members), s"cl $cl taken $taken of $members")
+      assert(math.abs(rate - taken.toDouble / members) < 1e-6)
+    }
+    assert(rows.exists(r => r._3 == 25L), "at 500 vectors the cap must bind somewhere")
+    val x51 = SparkEntry.queries("x51_kmeans")(spark, dir)
+      .select("cluster_id", "n_members").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == x51,
+      "x116 must audit the SAME clustering x51 reports")
+  }
+}
