@@ -1634,6 +1634,37 @@ object TextAnalysis {
         .orderBy("bin")
     },
 
+    // PROBE ROC-AUC (Mann–Whitney rank-sum form): the discrimination
+    // gauge that completes the probe-eval pair — x95's calibration
+    // asks "are the probabilities honest?", this asks "does the score
+    // ORDER the classes?" (the number a curation pipeline reads before
+    // thresholding a quality probe over a 100 TB corpus, since a
+    // miscalibrated-but-discriminative probe is rescuable and a
+    // non-discriminative one is not). AUC = P(score⁺ > score⁻) with
+    // ties at half credit, computed exactly from midranks: group the
+    // corpus by distinct score (one shuffle), rank the distinct-score
+    // frame with ExactRank's O(P) prefix scan (range-repartition — no
+    // partitionless window, no global sort), and fold Σ pos_p·midrank_p
+    // in ×2 integer arithmetic so everything until the final division
+    // is exact. Output is ONE row at any corpus size; the probe tier
+    // (3 training epochs) is read, not re-run.
+    "x117_probe_auc" -> { (s, dir) =>
+      val byP = probeScores(s, dir).groupBy("p")
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).cast("bigint").as("npos"))
+      graft.queries.ExactRank
+        .withGlobalCumsum(byP, Seq(col("p")), col("n"))
+        // cum is the inclusive count prefix; midrank·2 = 2·(cum−n)+n+1
+        .agg(sum("npos").as("np"), sum(expr("n - npos")).as("nn"),
+          sum(expr("npos * (2 * (cum - n) + n + 1)")).as("r2"))
+        .selectExpr("cast(np as bigint) as n_pos",
+          "cast(nn as bigint) as n_neg",
+          sRound6("cast(r2 - np * (np + 1) as double) / " +
+            "(2.0d * cast(np as double) * cast(nn as double))") + " as auc",
+          sRound6("cast(r2 - np * (np + 1) as double) / " +
+            "(cast(np as double) * cast(nn as double)) - 1.0d") + " as gini")
+    },
+
     // PRIORITY SAMPLING (Duffield–Lund–Thorup 2007): a fixed-size
     // weighted sample WITHOUT replacement — the production mechanism
     // for "sample k documents proportional to quality/length weight"
@@ -2691,6 +2722,30 @@ object TextAnalysis {
          |  ${dRound6("CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS frac_pos,
          |  ${dRound6("abs(CAST(SUM(pd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) - CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))")} AS gap
          |FROM bn GROUP BY bin ORDER BY bin""".stripMargin,
+    "x117_probe_auc" ->
+      s"""$probeTrainWith,
+         |zf AS (SELECT l.doc_id, l.y,
+         |    CAST(COALESCE(s.zs, CAST(0 AS DECIMAL(16,6))) + b.wb AS DOUBLE) AS z
+         |  FROM lbl l
+         |  LEFT JOIN (SELECT doc_id, SUM(w * x) AS zs
+         |             FROM feats JOIN w3 USING (dim) WHERE dim >= 0
+         |             GROUP BY doc_id) s ON l.doc_id = s.doc_id,
+         |  (SELECT w AS wb FROM w3 WHERE dim = -1) b),
+         |pf AS (SELECT doc_id, y,
+         |    CAST(0.5 AS DOUBLE) * (CAST(1 AS DOUBLE) + z / (CAST(1 AS DOUBLE) + abs(z))) AS p
+         |  FROM zf),
+         |byp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n,
+         |          CAST(SUM(y) AS BIGINT) AS npos
+         |        FROM pf GROUP BY p),
+         |cm AS (SELECT n, npos,
+         |    SUM(n) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM byp),
+         |ag AS (SELECT SUM(npos) AS np, SUM(n - npos) AS nn,
+         |         SUM(npos * (2 * (c - n) + n + 1)) AS r2 FROM cm)
+         |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+         |  ${dRound6("CAST(r2 - np * (np + 1) AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))")} AS auc,
+         |  ${dRound6("CAST(r2 - np * (np + 1) AS DOUBLE) / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) - CAST(1 AS DOUBLE)")} AS gini
+         |FROM ag""".stripMargin,
     "x104_priority_sample" ->
       s"""WITH pri AS (
          |  SELECT doc_id, lang, source, n_chars,

@@ -83,6 +83,21 @@ class Round15Spec extends SparkSpec {
     assert(!plan.contains("RunningWindowFunction"), plan.take(2000))
   }
 
+  test("x117 invariants: counts partition the corpus, auc in [0,1], " +
+      "gini is 2*auc-1, and the en-probe discriminates better than chance") {
+    val r = SparkEntry.queries("x117_probe_auc")(spark, sf001).collect()
+    assert(r.length == 1)
+    val (nPos, nNeg, auc, gini) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2), r(0).getDouble(3))
+    val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(nPos + nNeg == nDocs)
+    assert(nPos > 0 && nNeg > 0)
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(math.abs(gini - (2.0 * auc - 1.0)) < 2e-6)
+    // 3 epochs on separable en/non-en char features must beat chance
+    assert(auc > 0.5, s"trained probe AUC $auc not better than chance")
+  }
+
   test("x116 invariants: clusters partition the corpus, the cap binds " +
       "exactly at min(cap, cluster size), and the audit agrees with x51") {
     val dir = "/root/testdata/sf0.01" // 500 vectors: the 25-cap binds
