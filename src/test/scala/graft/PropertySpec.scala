@@ -88,6 +88,37 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("time travel composes: asOf(t2) == the (t1,t2] batches folded " +
+      "into asOf(t1), for ANY landing and any t1 <= t2") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    def day(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 00:00:00")
+    val gen = for {
+      rs <- Gen.listOfN(30, for {
+        id <- Gen.oneOf("a", "b", "c", "d")
+        ver <- Gen.choose(1L, 4L)
+        d <- Gen.choose(1, 5)
+        chunk <- Gen.choose(0, 1)
+      } yield LandingRecord(day(d), "T", id, ver, chunk, "au", bd,
+        (ver + d) % 2 == 0, s"$id-$ver-$d-$chunk"))
+      d1 <- Gen.choose(1, 5)
+      d2 <- Gen.choose(1, 5)
+    } yield (rs.distinct, math.min(d1, d2), math.max(d1, d2))
+    check(Prop.forAll(gen) { case (rs, d1, d2) =>
+      rs.isEmpty || {
+        val store = spark.createDataset(rs).toDF()
+        val direct = Views.asOf(store, lit(day(d2)))
+          .collect().map(_.toSeq).toSet
+        val composed = Views.latestIncremental(
+            Views.asOf(store, lit(day(d1))),
+            store.filter(col("batch_date") > lit(day(d1)) &&
+              col("batch_date") <= lit(day(d2))))
+          .collect().map(_.toSeq).toSet
+        composed == direct
+      }
+    })
+  }
+
   test("replays never change the latest view") {
     import spark.implicits._
     val gen = Gen.listOfN(20, for {
