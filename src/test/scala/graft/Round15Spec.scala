@@ -83,6 +83,26 @@ class Round15Spec extends SparkSpec {
     assert(!plan.contains("RunningWindowFunction"), plan.take(2000))
   }
 
+  test("asOf over a date-partitioned parquet store reaches the scan as " +
+      "a partition filter (time travel prunes batches before any exchange)") {
+    val dir = "/tmp/graft_asof_store"
+    import spark.implicits._
+    spark.createDataset(Seq(
+        rec("2026-01-01 00:00:00", "d1", 1),
+        rec("2026-01-02 00:00:00", "d1", 2),
+        rec("2026-01-03 00:00:00", "d1", 3))).toDF()
+      .write.mode("overwrite").partitionBy("batch_date").parquet(dir)
+    val df = Views.asOf(spark.read.parquet(dir),
+      lit(ts("2026-01-02 00:00:00")))
+    // semantics: the t3 batch must be invisible
+    assert(snap(df) == Set(("d1", 2L, false)))
+    val plan = df.queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scan.isDefined && scan.get.contains("batch_date"),
+      s"batch_date predicate did not reach the scan as a partition filter:\n" +
+        plan.take(3000))
+  }
+
   test("x117 invariants: counts partition the corpus, auc in [0,1], " +
       "gini is 2*auc-1, and the en-probe discriminates better than chance") {
     val r = SparkEntry.queries("x117_probe_auc")(spark, sf001).collect()
