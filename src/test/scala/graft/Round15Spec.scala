@@ -83,6 +83,31 @@ class Round15Spec extends SparkSpec {
     assert(!plan.contains("RunningWindowFunction"), plan.take(2000))
   }
 
+  test("history surfaces out-of-order producer dates as detectable " +
+      "inverted intervals (valid_to < valid_from), never a silent clamp") {
+    import spark.implicits._
+    def recAt(id: String, ver: Long, date: String) =
+      LandingRecord(ts("2026-01-10 00:00:00"), "W", id, ver, 0, "a",
+        ts(date), false, "{}")
+    // d1: v2 stamped EARLIER than v1 (out-of-order producer);
+    // d2: monotone control
+    val df = landing(
+      recAt("d1", 1, "2026-01-05 00:00:00"),
+      recAt("d1", 2, "2026-01-02 00:00:00"),
+      recAt("d2", 1, "2026-01-01 00:00:00"),
+      recAt("d2", 2, "2026-01-03 00:00:00"))
+    val h = Views.history(df)
+    val bad = h.filter(col("valid_to") < col("valid_from"))
+      .select("id", "version").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(bad.toSeq == Seq(("d1", 1L)),
+      "exactly the out-of-order row must be flagged, nothing clamped")
+    // the monotone document's intervals chain cleanly
+    val d2 = h.filter("id = 'd2'").orderBy("version")
+      .select("valid_from", "valid_to", "is_current").collect()
+    assert(d2(0).getTimestamp(1) == d2(1).getTimestamp(0) &&
+      !d2(0).getBoolean(2) && d2(1).getBoolean(2) && d2(1).isNullAt(1))
+  }
+
   test("asOf over a date-partitioned parquet store reaches the scan as " +
       "a partition filter (time travel prunes batches before any exchange)") {
     val dir = "/tmp/graft_asof_store"
