@@ -278,7 +278,7 @@ object Relational {
       s.sql("""
         SELECT c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS volume
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS STRING) AS DOUBLE) AS volume
         FROM v_orders JOIN v_customer ON o_custkey = c_custkey
         WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
@@ -371,7 +371,7 @@ object Relational {
         """SELECT l_returnflag, l_linestatus,
           |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
           |  CAST(COUNT(*) AS BIGINT) AS n,
-          |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+          |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS STRING) AS DOUBLE) AS sum_qty
           |FROM __li_r48
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
           |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
@@ -715,9 +715,9 @@ object Relational {
   /** r56 — one SQL text drives both engines. */
   def r56Sql(orders: String): String =
     s"""SELECT o_custkey, o_orderkey, o_orderdate,
-       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) OVER (
+       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) OVER (
        |    PARTITION BY o_custkey ORDER BY o_orderdate
-       |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d,
+       |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS spend_30d,
        |  CAST(COUNT(*) OVER (
        |    PARTITION BY o_custkey ORDER BY o_orderdate
        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
@@ -755,17 +755,17 @@ object Relational {
   /** One SQL text drives both engines (only the table names differ). */
   def r34Sql(orders: String, customer: String): String =
     s"""WITH cust AS (
-       |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS spend
+       |  SELECT o_custkey, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS STRING) AS DOUBLE) AS spend
        |  FROM $orders GROUP BY o_custkey),
        |j AS (SELECT c_custkey, c_mktsegment, spend
        |      FROM $customer JOIN cust ON c_custkey = o_custkey)
        |SELECT c_custkey, c_mktsegment, spend FROM j a
        |WHERE spend > 2 * (
-       |  SELECT CAST(SUM(CAST(spend AS DECIMAL(20,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |  SELECT CAST(CAST(SUM(CAST(spend AS DECIMAL(20,2))) AS STRING) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
        |  FROM j b WHERE b.c_mktsegment = a.c_mktsegment)
        |ORDER BY c_custkey""".stripMargin
 
-  private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)"
+  private val sumQty = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS STRING) AS DOUBLE)"
 
   val oracleSql: Map[String, String] = Map(
     "r71_event_funnel" ->
@@ -807,10 +807,10 @@ object Relational {
     "r01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  $sumQty AS sum_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
-         |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+         |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
          |  $sumQty / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
-         |  CAST(SUM(CAST(l_discount AS DECIMAL(22,4))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+         |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(22,4))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
          |  CAST(COUNT(*) AS BIGINT) AS count_order
          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "r02_topk_orders" ->
@@ -818,14 +818,14 @@ object Relational {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "r03_segment_revenue" ->
       """SELECT c_mktsegment,
-        |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "r04_brand_volume" ->
       s"""SELECT p_brand, $sumQty AS sum_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
          |  CAST(COUNT(*) AS BIGINT) AS n
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -845,7 +845,7 @@ object Relational {
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
     "r08_running_user_value" ->
       """SELECT user_id, event_id, event_type,
-        |  CAST(SUM(CAST(value AS DECIMAL(20,2))) OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,2))) OVER (PARTITION BY user_id ORDER BY event_id) AS VARCHAR) AS DOUBLE) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "r09_rollup_volume" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
@@ -891,11 +891,11 @@ object Relational {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "r15_repeat_customers" ->
       """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total_spent
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS total_spent
         |FROM orders GROUP BY 1 HAVING COUNT(*) >= 15 ORDER BY o_custkey""".stripMargin,
     "r16_nation_revenue" ->
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS rev,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS rev,
         |  CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -905,12 +905,12 @@ object Relational {
     "r17_monthly_orders" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS volume
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS volume
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "r18_event_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "r19_props_extract" ->
       """SELECT event_id, k FROM (
@@ -920,9 +920,9 @@ object Relational {
     "r34_scalar_subquery" -> r34Sql("orders", "customer"),
     "r32_moving_average" ->
       """SELECT user_id, event_id, value,
-        |  CAST(SUM(CAST(value AS DECIMAL(20,2)))
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,2)))
         |         OVER (PARTITION BY user_id ORDER BY event_id
-        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
         |  / CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
         |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma4
         |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
@@ -934,7 +934,7 @@ object Relational {
     "r31_sql_interface" ->
       """SELECT c_mktsegment,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS volume
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS volume
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
@@ -955,13 +955,13 @@ object Relational {
         |   FROM (SELECT DISTINCT y FROM oy i WHERE i.o_custkey = oy.o_custkey) d) AS years_csv,
         |  CAST(COUNT(DISTINCT y) AS BIGINT) AS n_years,
         |  MIN(y) AS first_year, MAX(y) AS last_year,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS lifetime_value
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS lifetime_value
         |FROM oy GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "r27_cube_volume" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS volume
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS volume
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "r28_json_path" ->
@@ -1001,7 +1001,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
@@ -1039,11 +1039,11 @@ object Relational {
       """WITH st AS (
         |  SELECT l_returnflag,
         |    CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(y AS DECIMAL(24,6))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
-        |    CAST(SUM(CAST(x * x AS DECIMAL(24,8))) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(y * y AS DECIMAL(34,8))) AS DOUBLE) AS syy
+        |    CAST(CAST(SUM(CAST(x AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(y AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(x * y AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(SUM(CAST(x * x AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(y * y AS DECIMAL(34,8))) AS VARCHAR) AS DOUBLE) AS syy
         |  FROM (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
         |               CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem)
         |  GROUP BY l_returnflag)
@@ -1097,7 +1097,7 @@ object Relational {
         |FROM events ORDER BY event_id""".stripMargin,
     "r54_histogram" ->
       """SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS total
         |FROM (SELECT least(CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT), 19) AS bucket,
         |             o_totalprice
         |      FROM orders)

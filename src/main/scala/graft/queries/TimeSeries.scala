@@ -425,7 +425,7 @@ object TimeSeries {
         |  (6, CAST(0.262144 AS DECIMAL(12,9))), (7, CAST(0.2097152 AS DECIMAL(12,9))),
         |  (8, CAST(0.16777216 AS DECIMAL(12,9))), (9, CAST(0.134217728 AS DECIMAL(12,9))))
         |SELECT a.user_id, a.event_id, a.value,
-        |  CAST(CAST(CAST(SUM(CAST(b.value AS DECIMAL(20,6)) * w.wt) AS DOUBLE)
+        |  CAST(CAST(CAST(CAST(SUM(CAST(b.value AS DECIMAL(20,6)) * w.wt) AS VARCHAR) AS DOUBLE)
         |    / CAST(SUM(w.wt) AS DOUBLE) AS DECIMAL(16,6)) AS DOUBLE) AS ewma10
         |FROM r a JOIN r b ON a.user_id = b.user_id
         |  AND b.rn BETWEEN a.rn - 9 AND a.rn
@@ -495,7 +495,7 @@ object TimeSeries {
     "r41_range_window" ->
       """SELECT user_id, event_id,
         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
-        |  CAST(SUM(CAST(value AS DECIMAL(20,2))) OVER w AS DOUBLE) AS val_win
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,2))) OVER w AS VARCHAR) AS DOUBLE) AS val_win
         |FROM (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
@@ -515,7 +515,7 @@ object TimeSeries {
         |pri AS (SELECT user_id, ts AS pts, value AS pval FROM events
         |        WHERE event_type IN ('view', 'click')),
         |m AS (SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_prior,
-        |        CAST(SUM(CAST(pval AS DECIMAL(20,2))) AS DOUBLE) AS val_prior
+        |        CAST(CAST(SUM(CAST(pval AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS val_prior
         |      FROM p JOIN pri ON p.user_id = pri.user_id
         |        AND epoch_us(pts) < epoch_us(p.ts)
         |        AND epoch_us(pts) >= epoch_us(p.ts) - 600000000
@@ -539,13 +539,13 @@ object TimeSeries {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
-        |  CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "r38_price_deciles" ->
       """SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM (SELECT o_totalprice,
         |        CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
         |      FROM orders)
@@ -553,9 +553,9 @@ object TimeSeries {
     "r39_unpivot_metrics" ->
       """WITH agg AS (
         |  SELECT l_returnflag,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price,
-        |    CAST(SUM(CAST(l_discount AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        |    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(22,4))) AS VARCHAR) AS DOUBLE) AS sum_disc
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, metric, value FROM (
         |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
