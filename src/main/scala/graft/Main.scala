@@ -51,8 +51,14 @@ object Main {
       landingPath = req("landing"),
       stateDir = opts.getOrElse("state", "."),
       chunkSize = opts.getOrElse("chunk-size", "10000").toInt)
-    def schema() = SchemaCodec.parse(
-      Files.readString(Paths.get(req("schema"))))
+    // HideInactiveFields (config.go:25, applied at schema fetch —
+    // schema.go:89-91): inactive fields vanish from every generated view
+    def schema() = {
+      val s = SchemaCodec.parse(Files.readString(Paths.get(req("schema"))))
+      if (opts.getOrElse("hide-inactive-fields", "false").toBoolean)
+        s.withoutInactive
+      else s
+    }
 
     // --url switches ingestion to the reference's HTTP sync protocol
     // (BASIC auth, limit/since pagination, X-Sync-* headers); without
@@ -106,6 +112,7 @@ object Main {
     "usage: graft.Main sync|push|clone|create_views|prune|compact|jdbc_push|config|version " +
       "--source DIR | --url URL [--user U --password P --limit N] " +
       "--landing DIR --state DIR [--schema FILE] " +
+      "[--hide-inactive-fields true|false] " +
       "[--wait SECONDS] [--chunk-size N] [--target-file-mb N] " +
       "[--jdbc-url URL --jdbc-table T --jdbc-driver CLASS]")
 }

@@ -36,12 +36,15 @@ final case class RootSchema(types: Vector[(String, DocumentSchema)]) {
   def typeNames: Vector[String] = types.map(_._1)
 
   /** Recursively drop inactive fields (schema.go:96-119, gated by
-    * HideInactiveFields in the reference). */
+    * HideInactiveFields in the reference, config.go:25). A recordType
+    * emptied by the filter is dropped entirely (schema.go:111-113 nils
+    * it) so the view walk never generates a zero-column child view. */
   def withoutInactive: RootSchema = {
     def filt(ds: DocumentSchema): DocumentSchema =
       DocumentSchema(ds.fields.collect {
         case (n, fm) if fm.active =>
-          n -> fm.copy(recordType = fm.recordType.map(filt))
+          n -> fm.copy(recordType =
+            fm.recordType.map(filt).filter(_.fields.nonEmpty))
       })
     RootSchema(types.map { case (t, ds) => t -> filt(ds) })
   }
@@ -92,6 +95,13 @@ object SchemaMapper {
     case "INTEGER"           => Some(LongType)
     case "DECIMAL"           => Some(DoubleType) // reference casts to float, not decimal
     case "BOOLEAN"           => Some(BooleanType)
+    // DATE_UNZONED (schema.go:25) marks producer timestamps recorded
+    // without an offset; the reference's generators cast both zoned and
+    // unzoned the same way (snowflake.go:345 timestamp_tz for every
+    // DATETIME). We take the same stance: one TimestampType cast under
+    // the pinned UTC session timezone — the flag is parsed and carried
+    // on FieldMetadata for consumers that need to annotate, but does
+    // not change the stored instant here, exactly as in the reference.
     case "DATETIME"          => Some(TimestampType)
     case _                   => None
   }

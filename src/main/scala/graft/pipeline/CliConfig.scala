@@ -15,7 +15,9 @@ object CliConfig {
     "limit" -> "10000",
     "chunk-size" -> "10000",
     "state" -> ".",
-    "target-file-mb" -> "128")
+    "target-file-mb" -> "128",
+    // HideInactiveFields default:"false" (config.go:25)
+    "hide-inactive-fields" -> "false")
 
   private val knownKeys = defaults.keySet ++
     Set("source", "landing", "url", "user", "password", "schema", "calcs")

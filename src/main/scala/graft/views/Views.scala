@@ -117,12 +117,19 @@ object Views {
     * `updated` (live→live at a higher version), `deleted` (live→
     * tombstone), `restored` (tombstone→live — the reference permits a
     * new live version after a soft delete). Documents born dead,
-    * unchanged, or tombstone-over-tombstone produce no row. One
-    * full-outer hash join on the document key: both sides are
-    * |latest|-sized and partition on (type,id) — over the bucketed
-    * store the join co-locates exchange-free, and per cycle the cost
-    * is |latest|, never |history|. `prev`/`cur` must be frames
-    * produced by [[latest]] / [[latestIncremental]]. */
+    * unchanged, or tombstone-over-tombstone produce no row. A
+    * contract-VIOLATING producer that mutates a version in place
+    * (same version number, deleted flag flipped) is surfaced as
+    * `anomaly` rather than silently classed as unchanged — the store
+    * forbids in-place updates, so hiding the flip would make the
+    * violation undetectable downstream. (Same-version DATA mutations
+    * are invisible at this grain by design: the diff keys on
+    * (version, deleted), the only change-bearing metadata the landing
+    * row carries.) One full-outer hash join on the document key: both
+    * sides are |latest|-sized and partition on (type,id) — over the
+    * bucketed store the join co-locates exchange-free, and per cycle
+    * the cost is |latest|, never |history|. `prev`/`cur` must be
+    * frames produced by [[latest]] / [[latestIncremental]]. */
   def changes(prev: DataFrame, cur: DataFrame): DataFrame = {
     // chunk-0 carries the document's metadata; split-out array chunks
     // (§2.2) would otherwise duplicate the (type,id) key
@@ -136,6 +143,8 @@ object Views {
           |  when old_version is null and new_deleted then null
           |  when old_version is null then 'added'
           |  when new_version is null then null
+          |  when new_version = old_version and new_deleted != old_deleted
+          |    then 'anomaly'
           |  when new_version = old_version then null
           |  when new_deleted and not old_deleted then 'deleted'
           |  when old_deleted and not new_deleted then 'restored'
@@ -246,21 +255,44 @@ object Views {
     base.select(cols: _*)
   }
 
-  /** V6 — RECORD LIST flatten: one row per list element, DOCUMENT_ID +
-    * LISTITEM_ID first. No chunk=0 filter — split chunks (T2) re-union
-    * transparently. List-in-list is refused, matching the reference
-    * (snowflake.go:352-356). */
-  def recordListView(latestDf: DataFrame, docType: String,
-      root: DocumentSchema, listField: String): DataFrame = {
-    val fm = root(listField)
-    require(fm.fieldType == "RECORD LIST", s"$listField is not a RECORD LIST")
-    val inner = fm.recordType.get
+  /** Shared flatten base for the list-grain views: navigate `listPath`
+    * (RECORD fields ending at a RECORD LIST field) from the parsed
+    * root and explode — one row per list element, keyed by
+    * DOCUMENT_ID. No chunk=0 filter: split chunks (T2) re-union
+    * transparently, and chunks that don't carry the path contribute
+    * nothing (explode of NULL emits no rows). */
+  private def explodedItems(latestDf: DataFrame, docType: String,
+      root: DocumentSchema, listPath: Seq[String]): (DataFrame, DocumentSchema) = {
+    require(listPath.nonEmpty, "listPath must name at least the list field")
+    val parent = listPath.init.foldLeft(root) { (ds, f) =>
+      val fm = ds(f)
+      require(fm.fieldType == "RECORD",
+        s"$f on the way to ${listPath.last} is ${fm.fieldType}, not RECORD")
+      fm.recordType.get
+    }
+    val fm = parent(listPath.last)
+    require(fm.fieldType == "RECORD LIST",
+      s"${listPath.last} is not a RECORD LIST")
     val struct = SchemaMapper.structFor(root)
+    val listCol = listPath.foldLeft[Column](
+      from_json(col("data"), struct))(_.getField(_))
     val base = latestDf
       .filter(col("type") === docType) // chunk union: all chunks contribute
-      .withColumn("__j", from_json(col("data"), struct))
-      .select(col("id").as("DOCUMENT_ID"),
-        explode(col("__j").getField(listField)).as("__item"))
+      .select(col("id").as("DOCUMENT_ID"), explode(listCol).as("__item"))
+    (base, fm.recordType.get)
+  }
+
+  /** V6 — RECORD LIST flatten at any `data`-rooted depth: `listPath` is
+    * the RECORD field chain from the root ending at the RECORD LIST
+    * field (the reference generates exactly this set — its
+    * list-in-list guard checks `strings.HasPrefix(root, "data")`,
+    * which holds for every path reached through RECORD recursion and
+    * fails only inside another flatten; snowflake.go:352-356). One row
+    * per list element, DOCUMENT_ID + LISTITEM_ID first. Lists nested
+    * under another LIST are refused, matching the reference. */
+  def recordListView(latestDf: DataFrame, docType: String,
+      root: DocumentSchema, listPath: Seq[String]): DataFrame = {
+    val (base, inner) = explodedItems(latestDf, docType, root, listPath)
     val cols = Seq(col("DOCUMENT_ID"),
       col("__item").getField("LISTITEM_ID").cast(StringType).as("LISTITEM_ID")) ++
       inner.fields.flatMap { case (n, fm2) =>
@@ -272,35 +304,98 @@ object Views {
     base.select(cols: _*)
   }
 
-  /** V7 — register the full view catalog for a schema: `<TYPE>` top view,
-    * `<TYPE>_<FIELD>` per nested RECORD (recursively) and per RECORD LIST.
-    * Returns the registered names. */
+  /** V6 at the top level (original signature, kept for callers). */
+  def recordListView(latestDf: DataFrame, docType: String,
+      root: DocumentSchema, listField: String): DataFrame =
+    recordListView(latestDf, docType, root, Seq(listField))
+
+  /** RECORD nested under a LIST ITEM: the reference recurses its
+    * view generator inside the LATERAL FLATTEN, so a RECORD field of a
+    * list element gets its own view at the flattened grain — one row
+    * per list element, DOCUMENT_ID + LISTITEM_ID (snowflake.go:321-323
+    * pulls `value:LISTITEM_ID` exactly for these `value:`-rooted
+    * views) + the nested record's scalars. `subPath` is the RECORD
+    * chain inside the element. Same no-chunk-filter contract as the
+    * flatten it rides. */
+  def listItemRecordView(latestDf: DataFrame, docType: String,
+      root: DocumentSchema, listPath: Seq[String],
+      subPath: Seq[String]): DataFrame = {
+    val (base, item) = explodedItems(latestDf, docType, root, listPath)
+    require(subPath.nonEmpty, "subPath must name at least one RECORD field")
+    val inner = subPath.foldLeft(item) { (ds, f) =>
+      val fm = ds(f)
+      require(fm.fieldType == "RECORD",
+        s"$f under list ${listPath.last} is ${fm.fieldType}, not RECORD")
+      fm.recordType.get
+    }
+    val nested = subPath.foldLeft[Column](col("__item"))(_.getField(_))
+    val cols = Seq(col("DOCUMENT_ID"),
+      col("__item").getField("LISTITEM_ID").cast(StringType).as("LISTITEM_ID")) ++
+      inner.fields.flatMap { case (n, fm2) =>
+        fm2.fieldType match {
+          case "RECORD LIST" => None // still inside a flatten: refused
+          case _             => scalarCol(nested, n, fm2)
+        }
+      }
+    base.select(cols: _*)
+  }
+
+  /** V7 — register the full view catalog for a schema, mirroring the
+    * reference's recursive generator (snowflake.go:314-378): `<TYPE>`
+    * top view; `<TYPE>_<FIELD>…` per nested RECORD at any depth; a
+    * flatten view per RECORD LIST reached through RECORDs at any depth
+    * (root still `data`-prefixed in the reference's terms); and a
+    * flattened-grain view per RECORD nested under a list ITEM. Only
+    * LIST-under-LIST is refused (the `value`-rooted case the
+    * reference's guard blocks). View names accumulate the field chain,
+    * exactly as the reference's `tableName_FIELD` recursion does.
+    *
+    * Per-view error resilience matches the reference
+    * (snowflake.go:373-378): a view that fails to build or register is
+    * logged and SKIPPED — one bad type or field never aborts the rest
+    * of the catalog. Returns the successfully registered names. */
   def registerAll(latestDf: DataFrame, schema: RootSchema): Seq[String] = {
     val reg = scala.collection.mutable.ArrayBuffer.empty[String]
+    def register(name: String)(df: => DataFrame): Unit =
+      try { df.createOrReplaceTempView(name); reg += name }
+      catch {
+        case e: Exception =>
+          System.err.println(s"graft: error creating view $name: ${e.getMessage}")
+      }
     schema.types.foreach { case (docType, ds) =>
-      val top = typedView(latestDf, docType, ds)
-      top.createOrReplaceTempView(docType)
-      reg += docType
-      def walk(d: DocumentSchema, path: Seq[String]): Unit =
+      register(docType)(typedView(latestDf, docType, ds))
+      def name(path: Seq[String]) = (docType +: path).mkString("_")
+      // `data`-rooted walk: RECORDs recurse, each RECORD LIST starts a
+      // flatten-rooted walk of its element type
+      def walkData(d: DocumentSchema, path: Seq[String]): Unit =
         d.fields.foreach { case (n, fm) =>
           fm.fieldType match {
             case "RECORD" if fm.recordType.isDefined =>
-              val name = (docType +: path :+ n).mkString("_")
-              recordView(latestDf, docType, ds, path :+ n)
-                .createOrReplaceTempView(name)
-              reg += name
-              walk(fm.recordType.get, path :+ n)
-            case "RECORD LIST" if fm.recordType.isDefined && path.isEmpty =>
-              val name = s"${docType}_$n"
-              recordListView(latestDf, docType, ds, n)
-                .createOrReplaceTempView(name)
-              reg += name
-            // RECORD LIST below a RECORD or another list: not supported
-            // at depth by the reference either; skipped.
+              register(name(path :+ n))(
+                recordView(latestDf, docType, ds, path :+ n))
+              walkData(fm.recordType.get, path :+ n)
+            case "RECORD LIST" if fm.recordType.isDefined =>
+              register(name(path :+ n))(
+                recordListView(latestDf, docType, ds, path :+ n))
+              walkItem(fm.recordType.get, path :+ n, Nil)
             case _ =>
           }
         }
-      walk(ds, Nil)
+      // flatten-rooted walk (inside a list element): RECORDs get
+      // flattened-grain views; a further RECORD LIST is list-in-list
+      // and is skipped, matching the reference's guard
+      def walkItem(d: DocumentSchema, listPath: Seq[String],
+          sub: Seq[String]): Unit =
+        d.fields.foreach { case (n, fm) =>
+          fm.fieldType match {
+            case "RECORD" if fm.recordType.isDefined =>
+              register(name(listPath ++ sub :+ n))(
+                listItemRecordView(latestDf, docType, ds, listPath, sub :+ n))
+              walkItem(fm.recordType.get, listPath, sub :+ n)
+            case _ =>
+          }
+        }
+      walkData(ds, Nil)
     }
     reg.toSeq
   }

@@ -18,4 +18,18 @@ class BenchSpec extends SparkSpec {
     assert(ok.jobs >= 1, s"expected >=1 job, got ${ok.jobs}")
     assert(ok.stages >= 1, s"expected >=1 stage, got ${ok.stages}")
   }
+
+  test("min-of-N reps: every rep runs in full, the minimum is kept") {
+    var calls = 0
+    val (res, failed) = Bench.runAll(spark, sf001, Map(
+      "q" -> ((s, d) => { calls += 1; graft.queries.Tables.t(s, d, "region") })),
+      isolate = false, reps = 2)
+    assert(failed.isEmpty)
+    assert(calls == 2, s"expected 2 reps, saw $calls plan builds")
+    val q = res("q")
+    assert(q.repSecs.length == 2)
+    assert(q.sec == q.repSecs.min)
+    assert(q.jobs >= 1 && q.stages >= 1) // counts come from the min rep
+    assert(q.at >= 0.0)
+  }
 }

@@ -32,4 +32,15 @@ class CliConfigSpec extends AnyFunSuite {
     val r = CliConfig.resolve(Map.empty, Map("GRAFT_URL" -> "http://x"))
     assert(r("url") == "http://x")
   }
+
+  test("hide-inactive-fields: defaults false (config.go:25), env and CLI override") {
+    assert(CliConfig.resolve(Map.empty, Map.empty)("hide-inactive-fields")
+      == "false")
+    assert(CliConfig.resolve(Map.empty,
+      Map("GRAFT_HIDE_INACTIVE_FIELDS" -> "true"))("hide-inactive-fields")
+      == "true")
+    assert(CliConfig.resolve(Map("hide-inactive-fields" -> "false"),
+      Map("GRAFT_HIDE_INACTIVE_FIELDS" -> "true"))("hide-inactive-fields")
+      == "false")
+  }
 }

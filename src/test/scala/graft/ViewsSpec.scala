@@ -267,6 +267,102 @@ class ViewsSpec extends SparkSpec {
     assert(spark.table("WELL_TESTS").count() == 1)
   }
 
+  // the reference generates list views for every `data`-rooted path —
+  // including lists nested under RECORDs (snowflake.go:352-356: the
+  // guard refuses only `value`-rooted recursion, i.e. list-in-list) —
+  // and, inside a flatten, child views for RECORDs of the list element
+  val deepSchema = SchemaCodec.parse(
+    """{"RIG": {
+      |  "META": {"ACTIVE": true, "TYPE": "RECORD", "NULLABLE": true,
+      |    "RECORD_TYPE": {
+      |      "REGION": {"ACTIVE": true, "TYPE": "TEXT", "NULLABLE": true},
+      |      "CREWS": {"ACTIVE": true, "TYPE": "RECORD LIST", "NULLABLE": true,
+      |        "RECORD_TYPE": {
+      |          "SIZE": {"ACTIVE": true, "TYPE": "INTEGER", "NULLABLE": true},
+      |          "LEAD": {"ACTIVE": true, "TYPE": "RECORD", "NULLABLE": true,
+      |            "RECORD_TYPE": {"NAME": {"ACTIVE": true, "TYPE": "TEXT", "NULLABLE": true}}},
+      |          "SHIFTS": {"ACTIVE": true, "TYPE": "RECORD LIST", "NULLABLE": true,
+      |            "RECORD_TYPE": {"H": {"ACTIVE": true, "TYPE": "INTEGER", "NULLABLE": true}}}}}}}
+      |}}""".stripMargin)
+
+  test("V7 at depth: list-under-record and record-under-list-item get views; list-in-list refused") {
+    val df = landing(
+      rec("2026-01-01 00:00:00", "RIG", "r1", 1, data =
+        """{"META":{"REGION":"north","CREWS":[
+          |{"LISTITEM_ID":"c1","SIZE":4,"LEAD":{"NAME":"ada"},"SHIFTS":[{"H":8}]},
+          |{"LISTITEM_ID":"c2","SIZE":6,"LEAD":{"NAME":"bob"}}]}}"""
+          .stripMargin.replaceAll("\n", "")),
+      // chunk-split slice carries a third crew: re-union at depth
+      rec("2026-01-01 00:00:00", "RIG", "r1", 1, chunk = 1, data =
+        """{"DOCUMENT_ID":"r1","META":{"CREWS":[{"LISTITEM_ID":"c3","SIZE":2,"LEAD":{"NAME":"eve"}}]}}"""))
+    val names = Views.registerAll(Views.latest(df), deepSchema)
+    assert(names.toSet == Set("RIG", "RIG_META", "RIG_META_CREWS",
+      "RIG_META_CREWS_LEAD"))
+    assert(!names.exists(_.contains("SHIFTS"))) // list-in-list refused
+    val crews = spark.table("RIG_META_CREWS").collect()
+    assert(crews.length == 3) // chunk slices re-unioned below the root
+    assert(crews.map(r => (r.getAs[String]("LISTITEM_ID"),
+      r.getAs[Long]("SIZE"))).sorted.toSeq ==
+      Seq(("c1", 4L), ("c2", 6L), ("c3", 2L)))
+    assert(!crews.head.schema.fieldNames.contains("SHIFTS"))
+    val leads = spark.table("RIG_META_CREWS_LEAD").collect()
+    assert(leads.map(r => (r.getAs[String]("LISTITEM_ID"),
+      r.getAs[String]("NAME"))).sorted.toSeq ==
+      Seq(("c1", "ada"), ("c2", "bob"), ("c3", "eve")))
+    assert(leads.forall(_.getAs[String]("DOCUMENT_ID") == "r1"))
+  }
+
+  test("V7 resilience: one bad type logs and skips; the rest of the catalog registers") {
+    // "BAD TYPE" is an invalid temp-view identifier — createTempView
+    // throws; the reference logs each view's DDL error and continues
+    // (snowflake.go:373-378), so GOOD1/GOOD2 must still register
+    val schema = SchemaCodec.parse(
+      """{"GOOD1": {"A": {"ACTIVE": true, "TYPE": "TEXT", "NULLABLE": true}},
+        |"BAD TYPE": {"A": {"ACTIVE": true, "TYPE": "TEXT", "NULLABLE": true}},
+        |"GOOD2": {"L": {"ACTIVE": true, "TYPE": "RECORD LIST", "NULLABLE": true,
+        |  "RECORD_TYPE": {"V": {"ACTIVE": true, "TYPE": "INTEGER", "NULLABLE": true}}}}
+        |}""".stripMargin)
+    val df = landing(
+      rec("2026-01-01 00:00:00", "GOOD1", "d1", 1, data = """{"A":"x"}"""),
+      rec("2026-01-01 00:00:00", "GOOD2", "d2", 1, data = """{"L":[{"V":1}]}"""))
+    val names = Views.registerAll(Views.latest(df), schema)
+    assert(names.toSet == Set("GOOD1", "GOOD2", "GOOD2_L"))
+    assert(spark.table("GOOD2_L").count() == 1)
+  }
+
+  test("HideInactiveFields: inactive fields (and emptied records) vanish from registered views") {
+    val schema = SchemaCodec.parse(
+      """{"WELL": {
+        |  "NAME": {"ACTIVE": true, "TYPE": "TEXT", "NULLABLE": true},
+        |  "OLD_CODE": {"ACTIVE": false, "TYPE": "TEXT", "NULLABLE": true},
+        |  "GHOST": {"ACTIVE": true, "TYPE": "RECORD", "NULLABLE": true,
+        |    "RECORD_TYPE": {"X": {"ACTIVE": false, "TYPE": "TEXT", "NULLABLE": true}}}
+        |}}""".stripMargin)
+    val df = landing(
+      rec("2026-01-01 00:00:00", "WELL", "d1", 1,
+        data = """{"NAME":"a","OLD_CODE":"z","GHOST":{"X":"y"}}"""))
+    val names = Views.registerAll(Views.latest(df), schema.withoutInactive)
+    // GHOST's recordType empties out → dropped entirely (schema.go:111-113
+    // nils an emptied RecordType), so no zero-column GHOST child view
+    assert(names.toSet == Set("WELL"))
+    val well = spark.table("WELL")
+    assert(well.columns.contains("NAME") && !well.columns.contains("OLD_CODE"))
+    assert(well.collect().head.getAs[String]("NAME") == "a")
+  }
+
+  test("CDC: a same-version deleted-flag flip surfaces as 'anomaly', not silence") {
+    val prev = landing(rec("2026-01-01 00:00:00", "W", "d1", 1))
+    val cur = landing(
+      rec("2026-01-02 00:00:00", "W", "d1", 1, deleted = true))
+    val out = Views.changes(Views.latest(prev), Views.latest(cur)).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("change") == "anomaly")
+    // unflipped same-version replay stays silent
+    val quiet = Views.changes(Views.latest(prev), Views.latest(
+      landing(rec("2026-01-02 00:00:00", "W", "d1", 1))))
+    assert(quiet.count() == 0)
+  }
+
   test("sync twice ≡ sync once through the latest view (at-least-once absorption)") {
     import spark.implicits._
     val bd1 = ts("2026-01-01 00:00:00")

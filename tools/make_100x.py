@@ -39,14 +39,17 @@ con.execute(f"""COPY (SELECT event_id + i*{n_ev} AS event_id, ts,
   TO '{out}/events.parquet' (FORMAT PARQUET)""")
 
 n_supp, n_part = cnt("supplier"), cnt("part")
+# derive the customer shift like every other key — a hard-coded stride
+# would silently collide copies on any corpus with max custkey above it
+n_cust = con.execute(f"select max(c_custkey)+1 from '{src}/customer.parquet'").fetchone()[0]
 shifts = {
-    "orders":   {"o_orderkey": f"o_orderkey + i*{n_ord}", "o_custkey": "o_custkey + i*200000"},
+    "orders":   {"o_orderkey": f"o_orderkey + i*{n_ord}", "o_custkey": f"o_custkey + i*{n_cust}"},
     # the full FK chain shifts together, or part/supplier joins would
     # match only the i=0 copy and skew every probe key 100x
     "lineitem": {"l_orderkey": f"l_orderkey + i*{n_ord}",
                  "l_partkey": f"l_partkey + i*{n_part}",
                  "l_suppkey": f"l_suppkey + i*{n_supp}"},
-    "customer": {"c_custkey": "c_custkey + i*200000"},
+    "customer": {"c_custkey": f"c_custkey + i*{n_cust}"},
     "supplier": {"s_suppkey": f"s_suppkey + i*{n_supp}"},
     "part":     {"p_partkey": f"p_partkey + i*{n_part}"},
 }
