@@ -98,9 +98,19 @@ object Bench {
     // compilation (measured at ~8 s for the shingle/simhash stack alone —
     // a long-running cluster pays this once per executor lifetime, not
     // per query). The timed work below still runs in full at sfDir.
+    val trace = sys.env.get("GRAFT_BENCH_TRACE").contains("1")
+    // local-iteration scope: GRAFT_BENCH_FILTER=^r times only matching
+    // query names (regex). The driver never sets it — used for scoped
+    // measurement legs like the relational-core DuckDB crossover pair.
+    val nameFilter = sys.env.get("GRAFT_BENCH_FILTER").map(_.r)
+    val benchQueries = nameFilter match {
+      case Some(re) => SparkEntry.queries.filter { case (n, _) =>
+        re.findFirstIn(n).isDefined }
+      case None => SparkEntry.queries
+    }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.values.foreach { fn =>
+      benchQueries.values.foreach { fn =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
       // drop BOTH cache tiers: the warm-dir shared frames must not
@@ -108,7 +118,6 @@ object Bench {
       graft.queries.Shared.dropAll()
       spark.catalog.clearCache()
     }
-    val trace = sys.env.get("GRAFT_BENCH_TRACE").contains("1")
     // Pre-build the shared tier AT THE BENCH SF before timing starts:
     // those frames (shingle sets, signatures, embedding norms, the tf
     // frame, the landing dedup) are the engine's warehouse-resident
@@ -121,7 +130,7 @@ object Bench {
     // are dropped so timed queries still do their own real work.
     if (!sys.env.get("GRAFT_BENCH_PREWARM").contains("0")) {
       val t0 = System.nanoTime()
-      SparkEntry.queries.values.foreach { fn =>
+      benchQueries.values.foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => }
       }
       graft.queries.Shared.dropTransient()
@@ -136,7 +145,7 @@ object Bench {
     // min-of-2 by default (GRAFT_BENCH_REPS=1 opts out): the official
     // gate number must survive a loaded host — see runAll's scaladoc
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
-    val (results, failures) = runAll(spark, sfDir, SparkEntry.queries,
+    val (results, failures) = runAll(spark, sfDir, benchQueries,
       isolate = !sys.env.get("GRAFT_BENCH_ISOLATE").contains("0"),
       trace = trace, reps = reps)
     def ms(v: Double): Double = math.rint(v * 1000) / 1000

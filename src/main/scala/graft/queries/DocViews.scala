@@ -397,6 +397,22 @@ object DocViews {
     "r73_fk_reference_join" -> { (s, dir) =>
       fkReferenceJoin(s, dir).orderBy("DOCUMENT_ID")
     },
+    // r73 THROUGH THE VARIANT TWIN — both sides of the FK join built
+    // with Views.variantView (parse_json → variant_get), so the
+    // binary-variant path extraction — including the nested
+    // `$.SOURCE_REF.DOCUMENT_ID` reference projection — is
+    // hash-checked under a JOIN, not just the flat r45 projection.
+    // Shares r73's oracle: the storage representation must be
+    // invisible to query results. Same broadcast plan shape.
+    "r83_variant_fk_join" -> { (s, dir) =>
+      val latest = latestFkLanding(s, dir)
+      val docs = Views.variantView(latest, "DOC", fkSchema("DOC"))
+      val srcs = Views.variantView(latest, "SRC", fkSchema("SRC"))
+        .select(col("DOCUMENT_ID").as("__ref_id"), col("SOURCE_NAME"))
+      docs.join(broadcast(srcs), col("SOURCE_REF") === col("__ref_id"), "left")
+        .select("DOCUMENT_ID", "LANG", "N_CHARS", "SOURCE_REF", "SOURCE_NAME")
+        .orderBy("DOCUMENT_ID")
+    },
     // FK INTEGRITY AUDIT — the data-quality query run right after r73's
     // join exists: classify every document's DOCUMENT-reference as
     // null_ref / ok / dangling (the referenced document never landed) /
@@ -646,6 +662,14 @@ object DocViews {
         |  FROM documents WHERE doc_id % 10 = 0)
         |ORDER BY DOCUMENT_ID, _VERSION""".stripMargin,
     "r73_fk_reference_join" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID, lang AS LANG,
+        |  CAST(n_chars AS BIGINT) AS N_CHARS,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS SOURCE_REF,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE upper(source) END AS SOURCE_NAME
+        |FROM documents ORDER BY DOCUMENT_ID""".stripMargin,
+    // same closed form as r73: the variant storage path must be
+    // result-invisible
+    "r83_variant_fk_join" ->
       """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID, lang AS LANG,
         |  CAST(n_chars AS BIGINT) AS N_CHARS,
         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS SOURCE_REF,
