@@ -1727,6 +1727,49 @@ object TextAnalysis {
       score.selectExpr("token", sRound6("score") + " as score")
         .orderBy(desc("score"), col("token")).limit(20)
     },
+
+    // SKETCH CALIBRATION — the operational companion of r21's
+    // rows-only approx sketches: at 100 TB, quality thresholds are cut
+    // with a one-pass mergeable quantile sketch (Greenwald–Khanna via
+    // approx_percentile — no global sort, one aggregate exchange), and
+    // the ONLY thing a correctness gate can pin about a sketch is its
+    // ERROR CONTRACT. This query audits exactly that: the sketch
+    // value's true rank interval [lt+1, le] (one counting pass with
+    // the 5-row sketch output broadcast) must overlap the target rank
+    // ceil(q·N) within the GK tolerance N/accuracy (+1 slack for the
+    // ceil edge). The exact leg — percentile_disc = min value with
+    // rank ≥ ceil(q·N) — rides ExactRank's range-partitioned rank, so
+    // the audit never materializes a global ordering either. Output is
+    // (q, exact value, contract verdict): the sketch VALUES differ per
+    // engine and can never hash-match (that is r21's documented gap) —
+    // the exact values and the contract booleans match bit-for-bit,
+    // which is precisely what the gate should pin.
+    "x118_sketch_calibration" -> { (s, dir) =>
+      val qArr = "array(0.25d, 0.5d, 0.75d, 0.9d, 0.99d)"
+      val base = docs(s, dir).select("doc_id", "n_chars")
+      val approx = base
+        .agg(expr(s"approx_percentile(n_chars, $qArr, 1000)").as("ap"))
+        .selectExpr(s"explode(arrays_zip($qArr, ap)) as z")
+        .selectExpr("z.`0` as q", "z.ap as av")
+      val calib = base.crossJoin(broadcast(approx))
+        .groupBy("q", "av")
+        .agg(
+          sum(when(col("n_chars") < col("av"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("n_chars") <= col("av"), 1L).otherwise(0L)).as("le"),
+          count(lit(1)).as("n"))
+        .withColumn("tol", ceil(col("n").cast("double") / lit(1000.0)) + lit(1L))
+        .withColumn("target", ceil(col("q") * col("n").cast("double")))
+        .select(col("q"),
+          (col("target") >= col("lt") + lit(1L) - col("tol") &&
+            col("target") <= col("le") + col("tol")).as("within_bound"))
+      val exact = graft.queries.ExactRank
+        .withGlobalRank(base, Seq(col("n_chars"), col("doc_id")))
+        .selectExpr("n_chars", "rank", "n_total",
+          s"explode($qArr) as q")
+        .filter(col("rank") === ceil(col("q") * col("n_total").cast("double")))
+        .select(col("q"), col("n_chars").cast("long").as("exact_disc"))
+      exact.join(calib, "q").orderBy("q")
+    },
   )
 
   /** Row-stochastic co-occurrence edges for x105: undirected adjacent-
@@ -2783,6 +2826,21 @@ object TextAnalysis {
          |SELECT token, ${dRound6("score")} AS score FROM s5
          |ORDER BY score DESC, token LIMIT 20""".stripMargin
     },
+
+    // exact leg closed-form; the contract booleans are TRUE by the GK
+    // guarantee (any FALSE is a real sketch-contract violation and
+    // SHOULD fail the gate)
+    "x118_sketch_calibration" ->
+      """WITH v AS (SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        |c AS (SELECT n_chars, SUM(cnt) OVER (ORDER BY n_chars) AS cum FROM v),
+        |n AS (SELECT COUNT(*) AS nn FROM documents),
+        |qs AS (SELECT UNNEST([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q)
+        |SELECT qs.q AS q,
+        |  CAST(MIN(c.n_chars) AS BIGINT) AS exact_disc,
+        |  TRUE AS within_bound
+        |FROM qs, n, c
+        |WHERE c.cum >= CEIL(qs.q * n.nn)
+        |GROUP BY qs.q ORDER BY q""".stripMargin,
   )
 
   /** The BPE training replay as a DuckDB WITH-chain (through `m1..m3`,

@@ -136,7 +136,13 @@ final class SyncPipeline(
     latest.createOrReplaceTempView("DOCUMENTS_LATEST")
     Views.latestAllVersions(landing)
       .createOrReplaceTempView("DOCUMENTS_LATEST_ALL_VERSIONS")
-    Seq("DOCUMENTS_LATEST", "DOCUMENTS_LATEST_ALL_VERSIONS") ++
+    // the SCD2 companion of _LATEST_ALL_VERSIONS: same rows, annotated
+    // with validity intervals — registered so point-in-time SQL can
+    // BETWEEN-join it without touching the Scala API
+    Views.history(landing)
+      .createOrReplaceTempView("DOCUMENTS_HISTORY")
+    Seq("DOCUMENTS_LATEST", "DOCUMENTS_LATEST_ALL_VERSIONS",
+      "DOCUMENTS_HISTORY") ++
       Views.registerAll(latest, schema)
   }
 

@@ -43,6 +43,35 @@ class PipelineSpec extends SparkSpec {
     assert(Views.latest(landing).count() == 3) // a@2, b@1, c@1
   }
 
+  test("clone lands everything and registers the full catalog, SQL-queryable (3.3)") {
+    val src = tmp("src"); val land = tmp("land") + "/landing"; val state = tmp("st")
+    writeNdjson(src, "f001.ndjson",
+      """{"$TYPE":"W","DOCUMENT_ID":"a","$VERSION":1,"$DATE":"2026-01-01T00:00:00Z","N":"a1"}""",
+      """{"$TYPE":"W","DOCUMENT_ID":"a","$VERSION":2,"$DATE":"2026-01-02T00:00:00Z","N":"a2"}""",
+      """{"$TYPE":"W","DOCUMENT_ID":"b","$VERSION":1,"$DATE":"2026-01-01T00:00:00Z","N":"b1"}""")
+    val schema = graft.model.SchemaCodec.parse(
+      """{"W": {"N": {"ACTIVE": true, "TYPE": "TEXT", "NULLABLE": true}}}""")
+    val p = new SyncPipeline(spark, src, land, state)
+    assert(p.clone(schema) == 3L)
+    // store-level views: latest, all-versions, and the SCD2 history
+    assert(spark.sql("SELECT count(*) FROM DOCUMENTS_LATEST").head.getLong(0) == 2L)
+    assert(spark.sql(
+      "SELECT count(*) FROM DOCUMENTS_LATEST_ALL_VERSIONS").head.getLong(0) == 3L)
+    // point-in-time SQL over the registered history: at Jan 1 noon,
+    // a@1 is current (superseded Jan 2) and b@1 is open-ended
+    val pit = spark.sql(
+      """SELECT id, version FROM DOCUMENTS_HISTORY
+        |WHERE chunk = 0 AND valid_from <= timestamp'2026-01-01 12:00:00'
+        |  AND (valid_to IS NULL OR valid_to > timestamp'2026-01-01 12:00:00')
+        |ORDER BY id""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(pit.toSeq == Seq(("a", 1L), ("b", 1L)))
+    // typed catalog registered too: the W view projects the latest N
+    val w = spark.sql("SELECT DOCUMENT_ID, N FROM W ORDER BY DOCUMENT_ID")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(w.toSeq == Seq(("a", "a2"), ("b", "b1")))
+  }
+
   test("replayed sync (force) is absorbed by the latest view; prune compacts") {
     val src = tmp("src2"); val land = tmp("land2") + "/landing"; val state = tmp("st2")
     writeNdjson(src, "f001.ndjson",
