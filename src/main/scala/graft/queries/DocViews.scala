@@ -344,6 +344,20 @@ object DocViews {
       Views.registerAll(latest, itemRecordSchema)
       s.table("DOC_ITEMS_POS").orderBy("DOCUMENT_ID", "LISTITEM_ID")
     },
+    // THE VARIANT FLATTEN TWIN — r81's at-depth list flatten through
+    // variant_get('variant') + variant_explode instead of the
+    // StructType decode + explode; shares r81's oracle verbatim, so
+    // the two storage paths are pinned identical under the SAME
+    // chunk-re-union + stale-chunk-death fixture. With r45 (flat
+    // projection), r83 (FK join) and this, every view shape has a
+    // hash-verified variant twin.
+    "r84_variant_list_flatten" -> { (s, dir) =>
+      Views.variantListView(
+        Shared.shared(s, dir, "latest_nestedlist") {
+          Views.latest(nestedListLanding(s, dir))
+        }, "DOC", nestedListSchema("DOC"), Seq("META", "ITEMS"))
+        .orderBy("DOCUMENT_ID", "LISTITEM_ID")
+    },
     // landing → latest → record-list flatten with chunk re-union
     "r25_record_list_flatten" -> { (s, dir) =>
       Views.recordListView(
@@ -736,6 +750,16 @@ object DocViews {
     // must not change flatten semantics (chunk re-union, stale-chunk
     // death for id%35=0 included)
     "r81_nested_list_flatten" ->
+      """SELECT DOCUMENT_ID, LISTITEM_ID, VAL FROM (
+        |  SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID, 'A' AS LISTITEM_ID,
+        |         CAST(n_chars AS BIGINT) AS VAL FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'B', CAST(n_chars * 2 AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'C', CAST(n_chars * 3 AS BIGINT)
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0) x
+        |ORDER BY DOCUMENT_ID, LISTITEM_ID""".stripMargin,
+    "r84_variant_list_flatten" ->
       """SELECT DOCUMENT_ID, LISTITEM_ID, VAL FROM (
         |  SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID, 'A' AS LISTITEM_ID,
         |         CAST(n_chars AS BIGINT) AS VAL FROM documents

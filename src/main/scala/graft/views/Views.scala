@@ -240,6 +240,44 @@ object Views {
     base.select(cols: _*)
   }
 
+  /** V6 on the VARIANT path — the flatten twin of [[variantView]], as
+    * [[recordListView]] is of [[typedView]]: the list is pulled out of
+    * the binary variant with `variant_get(…, 'variant')` and exploded
+    * by Spark 4's `variant_explode` generator; each element's scalars
+    * are then `variant_get` projections. Same contracts as the
+    * StructType flatten: any `data`-rooted `listPath`, no chunk
+    * filter (slices re-union; rows without the path contribute
+    * nothing), LISTITEM_ID first, list-in-list refused by the walk.
+    * Both forms are a single narrow generate — the variant trade is
+    * per-element lazy field access vs the full-schema struct decode. */
+  def variantListView(latestDf: DataFrame, docType: String,
+      root: DocumentSchema, listPath: Seq[String]): DataFrame = {
+    val inner = resolveListPath(root, listPath)
+    val path = "$." + listPath.mkString(".")
+    val spark = latestDf.sparkSession
+    val base = latestDf
+      .filter(col("type") === docType) // chunk union: all chunks contribute
+      .selectExpr("id as DOCUMENT_ID",
+        s"variant_get(parse_json(data), '$path', 'variant') as __arr")
+      .filter(col("__arr").isNotNull)
+      // variant_explode is a table-valued generator (Spark 4's LATERAL
+      // form of explode for variant arrays); `outer()` marks the
+      // argument as a reference into the left side of the lateral join
+      .lateralJoin(spark.tvf.variant_explode(col("__arr").outer()))
+    def vGet(n: String, fm: FieldMetadata): Option[Column] = fm.fieldType match {
+      case "RECORD LIST" => None // list-in-list unsupported
+      case "DOCUMENT" =>
+        Some(expr(s"variant_get(value, '$$.$n.DOCUMENT_ID', 'string')").as(n))
+      case _ =>
+        SchemaMapper.scalarType(fm).map(dt =>
+          expr(s"variant_get(value, '$$.$n', '${dt.sql}')").as(n))
+    }
+    val cols = Seq(col("DOCUMENT_ID"),
+      expr("variant_get(value, '$.LISTITEM_ID', 'string')").as("LISTITEM_ID")) ++
+      inner.fields.flatMap { case (n, fm) => vGet(n, fm) }
+    base.select(cols: _*)
+  }
+
   /** V5 — nested RECORD child view: same row grain, deeper path. `path`
     * is the field chain from the root, e.g. Seq("LOCATION"). */
   def recordView(latestDf: DataFrame, docType: String, root: DocumentSchema,
@@ -255,14 +293,10 @@ object Views {
     base.select(cols: _*)
   }
 
-  /** Shared flatten base for the list-grain views: navigate `listPath`
-    * (RECORD fields ending at a RECORD LIST field) from the parsed
-    * root and explode — one row per list element, keyed by
-    * DOCUMENT_ID. No chunk=0 filter: split chunks (T2) re-union
-    * transparently, and chunks that don't carry the path contribute
-    * nothing (explode of NULL emits no rows). */
-  private def explodedItems(latestDf: DataFrame, docType: String,
-      root: DocumentSchema, listPath: Seq[String]): (DataFrame, DocumentSchema) = {
+  /** Resolve `listPath` (RECORD fields ending at a RECORD LIST) against
+    * the schema and return the list element's record type. */
+  private def resolveListPath(root: DocumentSchema,
+      listPath: Seq[String]): DocumentSchema = {
     require(listPath.nonEmpty, "listPath must name at least the list field")
     val parent = listPath.init.foldLeft(root) { (ds, f) =>
       val fm = ds(f)
@@ -273,13 +307,25 @@ object Views {
     val fm = parent(listPath.last)
     require(fm.fieldType == "RECORD LIST",
       s"${listPath.last} is not a RECORD LIST")
+    fm.recordType.get
+  }
+
+  /** Shared flatten base for the list-grain views: navigate `listPath`
+    * (RECORD fields ending at a RECORD LIST field) from the parsed
+    * root and explode — one row per list element, keyed by
+    * DOCUMENT_ID. No chunk=0 filter: split chunks (T2) re-union
+    * transparently, and chunks that don't carry the path contribute
+    * nothing (explode of NULL emits no rows). */
+  private def explodedItems(latestDf: DataFrame, docType: String,
+      root: DocumentSchema, listPath: Seq[String]): (DataFrame, DocumentSchema) = {
+    val inner = resolveListPath(root, listPath)
     val struct = SchemaMapper.structFor(root)
     val listCol = listPath.foldLeft[Column](
       from_json(col("data"), struct))(_.getField(_))
     val base = latestDf
       .filter(col("type") === docType) // chunk union: all chunks contribute
       .select(col("id").as("DOCUMENT_ID"), explode(listCol).as("__item"))
-    (base, fm.recordType.get)
+    (base, inner)
   }
 
   /** V6 — RECORD LIST flatten at any `data`-rooted depth: `listPath` is

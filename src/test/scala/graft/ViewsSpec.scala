@@ -350,6 +350,29 @@ class ViewsSpec extends SparkSpec {
     assert(well.collect().head.getAs[String]("NAME") == "a")
   }
 
+  test("variant list flatten (variant_get + variant_explode) matches the StructType flatten") {
+    val df = landing(
+      rec("2026-01-01 00:00:00", "WELL", "d1", 1, data =
+        """{"NAME":"a","TESTS":[{"LISTITEM_ID":"i1","SCORE":1},{"LISTITEM_ID":"i2","SCORE":2}]}"""),
+      rec("2026-01-01 00:00:00", "WELL", "d1", 1, chunk = 1, data =
+        """{"DOCUMENT_ID":"d1","TESTS":[{"LISTITEM_ID":"i3","SCORE":3}]}"""),
+      rec("2026-01-01 00:00:00", "WELL", "d2", 1, data =
+        """{"NAME":"no-list"}""")) // missing path contributes no rows
+    val latest = Views.latest(df)
+    val struct = Views.recordListView(latest, "WELL", wellSchema("WELL"), "TESTS")
+      .orderBy("DOCUMENT_ID", "LISTITEM_ID")
+    val variant = Views.variantListView(latest, "WELL", wellSchema("WELL"),
+      Seq("TESTS")).orderBy("DOCUMENT_ID", "LISTITEM_ID")
+    assert(variant.columns.toSeq == struct.columns.toSeq)
+    assert(variant.collect().map(_.toSeq).toSeq ==
+      struct.collect().map(_.toSeq).toSeq)
+    // the lateral variant_explode plans as a generator, not a join, so
+    // the flatten stays a narrow operator exactly like explode
+    val plan = variant.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"expected a Generate:\n$plan")
+    assert(!plan.contains("Join"), s"lateral TVF must not plan a join:\n$plan")
+  }
+
   test("CDC: a same-version deleted-flag flip surfaces as 'anomaly', not silence") {
     val prev = landing(rec("2026-01-01 00:00:00", "W", "d1", 1))
     val cur = landing(
