@@ -954,7 +954,76 @@ object Dedup {
             "when n_of is not null then n_j else 0.0d end") + " as jaccard")
         .orderBy("doc_id")
     },
+
+    // CONTAMINATION SPAN COVERAGE — x21 answers "does this train doc
+    // share ANY eval 8-gram"; the drop-vs-keep decision needs "HOW MUCH
+    // of it is eval-overlapped" (the dirty-document methodology of the
+    // GPT-3 appendix-C / PaLM contamination analyses: merge the matched
+    // 8-gram spans [i, i+7] into maximal covered runs, measure the
+    // covered-token fraction). Scale shape: positional train grams are
+    // gated MAP-SIDE by the x61 broadcast Bloom (16 KB, zero shuffle)
+    // BEFORE the exact semi-join, so only bloom-admitted positions —
+    // contamination-sized, not corpus-sized — ever shuffle on the gram
+    // key; the Bloom's false positives are then removed by the exact
+    // join, making the result bit-identical with or without the
+    // extension (the DuckDB oracle runs the plain semi-join). The span
+    // merge is gaps-and-islands per document (window partitioned by
+    // doc_id — never a global sort); output is one row per contaminated
+    // train doc, bounded by the contamination, not the corpus.
+    "x119_contamination_span" -> { (s, dir) =>
+      contaminationSpan(s, dir,
+        native = s.catalog.functionExists("bloom_bits"))
+    },
   )
+
+  /** x119's body with the bloom-gate path explicit so the spec can run
+    * both forms on one session and assert bit-identity: the Bloom
+    * prefilter admits false positives, the exact semi-join removes
+    * them, so `native` may only change the plan, never the rows. */
+  private[graft] def contaminationSpan(
+      s: SparkSession, dir: String, native: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = BloomM; val k = BloomK
+    val evalG = splitGrams(s, dir).filter("bucket >= 90")
+      .selectExpr("explode(gs) as g").distinct()
+    val trainPos = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(expr(s"${sSplitBucket("doc_id")} < 80"))
+      .selectExpr("doc_id", s"$sTokens as tk")
+      .selectExpr("doc_id", "cast(size(tk) as bigint) as n_tokens",
+        """posexplode(case when size(tk) >= 8
+          |  then transform(sequence(1, size(tk)-7),
+          |    i -> concat_ws(' ', slice(tk, i, 8)))
+          |  else cast(array() as array<string>) end) as (p0, g)""".stripMargin)
+    val gated =
+      if (native) {
+        val bloom = evalG.selectExpr(s"${sH("g")} as h")
+          .agg(expr(s"bloom_bits(h, $m, $k)").as("bloom"))
+        trainPos.crossJoin(broadcast(bloom))
+          .filter(expr(s"bloom_might_contain(bloom, ${sH("g")}, $k)"))
+          .select("doc_id", "n_tokens", "p0", "g")
+      } else trainPos
+    val matched = gated.join(evalG, Seq("g"), "left_semi")
+      .selectExpr("doc_id", "n_tokens", "p0 + 1 as i")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    matched
+      .withColumn("prev_end",
+        max(expr("i + 7")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl",
+        sum(when(col("prev_end").isNull || col("i") > col("prev_end") + 1, 1)
+          .otherwise(0)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "n_tokens", "isl")
+      .agg(min(col("i")).as("span_s"), max(expr("i + 7")).as("span_e"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(sum(expr("span_e - span_s + 1")).as("covered"),
+        count(lit(1)).as("n_spans"))
+      .selectExpr("doc_id", "n_tokens",
+        "cast(covered as bigint) as covered", "n_spans",
+        sRound6("cast(covered as double) / cast(n_tokens as double)") +
+          " as coverage",
+        "cast(covered as double) / cast(n_tokens as double) >= 0.2d as dirty")
+      .orderBy("doc_id")
+  }
 
   /** doc_id + distinct winnowing fingerprint set (window-of-4 minima
     * over ordered 3-gram hashes). Shared tier: the x93 candidate scan
@@ -1631,5 +1700,38 @@ object Dedup {
          |  FROM cand JOIN fpd x ON cand.doc_a = x.doc_id
          |            JOIN fpd y ON cand.doc_b = y.doc_id)
          |WHERE overlap_r >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "x119_contamination_span" ->
+      s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
+         |g0 AS (SELECT doc_id, ${dSplitBucket("doc_id")} AS bucket, tk FROM tkn),
+         |eval AS (SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS g
+         |         FROM g0, UNNEST(range(1, greatest(len(tk)-7,0)+1)) AS u(i)
+         |         WHERE bucket >= 90),
+         |trainp AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |             i, array_to_string(tk[i:i+7], ' ') AS g
+         |           FROM g0, UNNEST(range(1, greatest(len(tk)-7,0)+1)) AS u(i)
+         |           WHERE bucket < 80),
+         |m AS (SELECT doc_id, n_tokens, i FROM trainp
+         |      WHERE g IN (SELECT g FROM eval)),
+         |pe AS (SELECT doc_id, n_tokens, i,
+         |         MAX(i+7) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |       FROM m),
+         |isl AS (SELECT doc_id, n_tokens, i,
+         |          SUM(CASE WHEN prev_end IS NULL OR i > prev_end + 1
+         |              THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY doc_id ORDER BY i
+         |              ROWS UNBOUNDED PRECEDING) AS isl
+         |        FROM pe),
+         |sp AS (SELECT doc_id, n_tokens, isl,
+         |         MIN(i) AS span_s, MAX(i+7) AS span_e
+         |       FROM isl GROUP BY doc_id, n_tokens, isl),
+         |agg AS (SELECT doc_id, n_tokens,
+         |          CAST(SUM(span_e - span_s + 1) AS BIGINT) AS covered,
+         |          CAST(COUNT(*) AS BIGINT) AS n_spans
+         |        FROM sp GROUP BY doc_id, n_tokens)
+         |SELECT doc_id, n_tokens, covered, n_spans,
+         |  ${dRound6("CAST(covered AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS coverage,
+         |  CAST(covered AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.2 AS dirty
+         |FROM agg ORDER BY doc_id""".stripMargin,
   )
 }

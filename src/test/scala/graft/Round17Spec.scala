@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+/** Round-10 late additions: the contamination-span coverage operator
+  * (x119) — closed-form span algebra on a crafted corpus where every
+  * island case (overlap-merge, adjacency-merge, disjoint spans, clean
+  * doc, non-train docs) is exercised by construction, plus the
+  * bloom-gate bit-identity proof (the Bloom prefilter may only change
+  * the plan, never the rows — its false positives die in the exact
+  * semi-join). */
+class Round17Spec extends SparkSpec {
+
+  private def h64(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+  private def bucket(id: Long): Long = h64(s"split:$id") % 100
+
+  // pick ids by split class so the fixture controls who is train/eval
+  private lazy val ids = (1L to 400L).toVector
+  private lazy val trainIds = ids.filter(bucket(_) < 80)
+  private lazy val evalIds = ids.filter(bucket(_) >= 90)
+  private lazy val valIds = ids.filter(i => bucket(i) >= 80 && bucket(i) < 90)
+
+  private def toks(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+  private val P9 = toks("p", 9) // eval grams p1..p8 AND p2..p9
+  private val Q8 = toks("q", 8) // eval gram q1..q8
+
+  /** (doc_id, text) fixture; expected rows derived by hand below. */
+  private lazy val fixture: Seq[(Long, String)] = {
+    val Seq(t1, t2, t3, t4) = trainIds.take(4)
+    val Seq(e1, e2) = evalIds.take(2)
+    val v1 = valIds.head
+    Seq(
+      // T1: single interior match at i=3 → covered 8 of 20
+      t1 -> s"f1 f2 ${toks("p", 8)} ${toks("g", 10)}",
+      // T2: overlapping matches i=2,3 (p1..p8, p2..p9) merge → 9 of 16
+      t2 -> s"z1 $P9 z2 z3 z4 z5 z6 z7",
+      // T3: adjacent matches i=1,9 merge to [1,16]; disjoint match at
+      //     i=27 stays its own island → covered 24 of 40, 2 spans
+      t3 -> s"${toks("p", 8)} $Q8 ${toks("r", 10)} ${toks("p", 8)} ${toks("v", 6)}",
+      // T4: clean train doc — must be absent from the output
+      t4 -> toks("c", 10),
+      // eval docs define the gram set; never appear in the output
+      e1 -> P9, e2 -> Q8,
+      // val-bucket doc contains P verbatim: neither contributes eval
+      // grams nor appears in the output
+      v1 -> toks("p", 8))
+  }
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-x119").toString
+    import spark.implicits._
+    fixture.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' as lang", "'t' as source",
+        "cast(length(text) as bigint) as n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("x119: island algebra — overlap merge, adjacency merge, disjoint spans") {
+    val Seq(t1, t2, t3, _) = trainIds.take(4)
+    val rows = SparkEntry.queries("x119_contamination_span")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    val t2len = fixture.toMap.apply(t2).split("\\s+").length
+    assert(rows.keySet == Set(t1, t2, t3),
+      "exactly the contaminated TRAIN docs — no clean/val/eval rows")
+    assert(rows(t1) == ((20L, 8L, 1L, 0.4, true)))
+    assert(t2len == 16)
+    assert(rows(t2) == ((16L, 9L, 1L, 0.5625, true)),
+      "p1..p8 and p2..p9 hits must merge into ONE 9-token island")
+    assert(rows(t3) == ((40L, 24L, 2L, 0.6, true)),
+      "adjacent P+Q runs merge; the far P repeat is a second island")
+  }
+
+  test("x119: bloom-gated and plain paths are bit-identical (FP independence)") {
+    val native = graft.llm.Dedup.contaminationSpan(spark, dir, native = true)
+      .collect().toSeq
+    val plain = graft.llm.Dedup.contaminationSpan(spark, dir, native = false)
+      .collect().toSeq
+    assert(native == plain)
+    assert(native.nonEmpty)
+  }
+
+  test("x119: bloom gate plan probes map-side (broadcast, no corpus gram shuffle before the gate)") {
+    val plan = graft.llm.Dedup.contaminationSpan(spark, dir, native = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), "codegen probe present")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "the one-row bloom bitset must broadcast")
+  }
+}
