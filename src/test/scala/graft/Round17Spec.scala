@@ -97,4 +97,39 @@ class Round17Spec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"),
       "the one-row bloom bitset must broadcast")
   }
+
+  // ── x120 NN-Descent ──
+
+  private def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+    rows.count(_.getBoolean(4)).toDouble / rows.length
+
+  test("x120: graph shape — every probe has exactly K ranked distinct neighbors") {
+    val rows = SparkEntry.queries("x120_nndescent_graph")(spark, sf001).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until 8L).toSet)
+    byProbe.values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to 5L), "ranks 1..K")
+      assert(g.map(_.getLong(2)).distinct.length == 5, "distinct neighbors")
+      assert(g.forall(r => r.getLong(2) != r.getLong(0)), "no self edges")
+      // ranked by cos desc with id tiebreak
+      val ord = g.sortBy(_.getLong(1)).map(r => (-r.getDouble(3), r.getLong(2)))
+      assert(ord.sameElements(ord.sorted), "list ordered by (cos desc, id)")
+    }
+  }
+
+  test("x120: the descent descends — local-join rounds never lose recall, and gain it here") {
+    val r0 = recallOf(graft.llm.Similarity
+      .nndescentGraph(spark, sf001, iters = 0).collect())
+    val r2 = recallOf(graft.llm.Similarity
+      .nndescentGraph(spark, sf001, iters = 2).collect())
+    assert(r2 >= r0, s"recall fell: init $r0 -> 2 rounds $r2")
+    assert(r2 > r0, s"2 local-join rounds must improve on random init ($r0)")
+  }
+
+  test("x120: top-K folds ride the native bounded-heap operator") {
+    val plan = graft.llm.Similarity.nndescentGraph(spark, sf001, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
+      "per-node K-list selection must be the two-phase native top-k")
+  }
 }
