@@ -445,4 +445,28 @@ object Views {
     }
     reg.toSeq
   }
+
+  /** The V4 reference join with the broadcast decision made from
+    * evidence instead of faith. r73's public query hints `broadcast`
+    * because its dimension is KNOWN dimension-sized; a library caller
+    * resolving an arbitrary schema's references has no such knowledge,
+    * and an unconditional hint is exactly the thing that dies at
+    * 100 TB — a referenced type that grew past executor memory turns
+    * the "free" broadcast into an OOM. This helper asks Catalyst for
+    * the dimension's plan-time size estimate (`stats.sizeInBytes`, the
+    * same statistic Spark's own auto-broadcast threshold consults —
+    * fed by file sizes for scans and by CBO/ANALYZE when available)
+    * and hints only when the estimate fits the caller's budget.
+    * Unknown or huge estimates fall through UNHINTED, which is the
+    * safe default: the shuffle join co-locates on the FK (zero extra
+    * exchanges over a bucketed store), and AQE still converts to
+    * broadcast at runtime if the actual build side turns out small —
+    * the decision is then made on measured, not estimated, bytes. */
+  def referenceJoin(docs: DataFrame, dims: DataFrame, fk: String,
+      refId: String, maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val est = dims.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dimSide =
+      if (est <= BigInt(maxBroadcastBytes)) broadcast(dims) else dims
+    docs.join(dimSide, docs(fk) === dims(refId), "left")
+  }
 }

@@ -132,4 +132,37 @@ class Round17Spec extends SparkSpec {
     assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
       "per-node K-list selection must be the two-phase native top-k")
   }
+
+  // ── Views.referenceJoin: evidence-driven broadcast ──
+
+  test("referenceJoin broadcasts on the caller's budget, falls back unhinted past it") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id", "doc_id % 5 as src_ref")
+    // a dimension whose PLAN-TIME estimate (768 unioned scans ≈ 21 MB)
+    // exceeds Spark's own 10 MB auto-broadcast default — the regime
+    // where the helper's explicit budget is the only broadcast signal
+    val dim1 = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter("doc_id < 5").selectExpr("doc_id as ref_id", "source")
+    val dimBig = (1 to 768).map(_ => dim1).reduce(_ unionByName _)
+    val est = dimBig.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est > BigInt(10L << 20),
+      s"fixture must exceed the auto-broadcast default, est=$est")
+    val hinted = graft.views.Views
+      .referenceJoin(docs, dimBig, "src_ref", "ref_id",
+        maxBroadcastBytes = 64L << 20)
+    assert(hinted.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "inside the caller's budget the helper must hint the broadcast " +
+        "Spark's default threshold alone would not")
+    val tight = graft.views.Views
+      .referenceJoin(docs, dimBig, "src_ref", "ref_id",
+        maxBroadcastBytes = 1L)
+    assert(!tight.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "over budget -> no plan-time broadcast (AQE may still convert " +
+        "at runtime on measured bytes; plan-time must not)")
+    // the decision changes the plan, never the rows
+    assert(hinted.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      tight.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
 }
