@@ -1280,21 +1280,114 @@ object Similarity {
     // the true top-K) — construction AND quality in one hash-pinned
     // frame.
     "x120_nndescent_graph" -> { (s, dir) => nndescentGraph(s, dir, iters = 2) },
+
+    // GRAPH-ANN QUERY PASS — the search half of the graph family
+    // (x120 builds the kNN index; this answers queries against it):
+    // batched greedy beam search, the published navigable-graph query
+    // routine (Dong et al.'s graph search; the degree-bounded ancestor
+    // of HNSW's layer-0 walk) re-expressed as joins. Hash-seeded entry
+    // points per probe, then H hops: frontier ⋈ edge lists (the SHARED
+    // nnd_edges tier — the index is built once, resident, never
+    // rebuilt per query), anti-join drops already-visited nodes so no
+    // vector is ever scored twice, new candidates score in one bounded
+    // payload join, and the next frontier is the per-probe top-B via
+    // the native bounded heaps. Per hop the candidate set is
+    // ≤ |probes|·B·K rows — independent of corpus size; the corpus is
+    // touched only by the two payload lookups. Output: final top-K per
+    // probe graded hit-by-hit against the exact tier.
+    "x121_graph_beam_search" -> { (s, dir) =>
+      graphBeamSearch(s, dir, hops = 2)
+    },
   )
+
+  /** x121's body with the hop count explicit so the spec can grade the
+    * walk itself: recall must not decrease with more hops (hops = 0
+    * grades the raw hash-seeded entry points). */
+  private[graft] def graphBeamSearch(
+      s: SparkSession, dir: String, hops: Int): DataFrame = {
+    val K = 5; val B = 5; val E = 8
+    val sq = withSq(s, dir)
+    val edges = nndescentEdges(s, dir, iters = 2)
+    // The walk follows the graph UNDIRECTED (out-edges ∪ in-edges), the
+    // published graph-search refinement NN-Descent itself relies on: a
+    // kNN digraph's reverse edges double connectivity for free, and per
+    // frontier node the fan-out stays ≤ 2K — still corpus-independent.
+    // Eager localCheckpoint per round, the same lineage-truncation the
+    // CC loop uses (Dedup.clusterLabelsBuild): without it every hop
+    // re-plans a tree that embeds all prior hops (measured: 3,960-line
+    // plan, 736 exchanges, 54 s/hop at sf0.001 → ~1 s/hop truncated),
+    // and the checkpointed frames carry exact sizes so the planner
+    // broadcasts the probe-bounded frontier into the edge join.
+    val ud = edges.select("src", "dst").unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .localCheckpoint()
+    val nRow = sq.agg(count(lit(1)).as("nc"))
+    val entries = sq.filter(QuerySet).select(col("vec_id"))
+      .crossJoin(broadcast(nRow))
+      .selectExpr("vec_id",
+        s"explode(transform(sequence(1, $E), j -> " +
+          s"${sH("concat(vec_id, ':entry:', j)")} % nc)) as d0", "nc")
+      .selectExpr("vec_id as src",
+        "case when d0 = vec_id then (d0 + 1) % nc else d0 end as dst")
+      .distinct()
+    var visited = scorePairs(s, dir)(entries).localCheckpoint()
+    var frontier = visited.select("src", "dst")
+    for (_ <- 1 to hops) {
+      val expand = frontier
+        .join(ud.selectExpr("src as dst", "dst as nxt"), "dst")
+        .select(col("src"), col("nxt").as("dst")).distinct()
+        .filter(col("src") =!= col("dst"))
+        .join(visited.select("src", "dst"), Seq("src", "dst"), "left_anti")
+      val scored = scorePairs(s, dir)(expand).localCheckpoint()
+      visited = visited.unionByName(scored).localCheckpoint()
+      frontier = graft.plans.TopKPerKey.topKDesc(scored, Seq("src"), "cos",
+        Seq("dst"), B).select("src", "dst").localCheckpoint()
+    }
+    val truth = exactTopk(s, dir).filter(s"rk <= $K")
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        lit(true).as("hit0"))
+    graft.plans.TopKPerKey.topKDesc(visited, Seq("src"), "cos",
+        Seq("dst"), K)
+      .join(truth, Seq("src", "dst"), "left")
+      .selectExpr("src as query_id", "cast(rk as bigint) as rk",
+        "dst as neighbor_id", "cos as cos_sim",
+        "coalesce(hit0, false) as hit")
+      .orderBy("query_id", "rk")
+  }
 
   /** x120's body with the round count explicit so the spec can grade
     * the descent itself: recall must not decrease with more local-join
     * rounds (iters = 0 grades the raw hash-seeded init). */
-  private[graft] def nndescentGraph(
+  /** Pair scorer shared by the NN-Descent construction and the beam
+    * search: (src, dst) + exact rounded cosine via two bounded payload
+    * joins against the shared norm frame. */
+  private def scorePairs(s: SparkSession, dir: String)(
+      pairs: DataFrame): DataFrame = {
+    val sq = withSq(s, dir)
+    pairs
+      .join(sq.selectExpr("vec_id as src", "embedding as ea", "sq as sa"), "src")
+      .join(sq.selectExpr("vec_id as dst", "embedding as eb", "sq as sb"), "dst")
+      .selectExpr("src", "dst", s"${sCosIn(s)} as cos")
+  }
+
+  /** NN-Descent edge lists (src, dst, cos) after `iters` local-join
+    * rounds. The canonical 2-round graph is a SHARED tier — it is the
+    * standing kNN index of the corpus, the thing a warehouse keeps
+    * resident: x120 (construction + quality audit) and x121 (beam
+    * search over it) read one copy. Other round counts are spec-only
+    * temporaries. */
+  private[graft] def nndescentEdges(
+      s: SparkSession, dir: String, iters: Int): DataFrame =
+    if (iters == 2)
+      Shared.shared(s, dir, "nnd_edges")(nndescentEdgesBuild(s, dir, iters))
+    else nndescentEdgesBuild(s, dir, iters)
+
+  private def nndescentEdgesBuild(
       s: SparkSession, dir: String, iters: Int): DataFrame = {
       val K = 5; val T = iters; val R = 2 * K
       val sq = withSq(s, dir)
       val nRow = sq.agg(count(lit(1)).as("nc"))
-      def score(pairs: DataFrame): DataFrame =
-        pairs
-          .join(sq.selectExpr("vec_id as src", "embedding as ea", "sq as sa"), "src")
-          .join(sq.selectExpr("vec_id as dst", "embedding as eb", "sq as sb"), "dst")
-          .selectExpr("src", "dst", s"${sCosIn(s)} as cos")
+      def score(pairs: DataFrame): DataFrame = scorePairs(s, dir)(pairs)
       val seeds = sq.select("vec_id").crossJoin(broadcast(nRow))
         .selectExpr("vec_id",
           s"explode(transform(sequence(1, $K), j -> " +
@@ -1302,9 +1395,13 @@ object Similarity {
         .selectExpr("vec_id as src",
           "case when d0 = vec_id then (d0 + 1) % nc else d0 end as dst")
         .distinct()
-      var edges = Shared.temp(
+      // Same eager lineage truncation as the walk and the CC loop: the
+      // edge frame is |V|·K rows (graph-sized, corpus-degree-bounded);
+      // re-planning T nested rounds of join/topK lineage costs more
+      // than materializing it (measured 31 s → ~8 s cold at sf0.001).
+      var edges =
         graft.plans.TopKPerKey.topKDesc(score(seeds), Seq("src"), "cos",
-          Seq("dst"), K).select("src", "dst", "cos"))
+          Seq("dst"), K).select("src", "dst", "cos").localCheckpoint()
       for (_ <- 1 to T) {
         val adj = edges.select(col("src").as("p"), col("dst").as("n"))
           .unionByName(edges.select(col("dst").as("p"), col("src").as("n")))
@@ -1320,11 +1417,17 @@ object Similarity {
         val scored = score(pairs)
         val cand = scored.unionByName(
           scored.selectExpr("dst as src", "src as dst", "cos"))
-        edges = Shared.temp(
-          graft.plans.TopKPerKey.topKDesc(
+        edges = graft.plans.TopKPerKey.topKDesc(
             edges.unionByName(cand).distinct(), Seq("src"), "cos",
-            Seq("dst"), K).select("src", "dst", "cos"))
+            Seq("dst"), K).select("src", "dst", "cos").localCheckpoint()
       }
+      edges
+  }
+
+  private[graft] def nndescentGraph(
+      s: SparkSession, dir: String, iters: Int): DataFrame = {
+      val K = 5
+      val edges = nndescentEdges(s, dir, iters)
       val truth = exactTopk(s, dir).filter(s"rk <= $K")
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
           lit(true).as("hit0"))
@@ -2026,6 +2129,7 @@ object Similarity {
          |ORDER BY label_a, label_b""".stripMargin
     },
     "x120_nndescent_graph" -> dX120Sql,
+    "x121_graph_beam_search" -> dX121Sql,
   )
 
   /** x120's oracle: the full NN-Descent replay — hash-seeded init,
@@ -2056,8 +2160,17 @@ object Similarity {
        |      ORDER BY cos DESC, dst) AS rk FROM m$i) WHERE rk <= $k)""".stripMargin
   }
 
-  private def dX120Sql: String = {
-    val k = 5; val t = 2; val r = 2 * k
+  // `final val` with a literal is a compile-time constant (inlined at
+  // use sites), immune to object-init order: the eagerly-initialized
+  // `oracleSql` val above reads these before this line would run.
+  private final val NndK = 5
+  private final val NndT = 2
+
+  /** The NN-Descent construction CTE chain (ends at `e{NndT}`, the
+    * final edge list) — shared verbatim by the x120 and x121 oracles,
+    * mirroring the Scala side's one shared `nnd_edges` tier. */
+  private def dNndBase: String = {
+    val k = NndK; val t = NndT; val r = 2 * k
     s"""$dSq,
        |n0 AS (SELECT COUNT(*) AS nc FROM sq),
        |seeds AS (SELECT vec_id, nc, ${dH("concat(vec_id, ':init:', j)")} % nc AS d0
@@ -2071,17 +2184,66 @@ object Similarity {
        |e0 AS (SELECT src, dst, cos FROM (
        |    SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src
        |      ORDER BY cos DESC, dst) AS rk FROM s0) WHERE rk <= $k)
-       |${(1 to t).map(dNndIter(_, k, r)).mkString}
-       |, exact AS (SELECT query_id, neighbor_id FROM ($dX11Sql)
-       |            WHERE rk <= $k),
+       |${(1 to t).map(dNndIter(_, k, r)).mkString}""".stripMargin
+  }
+
+  /** Final grading SELECT shared by both graph oracles: top-K per
+    * probe from `from`, hit-flagged against the exact list. */
+  private def dGraphGrade(from: String): String =
+    s"""exact AS (SELECT query_id, neighbor_id FROM ($dX11Sql)
+       |            WHERE rk <= $NndK),
        |fin AS (SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src
        |          ORDER BY cos DESC, dst) AS rk
-       |        FROM e$t WHERE src < 8)
+       |        FROM $from WHERE src < 8)
        |SELECT f.src AS query_id, CAST(f.rk AS BIGINT) AS rk,
        |  f.dst AS neighbor_id, f.cos AS cos_sim,
        |  (e.neighbor_id IS NOT NULL) AS hit
        |FROM fin f LEFT JOIN exact e
        |  ON f.src = e.query_id AND f.dst = e.neighbor_id
+       |WHERE f.rk <= $NndK
        |ORDER BY query_id, rk""".stripMargin
+
+  private def dX120Sql: String =
+    s"""$dNndBase
+       |, ${dGraphGrade(s"e$NndT")}""".stripMargin
+
+  /** x121's oracle: construction chain + the beam walk unrolled —
+    * per hop: frontier ⋈ e$NndT expansion, NOT EXISTS against visited
+    * (the anti-join), one scoring join, top-B frontier fold. */
+  private def dX121Sql: String = {
+    val b = 5; val e = 8; val h = 2
+    val hopCte = (1 to h).map { i =>
+      val pv = s"v${i - 1}"; val pf = s"f${i - 1}"
+      s""",
+         |x$i AS (SELECT DISTINCT f.src, g.dst
+         |        FROM $pf f JOIN ud g ON f.dst = g.src
+         |        WHERE f.src <> g.dst),
+         |n$i AS (SELECT src, dst FROM x$i
+         |        WHERE NOT EXISTS (SELECT 1 FROM $pv v
+         |          WHERE v.src = x$i.src AND v.dst = x$i.dst)),
+         |s$i AS (SELECT n$i.src, n$i.dst, $dCos AS cos
+         |        FROM n$i JOIN sq a ON n$i.src = a.vec_id
+         |                 JOIN sq b ON n$i.dst = b.vec_id),
+         |v$i AS (SELECT * FROM $pv UNION ALL SELECT * FROM s$i),
+         |f$i AS (SELECT src, dst FROM (
+         |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, dst) AS rk FROM s$i) WHERE rk <= $b)"""
+        .stripMargin
+    }.mkString
+    s"""$dNndBase,
+       |ud AS (SELECT src, dst FROM e$NndT
+       |       UNION SELECT dst AS src, src AS dst FROM e$NndT),
+       |entq AS (SELECT vec_id, nc, ${dH("concat(vec_id, ':entry:', j)")} % nc AS d0
+       |         FROM sq, n0, UNNEST(range(1, $e + 1)) AS u(j)
+       |         WHERE vec_id < 8),
+       |entp AS (SELECT DISTINCT vec_id AS src,
+       |           CASE WHEN d0 = vec_id THEN (d0 + 1) % nc ELSE d0 END AS dst
+       |         FROM entq),
+       |v0 AS (SELECT src, dst, $dCos AS cos
+       |       FROM entp JOIN sq a ON entp.src = a.vec_id
+       |                 JOIN sq b ON entp.dst = b.vec_id),
+       |f0 AS (SELECT src, dst FROM v0)
+       |$hopCte
+       |, ${dGraphGrade(s"v$h")}""".stripMargin
   }
 }

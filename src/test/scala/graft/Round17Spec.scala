@@ -133,6 +133,42 @@ class Round17Spec extends SparkSpec {
       "per-node K-list selection must be the two-phase native top-k")
   }
 
+  // ── x121 graph beam search ──
+
+  test("x121: result shape — every probe has exactly K ranked distinct neighbors") {
+    val rows = SparkEntry.queries("x121_graph_beam_search")(spark, sf001).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until 8L).toSet)
+    byProbe.values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to 5L), "ranks 1..K")
+      assert(g.map(_.getLong(2)).distinct.length == 5, "distinct neighbors")
+      assert(g.forall(r => r.getLong(2) != r.getLong(0)), "no self answers")
+      val ord = g.sortBy(_.getLong(1)).map(r => (-r.getDouble(3), r.getLong(2)))
+      assert(ord.sameElements(ord.sorted), "list ordered by (cos desc, id)")
+    }
+  }
+
+  test("x121: the walk walks — hops never lose recall, and gain it here") {
+    // hops = 0 grades the raw hash-seeded entry points (E random-ish
+    // nodes per probe); each hop can only ADD scored candidates to the
+    // visited set, so top-K recall is monotone by construction — assert
+    // the implementation preserves that, and that 2 hops actually beat
+    // the entry points on this corpus (the graph is navigable).
+    val r0 = recallOf(graft.llm.Similarity
+      .graphBeamSearch(spark, sf001, hops = 0).collect())
+    val r2 = recallOf(graft.llm.Similarity
+      .graphBeamSearch(spark, sf001, hops = 2).collect())
+    assert(r2 >= r0, s"recall fell: entries $r0 -> 2 hops $r2")
+    assert(r2 > r0, s"2 hops must improve on raw entry points ($r0)")
+  }
+
+  test("x121: frontier and answer folds ride the native bounded-heap operator") {
+    val plan = graft.llm.Similarity.graphBeamSearch(spark, sf001, hops = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
+      "per-probe beam/answer selection must be the two-phase native top-k")
+  }
+
   // ── Views.referenceJoin: evidence-driven broadcast ──
 
   test("referenceJoin broadcasts on the caller's budget, falls back unhinted past it") {
