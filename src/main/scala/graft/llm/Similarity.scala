@@ -1298,7 +1298,82 @@ object Similarity {
     "x121_graph_beam_search" -> { (s, dir) =>
       graphBeamSearch(s, dir, hops = 2)
     },
+
+    // GRAPH CONNECTIVITY AUDIT — the index-health check that explains
+    // x121's recall ceiling: a greedy walk can only reach what the
+    // graph connects, so a fragmented kNN graph caps search recall no
+    // matter the beam width (the navigability premise of every
+    // graph-ANN paper). Min-label propagation over the undirected
+    // edges, a FIXED 8 rounds (labels spread one hop per round, so
+    // 8 ≥ diameter ⇒ exact components); the output carries its own
+    // convergence certificate — `unconverged_nodes` counts labels a
+    // 9th round would still improve, so a 0 IS the proof the component
+    // rows are exact, and a nonzero says "raise R" in the result
+    // itself rather than silently mislabeling. Every loop frame is
+    // graph-sized (|V| labels, |V|·2K edges — corpus-degree-bounded,
+    // never corpus²) and eager-localCheckpoints per round (the CC-loop
+    // lineage truncation). Run once per index build, like x120.
+    "x122_graph_components" -> { (s, dir) => graphComponents(s, dir) },
+
+    // GRAPH HUBNESS AUDIT — the other standing-index pathology:
+    // in-degree concentration (hubness, the high-dimensional effect
+    // where a few points appear in everyone's kNN list — Radovanović
+    // et al., JMLR 2010). The in-degree histogram of the directed kNN
+    // graph, with zero-in-degree nodes counted off the corpus frame —
+    // those are exactly the vectors NO walk can ever reach (antihubs,
+    // the recall floor), and the right tail is the hub mass that makes
+    // beam fan-out degenerate. Two graph-sized aggregations; output is
+    // bounded by the max in-degree, not the corpus.
+    "x123_graph_hubness" -> { (s, dir) =>
+      val sq = withSq(s, dir)
+      val edges = nndescentEdges(s, dir, iters = 2)
+      sq.select(col("vec_id"))
+        .join(edges.groupBy(col("dst").as("vec_id"))
+          .agg(count(lit(1)).as("d")), Seq("vec_id"), "left")
+        .selectExpr("vec_id", "coalesce(d, cast(0 as bigint)) as in_degree")
+        .groupBy("in_degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("in_degree")
+    },
   )
+
+  /** x122's body: R rounds of min-label propagation plus the round-R+1
+    * probe that feeds the convergence column. */
+  private[graft] def graphComponents(
+      s: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val edges = nndescentEdges(s, dir, iters = 2)
+    val ud = edges.select("src", "dst").unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .localCheckpoint()
+    // Size the loop's shuffle width to the graph, not the corpus (the
+    // same narrowing the x24 CC loop measured): at 32 partitions each
+    // of the 9 rounds is mostly empty-task scheduling overhead.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(prevParts.toInt,
+        math.max(2, (ud.count() / 100000L).toInt)).toString)
+    try {
+      var labels = ud.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")).localCheckpoint()
+      def step(l: DataFrame): DataFrame = {
+        val prop = ud.join(l.selectExpr("node as src", "lbl as nlbl"), "src")
+          .groupBy(col("dst").as("node")).agg(min(col("nlbl")).as("nbr"))
+        l.join(prop, Seq("node"), "left")
+          .selectExpr("node", "least(lbl, coalesce(nbr, lbl)) as lbl")
+          .localCheckpoint()
+      }
+      for (_ <- 1 to rounds) labels = step(labels)
+      val probe = step(labels)
+      val unconv = labels.selectExpr("node", "lbl as l8")
+        .join(probe.selectExpr("node", "lbl as l9"), "node")
+        .agg(sum(when(col("l9") < col("l8"), 1L).otherwise(0L))
+          .as("unconverged_nodes"))
+      labels.groupBy(col("lbl").as("component_id"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(unconv))
+        .select("component_id", "n_nodes", "unconverged_nodes")
+        .orderBy(col("n_nodes").desc, col("component_id"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
 
   /** x121's body with the hop count explicit so the spec can grade the
     * walk itself: recall must not decrease with more hops (hops = 0
@@ -2130,6 +2205,8 @@ object Similarity {
     },
     "x120_nndescent_graph" -> dX120Sql,
     "x121_graph_beam_search" -> dX121Sql,
+    "x122_graph_components" -> dX122Sql,
+    "x123_graph_hubness" -> dX123Sql,
   )
 
   /** x120's oracle: the full NN-Descent replay — hash-seeded init,
@@ -2246,4 +2323,47 @@ object Similarity {
        |$hopCte
        |, ${dGraphGrade(s"v$h")}""".stripMargin
   }
+
+  /** x122's oracle: the construction chain, then 9 unrolled min-label
+    * rounds over the undirected edges (l1..l9); components read at l8,
+    * the l9 diff feeds the convergence column — identical algebra to
+    * the Scala loop's step(). The loop CTEs are AS MATERIALIZED: each
+    * round references its predecessor twice, and DuckDB inlines plain
+    * CTEs, so without materialization the plan doubles per round (2^9
+    * copies of the construction chain, each re-opening the parquet —
+    * observed as an fd-exhaustion failure, the oracle-side analogue of
+    * the Scala loop's localCheckpoint). */
+  private def dX122Sql: String = {
+    val rounds = (1 to 9).map { i =>
+      s""",
+         |l$i AS MATERIALIZED (SELECT l.node, LEAST(l.lbl, COALESCE(MIN(pl.lbl), l.lbl)) AS lbl
+         |        FROM l${i - 1} l
+         |        LEFT JOIN ud e ON e.dst = l.node
+         |        LEFT JOIN l${i - 1} pl ON pl.node = e.src
+         |        GROUP BY l.node, l.lbl)""".stripMargin
+    }.mkString
+    s"""$dNndBase,
+       |ud AS MATERIALIZED (SELECT src, dst FROM e$NndT
+       |       UNION SELECT dst AS src, src AS dst FROM e$NndT),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM ud)
+       |$rounds
+       |, unc AS (SELECT CAST(SUM(CASE WHEN b.lbl < a.lbl THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS unconverged_nodes
+       |          FROM l8 a JOIN l9 b ON a.node = b.node)
+       |SELECT a.lbl AS component_id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  unc.unconverged_nodes
+       |FROM l8 a, unc
+       |GROUP BY a.lbl, unc.unconverged_nodes
+       |ORDER BY n_nodes DESC, component_id""".stripMargin
+  }
+
+  /** x123's oracle: in-degree histogram of the directed kNN graph,
+    * zero-in-degree nodes counted off the corpus frame. */
+  private def dX123Sql: String =
+    s"""$dNndBase,
+       |ind AS (SELECT s.vec_id, CAST(COUNT(g.src) AS BIGINT) AS in_degree
+       |        FROM sq s LEFT JOIN e$NndT g ON g.dst = s.vec_id
+       |        GROUP BY s.vec_id)
+       |SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM ind GROUP BY in_degree ORDER BY in_degree""".stripMargin
 }

@@ -169,6 +169,46 @@ class Round17Spec extends SparkSpec {
       "per-probe beam/answer selection must be the two-phase native top-k")
   }
 
+  // ── x122 graph connectivity / x123 hubness audits ──
+
+  test("x122: components partition the graph's nodes, labels are min-ids, convergence certified") {
+    val rows = SparkEntry.queries("x122_graph_components")(spark, sf001).collect()
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    // every node has K out-edges, so every node appears in ud and gets a label
+    assert(rows.map(_.getLong(1)).sum == n, "components partition all nodes")
+    val comps = rows.map(_.getLong(0))
+    assert(comps.distinct.length == comps.length, "component ids unique")
+    // the certificate: 0 unconverged means the 8 rounds reached the fixpoint,
+    // so these ARE the exact connected components (and the same constant
+    // rides on every row)
+    assert(rows.map(_.getLong(2)).distinct.sameElements(Array(0L)),
+      "min-label propagation must converge on the sf0.001 graph")
+    // min-label semantics: a component's label is a member, hence >= 0 and
+    // smaller than any other member — so the largest component's label is
+    // the global min over its nodes; weak sanity: labels within id range
+    assert(comps.forall(c => c >= 0 && c < n))
+  }
+
+  test("x122: more rounds can only merge components, never split them") {
+    val c1 = graft.llm.Similarity.graphComponents(spark, sf001, rounds = 1)
+      .collect().length
+    val c8 = graft.llm.Similarity.graphComponents(spark, sf001, rounds = 8)
+      .collect().length
+    assert(c8 <= c1, s"component count rose with rounds: $c1 -> $c8")
+  }
+
+  test("x123: in-degree histogram masses match the graph exactly") {
+    val rows = SparkEntry.queries("x123_graph_hubness")(spark, sf001).collect()
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    val edges = graft.llm.Similarity.nndescentEdges(spark, sf001, iters = 2)
+      .count()
+    assert(rows.map(_.getLong(1)).sum == n, "histogram covers every node")
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == edges,
+      "sum of in-degrees equals the edge count")
+    val degs = rows.map(_.getLong(0))
+    assert(degs.sameElements(degs.sorted), "ordered by in_degree")
+  }
+
   // ── Views.referenceJoin: evidence-driven broadcast ──
 
   test("referenceJoin broadcasts on the caller's budget, falls back unhinted past it") {
