@@ -2220,19 +2220,19 @@ object Similarity {
     s""",
        |adj$i AS (SELECT src AS p, dst AS n FROM $prev
        |          UNION SELECT dst, src FROM $prev),
-       |cap$i AS (SELECT p, n FROM (
+       |cap$i AS MATERIALIZED (SELECT p, n FROM (
        |    SELECT p, n, ROW_NUMBER() OVER (PARTITION BY p
        |      ORDER BY ${dH("concat(p, ':', n)")} DESC, n) AS rn
        |    FROM adj$i) WHERE rn <= $r),
        |pr$i AS (SELECT DISTINCT x.n AS psrc, y.n AS pdst
        |         FROM cap$i x JOIN cap$i y ON x.p = y.p AND x.n < y.n),
-       |sc$i AS (SELECT psrc AS src, pdst AS dst, $dCos AS cos
+       |sc$i AS MATERIALIZED (SELECT psrc AS src, pdst AS dst, $dCos AS cos
        |         FROM pr$i JOIN sq a ON pr$i.psrc = a.vec_id
        |                   JOIN sq b ON pr$i.pdst = b.vec_id),
        |m$i AS (SELECT src, dst, cos FROM $prev
        |        UNION SELECT src, dst, cos FROM sc$i
        |        UNION SELECT dst, src, cos FROM sc$i),
-       |e$i AS (SELECT src, dst, cos FROM (
+       |e$i AS MATERIALIZED (SELECT src, dst, cos FROM (
        |    SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src
        |      ORDER BY cos DESC, dst) AS rk FROM m$i) WHERE rk <= $k)""".stripMargin
   }
@@ -2258,7 +2258,7 @@ object Similarity {
        |s0 AS (SELECT src, dst, $dCos AS cos
        |       FROM e0p JOIN sq a ON e0p.src = a.vec_id
        |                JOIN sq b ON e0p.dst = b.vec_id),
-       |e0 AS (SELECT src, dst, cos FROM (
+       |e0 AS MATERIALIZED (SELECT src, dst, cos FROM (
        |    SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src
        |      ORDER BY cos DESC, dst) AS rk FROM s0) WHERE rk <= $k)
        |${(1 to t).map(dNndIter(_, k, r)).mkString}""".stripMargin
@@ -2298,17 +2298,17 @@ object Similarity {
          |n$i AS (SELECT src, dst FROM x$i
          |        WHERE NOT EXISTS (SELECT 1 FROM $pv v
          |          WHERE v.src = x$i.src AND v.dst = x$i.dst)),
-         |s$i AS (SELECT n$i.src, n$i.dst, $dCos AS cos
+         |s$i AS MATERIALIZED (SELECT n$i.src, n$i.dst, $dCos AS cos
          |        FROM n$i JOIN sq a ON n$i.src = a.vec_id
          |                 JOIN sq b ON n$i.dst = b.vec_id),
-         |v$i AS (SELECT * FROM $pv UNION ALL SELECT * FROM s$i),
-         |f$i AS (SELECT src, dst FROM (
+         |v$i AS MATERIALIZED (SELECT * FROM $pv UNION ALL SELECT * FROM s$i),
+         |f$i AS MATERIALIZED (SELECT src, dst FROM (
          |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
          |      ORDER BY cos DESC, dst) AS rk FROM s$i) WHERE rk <= $b)"""
         .stripMargin
     }.mkString
     s"""$dNndBase,
-       |ud AS (SELECT src, dst FROM e$NndT
+       |ud AS MATERIALIZED (SELECT src, dst FROM e$NndT
        |       UNION SELECT dst AS src, src AS dst FROM e$NndT),
        |entq AS (SELECT vec_id, nc, ${dH("concat(vec_id, ':entry:', j)")} % nc AS d0
        |         FROM sq, n0, UNNEST(range(1, $e + 1)) AS u(j)
@@ -2316,7 +2316,7 @@ object Similarity {
        |entp AS (SELECT DISTINCT vec_id AS src,
        |           CASE WHEN d0 = vec_id THEN (d0 + 1) % nc ELSE d0 END AS dst
        |         FROM entq),
-       |v0 AS (SELECT src, dst, $dCos AS cos
+       |v0 AS MATERIALIZED (SELECT src, dst, $dCos AS cos
        |       FROM entp JOIN sq a ON entp.src = a.vec_id
        |                 JOIN sq b ON entp.dst = b.vec_id),
        |f0 AS (SELECT src, dst FROM v0)
