@@ -1334,6 +1334,23 @@ object Similarity {
         .groupBy("in_degree").agg(count(lit(1)).as("n_nodes"))
         .orderBy("in_degree")
     },
+
+    // INCREMENTAL GRAPH-INDEX MAINTENANCE — the graph-family analogue
+    // of x115's incremental IVF (and of r69/x99's never-rebuild
+    // discipline): a standing kNN graph is NOT reconstructed per sync
+    // cycle — this cycle's new vectors (re-embedded re-crawls, shifted
+    // ids, x115's batch convention) are INSERTED by beam-searching the
+    // frozen index with themselves as probes (HNSW's insertion
+    // primitive IS its search primitive — same here: x121's walk,
+    // reused verbatim via beamWalk), and each new vector's edge list
+    // is the top-K of what its walk scored. Per-cycle cost is
+    // |batch| · hops · B · 2K candidate scorings + two payload joins —
+    // independent of corpus size; the corpus is never re-paired. The
+    // found_original flag is the built-in health gauge: a re-crawl's
+    // true nearest neighbor is its original (cos = 1), so the fraction
+    // of batch rows that rediscover their original measures insertion-
+    // time navigability on a workload with known ground truth.
+    "x124_graph_insert" -> { (s, dir) => graphInsert(s, dir, hops = 2) },
   )
 
   /** x122's body: R rounds of min-label propagation plus the round-R+1
@@ -1380,44 +1397,10 @@ object Similarity {
     * grades the raw hash-seeded entry points). */
   private[graft] def graphBeamSearch(
       s: SparkSession, dir: String, hops: Int): DataFrame = {
-    val K = 5; val B = 5; val E = 8
-    val sq = withSq(s, dir)
-    val edges = nndescentEdges(s, dir, iters = 2)
-    // The walk follows the graph UNDIRECTED (out-edges ∪ in-edges), the
-    // published graph-search refinement NN-Descent itself relies on: a
-    // kNN digraph's reverse edges double connectivity for free, and per
-    // frontier node the fan-out stays ≤ 2K — still corpus-independent.
-    // Eager localCheckpoint per round, the same lineage-truncation the
-    // CC loop uses (Dedup.clusterLabelsBuild): without it every hop
-    // re-plans a tree that embeds all prior hops (measured: 3,960-line
-    // plan, 736 exchanges, 54 s/hop at sf0.001 → ~1 s/hop truncated),
-    // and the checkpointed frames carry exact sizes so the planner
-    // broadcasts the probe-bounded frontier into the edge join.
-    val ud = edges.select("src", "dst").unionByName(
-      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      .localCheckpoint()
-    val nRow = sq.agg(count(lit(1)).as("nc"))
-    val entries = sq.filter(QuerySet).select(col("vec_id"))
-      .crossJoin(broadcast(nRow))
-      .selectExpr("vec_id",
-        s"explode(transform(sequence(1, $E), j -> " +
-          s"${sH("concat(vec_id, ':entry:', j)")} % nc)) as d0", "nc")
-      .selectExpr("vec_id as src",
-        "case when d0 = vec_id then (d0 + 1) % nc else d0 end as dst")
-      .distinct()
-    var visited = scorePairs(s, dir)(entries).localCheckpoint()
-    var frontier = visited.select("src", "dst")
-    for (_ <- 1 to hops) {
-      val expand = frontier
-        .join(ud.selectExpr("src as dst", "dst as nxt"), "dst")
-        .select(col("src"), col("nxt").as("dst")).distinct()
-        .filter(col("src") =!= col("dst"))
-        .join(visited.select("src", "dst"), Seq("src", "dst"), "left_anti")
-      val scored = scorePairs(s, dir)(expand).localCheckpoint()
-      visited = visited.unionByName(scored).localCheckpoint()
-      frontier = graft.plans.TopKPerKey.topKDesc(scored, Seq("src"), "cos",
-        Seq("dst"), B).select("src", "dst").localCheckpoint()
-    }
+    val K = 5
+    val probes = withSq(s, dir).filter(QuerySet)
+      .selectExpr("vec_id as src", "embedding as ea", "sq as sa")
+    val visited = beamWalk(s, dir, probes, hops)
     val truth = exactTopk(s, dir).filter(s"rk <= $K")
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
         lit(true).as("hit0"))
@@ -1428,6 +1411,76 @@ object Similarity {
         "dst as neighbor_id", "cos as cos_sim",
         "coalesce(hit0, false) as hit")
       .orderBy("query_id", "rk")
+  }
+
+  /** Greedy beam walk over the standing undirected kNN graph for an
+    * arbitrary probe frame (src, ea, sa) — the shared engine of x121
+    * (search: probes are corpus rows) and x124 (insertion: probes are
+    * this cycle's new vectors, not yet in the index). Returns every
+    * scored (src, dst, cos) the walk visited.
+    *
+    * The walk follows the graph UNDIRECTED (out-edges ∪ in-edges), the
+    * published graph-search refinement NN-Descent itself relies on: a
+    * kNN digraph's reverse edges double connectivity for free, and per
+    * frontier node the fan-out stays ≤ 2K — still corpus-independent.
+    * Eager localCheckpoint per round, the same lineage-truncation the
+    * CC loop uses (Dedup.clusterLabelsBuild): without it every hop
+    * re-plans a tree that embeds all prior hops (measured: 3,960-line
+    * plan, 736 exchanges, 54 s/hop at sf0.001 → ~1 s/hop truncated),
+    * and the checkpointed frames carry exact sizes so the planner
+    * broadcasts the probe-bounded frontier into the edge join. */
+  private def beamWalk(s: SparkSession, dir: String, probes: DataFrame,
+      hops: Int, b: Int = 5, e: Int = 8): DataFrame = {
+    val sq = withSq(s, dir)
+    val edges = nndescentEdges(s, dir, iters = 2)
+    val ud = edges.select("src", "dst").unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .localCheckpoint()
+    val nRow = sq.agg(count(lit(1)).as("nc"))
+    val entries = probes.select(col("src"))
+      .crossJoin(broadcast(nRow))
+      .selectExpr("src",
+        s"explode(transform(sequence(1, $e), j -> " +
+          s"${sH("concat(src, ':entry:', j)")} % nc)) as d0", "nc")
+      .selectExpr("src",
+        "case when d0 = src then (d0 + 1) % nc else d0 end as dst")
+      .distinct()
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(probes, "src")
+      .join(sq.selectExpr("vec_id as dst", "embedding as eb", "sq as sb"),
+        "dst")
+      .selectExpr("src", "dst", s"${sCosIn(s)} as cos")
+    var visited = score(entries).localCheckpoint()
+    var frontier = visited.select("src", "dst")
+    for (_ <- 1 to hops) {
+      val expand = frontier
+        .join(ud.selectExpr("src as dst", "dst as nxt"), "dst")
+        .select(col("src"), col("nxt").as("dst")).distinct()
+        .filter(col("src") =!= col("dst"))
+        .join(visited.select("src", "dst"), Seq("src", "dst"), "left_anti")
+      val scored = score(expand).localCheckpoint()
+      visited = visited.unionByName(scored).localCheckpoint()
+      frontier = graft.plans.TopKPerKey.topKDesc(scored, Seq("src"), "cos",
+        Seq("dst"), b).select("src", "dst").localCheckpoint()
+    }
+    visited
+  }
+
+  /** x124's body with the hop count explicit so the spec can grade the
+    * insertion walk (found-original count must be monotone in hops). */
+  private[graft] def graphInsert(
+      s: SparkSession, dir: String, hops: Int): DataFrame = {
+    val K = 5
+    val probes = withSq(s, dir).filter("vec_id % 97 = 0")
+      .selectExpr("vec_id + 1000000000 as src", "embedding as ea",
+        "sq as sa").localCheckpoint()
+    val visited = beamWalk(s, dir, probes, hops)
+    graft.plans.TopKPerKey.topKDesc(visited, Seq("src"), "cos",
+        Seq("dst"), K)
+      .selectExpr("src as new_id", "cast(rk as bigint) as rk",
+        "dst as neighbor_id", "cos as cos_sim",
+        "dst = src - 1000000000 as found_original")
+      .orderBy("new_id", "rk")
   }
 
   /** x120's body with the round count explicit so the spec can grade
@@ -2207,6 +2260,7 @@ object Similarity {
     "x121_graph_beam_search" -> dX121Sql,
     "x122_graph_components" -> dX122Sql,
     "x123_graph_hubness" -> dX123Sql,
+    "x124_graph_insert" -> dX124Sql,
   )
 
   /** x120's oracle: the full NN-Descent replay — hash-seeded init,
@@ -2287,9 +2341,13 @@ object Similarity {
   /** x121's oracle: construction chain + the beam walk unrolled —
     * per hop: frontier ⋈ e$NndT expansion, NOT EXISTS against visited
     * (the anti-join), one scoring join, top-B frontier fold. */
-  private def dX121Sql: String = {
-    val b = 5; val e = 8; val h = 2
-    val hopCte = (1 to h).map { i =>
+  /** Per-hop beam CTEs shared by the x121 and x124 oracles: expansion
+    * over `ud`, NOT EXISTS against visited, scoring with the probe
+    * payload from `(srcTbl, srcKey)` (x121: the corpus `sq`/`vec_id`;
+    * x124: the batch CTE `bat`/`src`), top-B frontier fold. */
+  private def dBeamHops(h: Int, b: Int,
+      srcTbl: String, srcKey: String): String =
+    (1 to h).map { i =>
       val pv = s"v${i - 1}"; val pf = s"f${i - 1}"
       s""",
          |x$i AS (SELECT DISTINCT f.src, g.dst
@@ -2299,7 +2357,7 @@ object Similarity {
          |        WHERE NOT EXISTS (SELECT 1 FROM $pv v
          |          WHERE v.src = x$i.src AND v.dst = x$i.dst)),
          |s$i AS MATERIALIZED (SELECT n$i.src, n$i.dst, $dCos AS cos
-         |        FROM n$i JOIN sq a ON n$i.src = a.vec_id
+         |        FROM n$i JOIN $srcTbl a ON n$i.src = a.$srcKey
          |                 JOIN sq b ON n$i.dst = b.vec_id),
          |v$i AS MATERIALIZED (SELECT * FROM $pv UNION ALL SELECT * FROM s$i),
          |f$i AS MATERIALIZED (SELECT src, dst FROM (
@@ -2307,6 +2365,10 @@ object Similarity {
          |      ORDER BY cos DESC, dst) AS rk FROM s$i) WHERE rk <= $b)"""
         .stripMargin
     }.mkString
+
+  private def dX121Sql: String = {
+    val b = 5; val e = 8; val h = 2
+    val hopCte = dBeamHops(h, b, "sq", "vec_id")
     s"""$dNndBase,
        |ud AS MATERIALIZED (SELECT src, dst FROM e$NndT
        |       UNION SELECT dst AS src, src AS dst FROM e$NndT),
@@ -2322,6 +2384,36 @@ object Similarity {
        |f0 AS (SELECT src, dst FROM v0)
        |$hopCte
        |, ${dGraphGrade(s"v$h")}""".stripMargin
+  }
+
+  /** x124's oracle: the insertion walk — batch CTE (x115's % 97
+    * re-crawl convention, +1e9 ids), entry seeding, the shared beam
+    * hops scored against the batch payload, top-K edge lists with the
+    * found-original health flag. */
+  private def dX124Sql: String = {
+    val b = 5; val e = 8; val h = 2; val k = NndK
+    val hopCte = dBeamHops(h, b, "bat", "src")
+    s"""$dNndBase,
+       |ud AS MATERIALIZED (SELECT src, dst FROM e$NndT
+       |       UNION SELECT dst AS src, src AS dst FROM e$NndT),
+       |bat AS MATERIALIZED (SELECT vec_id + 1000000000 AS src, embedding, sq
+       |       FROM sq WHERE vec_id % 97 = 0),
+       |entq AS (SELECT src, nc, ${dH("concat(src, ':entry:', j)")} % nc AS d0
+       |         FROM bat, n0, UNNEST(range(1, $e + 1)) AS u(j)),
+       |entp AS (SELECT DISTINCT src,
+       |           CASE WHEN d0 = src THEN (d0 + 1) % nc ELSE d0 END AS dst
+       |         FROM entq),
+       |v0 AS MATERIALIZED (SELECT entp.src, entp.dst, $dCos AS cos
+       |       FROM entp JOIN bat a ON entp.src = a.src
+       |                 JOIN sq b ON entp.dst = b.vec_id),
+       |f0 AS (SELECT src, dst FROM v0)
+       |$hopCte
+       |SELECT src AS new_id, CAST(rk AS BIGINT) AS rk, dst AS neighbor_id,
+       |  cos AS cos_sim, (dst = src - 1000000000) AS found_original
+       |FROM (SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src
+       |        ORDER BY cos DESC, dst) AS rk FROM v$h)
+       |WHERE rk <= $k
+       |ORDER BY new_id, rk""".stripMargin
   }
 
   /** x122's oracle: the construction chain, then 9 unrolled min-label

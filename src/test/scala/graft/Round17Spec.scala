@@ -197,6 +197,31 @@ class Round17Spec extends SparkSpec {
     assert(c8 <= c1, s"component count rose with rounds: $c1 -> $c8")
   }
 
+  test("x124: insertion produces K ranked edges per batch vector; found originals are exact hits") {
+    val rows = SparkEntry.queries("x124_graph_insert")(spark, sf001).collect()
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    val expectedBatch = (0L until n).filter(_ % 97 == 0).map(_ + 1000000000L)
+    val byNew = rows.groupBy(_.getLong(0))
+    assert(byNew.keySet == expectedBatch.toSet, "one edge list per batch vector")
+    byNew.values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to 5L), "ranks 1..K")
+      assert(g.map(_.getLong(2)).distinct.length == 5, "distinct neighbors")
+    }
+    // a re-crawl's original has cos exactly 1 (identical embedding):
+    // whenever the walk rediscovers it, the score must say so
+    rows.filter(_.getBoolean(4)).foreach { r =>
+      assert(r.getDouble(3) == 1.0, s"original hit must score 1.0: $r")
+    }
+  }
+
+  test("x124: hops never lose found-originals — insertion navigability is monotone") {
+    def found(h: Int): Int = graft.llm.Similarity
+      .graphInsert(spark, sf001, hops = h).collect()
+      .count(_.getBoolean(4))
+    val f0 = found(0); val f2 = found(2)
+    assert(f2 >= f0, s"found-original count fell: hops0 $f0 -> hops2 $f2")
+  }
+
   test("x123: in-degree histogram masses match the graph exactly") {
     val rows = SparkEntry.queries("x123_graph_hubness")(spark, sf001).collect()
     val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
