@@ -155,6 +155,40 @@ object Streaming {
         "n_flagged > 0 as flagged")
   }
 
+  /** Streaming SEMANTIC decontamination gate — x114's embedding-space
+    * scrub at ingest time, completing the gate pair the way x114
+    * completes x61 in batch (paraphrased benchmark leakage shares no
+    * 8-grams, so [[scrubStream]] alone cannot see it). The held-out
+    * eval set is FIXED-SIZE, so it collapses to ONE static row of
+    * (vector, squared-norm) structs; each incoming vector computes its
+    * max cosine over the whole matrix IN-ROW via higher-order
+    * functions — no stream shuffle, no state, and the stream never
+    * grows (the broadcast join adds one column, not |eval| rows).
+    * Unlike batch x114's banded candidate generation (recall < 1 by
+    * design), this gate is recall-COMPLETE — it checks every eval
+    * vector — affordable at ingest precisely because |eval| is a
+    * constant while the corpus is not. Same 6-dp rounding and ≥ 0.4
+    * operating point as x114, so verdicts compose across the two. */
+  def semanticGateStream(
+      vecs: DataFrame, // streaming: (vec_id, embedding: array<float>)
+      evalVecs: DataFrame // static: (embedding) — the held-out eval set
+  ): DataFrame = {
+    import graft.llm.Frag._
+    val mat = evalVecs
+      .selectExpr("embedding as ev", s"${sSumSq("embedding")} as esq")
+      .agg(collect_list(expr("struct(ev, esq)")).as("evs"))
+    val dotE = sDot("embedding", "e.ev")
+    vecs.crossJoin(broadcast(mat))
+      .selectExpr("vec_id", "embedding", "evs",
+        s"${sSumSq("embedding")} as vsq")
+      .selectExpr("vec_id",
+        sRound6("aggregate(evs, cast(-1 as double), (acc, e) -> " +
+          s"greatest(acc, ($dotE) / sqrt(vsq * e.esq)))") +
+          " as max_eval_cos")
+      .selectExpr("vec_id", "max_eval_cos",
+        "max_eval_cos >= 0.4 as leaked")
+  }
+
   /** Streaming incremental dedup gate — x99's exact arm at ingest time
     * (the streaming twin of `llm.Dedup`'s x99 batch gate): each
     * micro-batch is fingerprinted map-side (the same

@@ -555,4 +555,65 @@ class StreamingSpec extends SparkSpec {
       !plan.contains("ShuffledHashJoin"),
       s"fused gate must stay map-side:\n$plan")
   }
+
+  test("semanticGateStream: in-row max-cosine verdicts, closed form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def unit(i: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    // eval matrix: e0 along axis 0, e1 along axis 1
+    val evalVecs = Seq(Tuple1(unit(0)), Tuple1(unit(1))).toDF("embedding")
+    val diag = Array.tabulate(64)(j =>
+      if (j == 0 || j == 1) 1.0f else 0.0f) // cos 1/sqrt(2) to both
+    val faint = Array.tabulate(64)(j =>
+      if (j == 0) 1.0f else if (j < 10) 2.0f else 0.0f) // max cos: 2/sqrt(37) to e1
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.semanticGateStream(
+        mem.toDS().toDF("vec_id", "embedding"), evalVecs)
+      .writeStream.format("memory").queryName("semgate")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, unit(0).map(_ * 3f)), // scaled copy of e0 → cos 1, leaked
+      (2L, unit(5)),             // orthogonal to both → cos 0, clean
+      (3L, diag),                // 0.707107 → leaked
+      (4L, faint))               // 0.164399 → clean
+    q.processAllAvailable()
+    val out = spark.table("semgate").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    q.stop()
+    assert(out(1L) == ((1.0, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((0.0, false)), s"got ${out(2L)}")
+    assert(out(3L) == ((0.707107, true)), s"got ${out(3L)}")
+    assert(out(4L) == ((0.328798, false)), s"got ${out(4L)}")
+  }
+
+  test("semanticGateStream: recall-complete superset of batch x114, map-side plan") {
+    // batch x114 flags train vectors via banded candidates (recall < 1);
+    // the gate checks EVERY eval vector, so over the same corpus and
+    // eval slice its leaked set must contain x114's, with max_eval_cos
+    // >= x114's candidate-limited max, at the same 6-dp operating point
+    val evalPred = "vec_id % 50 = 0 and vec_id < 4000"
+    val emb = graft.queries.Tables.t(spark, sf001, "embeddings")
+    val gate = Streaming.semanticGateStream(
+        emb.filter(s"not ($evalPred)").select("vec_id", "embedding"),
+        emb.filter(evalPred).select("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val x114 = SparkEntry.queries("x114_semantic_decontam")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("max_cos")).toMap
+    assert(x114.nonEmpty, "fixture must exercise x114")
+    x114.foreach { case (id, mc) =>
+      assert(gate(id) >= 0.4, s"gate missed x114-flagged train doc $id")
+      assert(gate(id) >= mc - 1e-9,
+        s"gate max $id ${gate(id)} below x114's candidate max $mc")
+    }
+    val plan = Streaming.semanticGateStream(
+        emb.select("vec_id", "embedding"),
+        emb.filter(evalPred).select("embedding"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"one-row eval matrix must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"gate must stay map-side:\n$plan")
+  }
 }
