@@ -1429,13 +1429,25 @@ object Similarity {
     * plan, 736 exchanges, 54 s/hop at sf0.001 → ~1 s/hop truncated),
     * and the checkpointed frames carry exact sizes so the planner
     * broadcasts the probe-bounded frontier into the edge join. */
-  private def beamWalk(s: SparkSession, dir: String, probes: DataFrame,
-      hops: Int, b: Int = 5, e: Int = 8): DataFrame = {
+  private[graft] def beamWalk(s: SparkSession, dir: String,
+      probes: DataFrame, hops: Int, b: Int = 5, e: Int = 8): DataFrame = {
     val sq = withSq(s, dir)
     val edges = nndescentEdges(s, dir, iters = 2)
-    val ud = edges.select("src", "dst").unionByName(
+    // Undirected adjacency ρ-CAPPED at 2K per node, in the same
+    // deterministic hash order the construction rounds use: a raw
+    // out ∪ in union bounds out-degree (K) but not in-degree — x123's
+    // hub tail would make a hub-touching hop's fan-out corpus-
+    // DEPENDENT. The cap is what turns "per-hop candidates ≤
+    // |probes|·B·2K" from an average-case claim into an enforced
+    // invariant (spec-asserted), exactly how HNSW bounds its per-node
+    // neighbor lists.
+    val cap = 2 * 5
+    val udRaw = edges.select("src", "dst").unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      .localCheckpoint()
+    val ud = graft.plans.TopKPerKey.topKDesc(
+      udRaw.selectExpr("src", "dst", s"${sH("concat(src, ':', dst)")} as hk"),
+      Seq("src"), "hk", Seq("dst"), cap)
+      .select("src", "dst").localCheckpoint()
     val nRow = sq.agg(count(lit(1)).as("nc"))
     val entries = probes.select(col("src"))
       .crossJoin(broadcast(nRow))
@@ -2351,7 +2363,7 @@ object Similarity {
       val pv = s"v${i - 1}"; val pf = s"f${i - 1}"
       s""",
          |x$i AS (SELECT DISTINCT f.src, g.dst
-         |        FROM $pf f JOIN ud g ON f.dst = g.src
+         |        FROM $pf f JOIN udc g ON f.dst = g.src
          |        WHERE f.src <> g.dst),
          |n$i AS (SELECT src, dst FROM x$i
          |        WHERE NOT EXISTS (SELECT 1 FROM $pv v
@@ -2372,6 +2384,10 @@ object Similarity {
     s"""$dNndBase,
        |ud AS MATERIALIZED (SELECT src, dst FROM e$NndT
        |       UNION SELECT dst AS src, src AS dst FROM e$NndT),
+       |udc AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY ${dH("concat(src, ':', dst)")} DESC, dst) AS rn
+       |    FROM ud) WHERE rn <= 10),
        |entq AS (SELECT vec_id, nc, ${dH("concat(vec_id, ':entry:', j)")} % nc AS d0
        |         FROM sq, n0, UNNEST(range(1, $e + 1)) AS u(j)
        |         WHERE vec_id < 8),
@@ -2396,6 +2412,10 @@ object Similarity {
     s"""$dNndBase,
        |ud AS MATERIALIZED (SELECT src, dst FROM e$NndT
        |       UNION SELECT dst AS src, src AS dst FROM e$NndT),
+       |udc AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY ${dH("concat(src, ':', dst)")} DESC, dst) AS rn
+       |    FROM ud) WHERE rn <= 10),
        |bat AS MATERIALIZED (SELECT vec_id + 1000000000 AS src, embedding, sq
        |       FROM sq WHERE vec_id % 97 = 0),
        |entq AS (SELECT src, nc, ${dH("concat(src, ':entry:', j)")} % nc AS d0

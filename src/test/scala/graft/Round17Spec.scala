@@ -169,6 +169,26 @@ class Round17Spec extends SparkSpec {
       "per-probe beam/answer selection must be the two-phase native top-k")
   }
 
+  test("beamWalk: the per-probe candidate bound is an enforced invariant, not an average") {
+    // the 100 TB claim, asserted: visited(probe) ≤ E entries + per hop
+    // at most B frontier nodes × the ρ-capped undirected degree (2K).
+    // Without the hash-order cap on reverse edges a hub node's fan-out
+    // would be its in-degree — corpus-dependent (x123's right tail).
+    val E = 8; val B = 5; val cap = 10; val hops = 2
+    val probes = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter("vec_id < 8")
+      .selectExpr("vec_id as src", "embedding as ea",
+        "aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, t) -> acc + t) as sa")
+    val visited = graft.llm.Similarity.beamWalk(spark, sf001, probes, hops)
+    val perProbe = visited.groupBy("src").count().collect()
+      .map(_.getLong(1))
+    val bound = E + hops * B * cap
+    assert(perProbe.forall(_ <= bound),
+      s"candidate bound violated: max ${perProbe.max} > $bound")
+    assert(perProbe.nonEmpty && perProbe.max > E,
+      "walk must actually expand beyond its entry points")
+  }
+
   // ── x122 graph connectivity / x123 hubness audits ──
 
   test("x122: components partition the graph's nodes, labels are min-ids, convergence certified") {
