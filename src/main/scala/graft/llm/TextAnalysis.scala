@@ -1617,6 +1617,31 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // UNCERTAINTY-SAMPLED LABELING BATCH — the active-learning step
+    // that closes the probe's improvement loop (x94 trains, x95/x117
+    // grade, THIS picks what to annotate next): the K documents whose
+    // predicted probability sits closest to 0.5 — maximum-entropy
+    // uncertainty sampling (Lewis & Gale 1994), the standard first
+    // strategy for growing a quality classifier's training set.
+    // 100 TB shape: the probe tier is read (one broadcast weight dot,
+    // already shared with x95/x117), the margin is one map-side
+    // expression, and the global "K most uncertain" selection is the
+    // native two-phase bounded heap — per partition at most K rows
+    // survive, so the exchange carries partitions·K rows, never a
+    // corpus sort. Output is K rows at any corpus size. Ranking
+    // compares raw IEEE doubles (identical bits both engines);
+    // rounding touches display columns only.
+    "x125_uncertainty_batch" -> { (s, dir) =>
+      val g = probeScores(s, dir)
+        .selectExpr("doc_id", "y", "p",
+          "cast(0.5 as double) - abs(p - cast(0.5 as double)) as cg")
+      graft.plans.TopKPerKey.topKDesc(g, Seq.empty, "cg", Seq("doc_id"), 20)
+        .selectExpr("cast(rk as bigint) as rk", "doc_id",
+          sRound6("p") + " as p_score",
+          sRound6("abs(p - cast(0.5 as double))") + " as margin", "y")
+        .orderBy("rk")
+    },
+
     "x95_probe_calibration" -> { (s, dir) =>
       val scored = probeScores(s, dir)
       scored
@@ -1923,7 +1948,7 @@ object TextAnalysis {
 
   /** Score every document with the trained probe: (doc_id, y, p) — the
     * one-broadcast-join batch-inference pass x95 aggregates. */
-  private def probeScores(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def probeScores(s: SparkSession, dir: String): DataFrame = {
     val w = trainedProbe(s, dir)
     val wd = w.filter("dim >= 0")
     val wb = w.filter("dim = -1").select(col("w").as("wb"))
@@ -2745,6 +2770,27 @@ object TextAnalysis {
          |  ${dRound6("CAST(SUM(np * tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)")} AS fertility_r
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "x125_uncertainty_batch" ->
+      s"""$probeTrainWith,
+         |zf AS (SELECT l.doc_id, l.y,
+         |    CAST(COALESCE(s.zs, CAST(0 AS DECIMAL(16,6))) + b.wb AS DOUBLE) AS z
+         |  FROM lbl l
+         |  LEFT JOIN (SELECT doc_id, SUM(w * x) AS zs
+         |             FROM feats JOIN w3 USING (dim) WHERE dim >= 0
+         |             GROUP BY doc_id) s ON l.doc_id = s.doc_id,
+         |  (SELECT w AS wb FROM w3 WHERE dim = -1) b),
+         |pf AS (SELECT doc_id, y,
+         |    CAST(0.5 AS DOUBLE) * (CAST(1 AS DOUBLE) + z / (CAST(1 AS DOUBLE) + abs(z))) AS p
+         |  FROM zf),
+         |g AS (SELECT doc_id, y, p,
+         |    CAST(0.5 AS DOUBLE) - abs(p - CAST(0.5 AS DOUBLE)) AS cg FROM pf)
+         |SELECT CAST(rk AS BIGINT) AS rk, doc_id,
+         |  ${dRound6("p")} AS p_score,
+         |  ${dRound6("abs(p - CAST(0.5 AS DOUBLE))")} AS margin, y
+         |FROM (SELECT doc_id, y, p,
+         |        ROW_NUMBER() OVER (ORDER BY cg DESC, doc_id) AS rk FROM g)
+         |WHERE rk <= 20
+         |ORDER BY rk""".stripMargin,
     "x95_probe_calibration" ->
       s"""$probeTrainWith,
          |zf AS (SELECT l.doc_id, l.y,

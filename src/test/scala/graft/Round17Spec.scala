@@ -254,6 +254,31 @@ class Round17Spec extends SparkSpec {
     assert(degs.sameElements(degs.sorted), "ordered by in_degree")
   }
 
+  // ── x125 uncertainty-sampled labeling batch ──
+
+  test("x125: the batch IS the global uncertainty top-K, selected on the native heap") {
+    val df = SparkEntry.queries("x125_uncertainty_batch")(spark, sf001)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).sameElements(1L to 20L), "ranks 1..20")
+    val margins = rows.map(_.getDouble(3))
+    assert(margins.sameElements(margins.sorted),
+      "margin must be non-decreasing with rank")
+    // true top-K: no unselected doc may be strictly more uncertain
+    // than the batch's least certain member (raw scores, first
+    // principles off the same probe tier)
+    val all = graft.llm.TextAnalysis.probeScores(spark, sf001)
+      .selectExpr("doc_id", "abs(p - cast(0.5 as double)) as m").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val picked = rows.map(_.getLong(1)).toSet
+    val worstPicked = picked.map(all).max
+    val bestLeft = (all.keySet -- picked).map(all).min
+    assert(worstPicked <= bestLeft + 1e-12,
+      s"unselected doc more uncertain than batch: $worstPicked > $bestLeft")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
+      "global selection must ride the two-phase native top-k")
+  }
+
   // ── Views.referenceJoin: evidence-driven broadcast ──
 
   test("referenceJoin broadcasts on the caller's budget, falls back unhinted past it") {
