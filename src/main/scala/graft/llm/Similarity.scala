@@ -1351,6 +1351,24 @@ object Similarity {
     // of batch rows that rediscover their original measures insertion-
     // time navigability on a workload with known ground truth.
     "x124_graph_insert" -> { (s, dir) => graphInsert(s, dir, hops = 2) },
+
+    // BEAM-SEARCH OPERATING CURVE — the graph method's tuning report,
+    // completing the family the way x106 (nprobe curve) completes IVF:
+    // recall@K per hop count, the accuracy-vs-latency trade an operator
+    // reads to pick the walk depth (each hop adds ≤ |probes|·B·2K
+    // scorings; this says what each hop BUYS). Same grading tier as
+    // x121; the three walks share the standing index and differ only
+    // in depth. Three rows out at any corpus size.
+    "x126_beam_curve" -> { (s, dir) =>
+      (0 to 2).map { h =>
+        graphBeamSearch(s, dir, hops = h)
+          .agg(count(lit(1)).as("n_answers"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+          .selectExpr(s"cast($h as bigint) as hops", "n_answers", "n_hits",
+            sRound6("cast(n_hits as double) / cast(n_answers as double)") +
+              " as recall_at_k")
+      }.reduce(_ unionByName _).orderBy("hops")
+    },
   )
 
   /** x122's body: R rounds of min-label propagation plus the round-R+1
@@ -2273,6 +2291,7 @@ object Similarity {
     "x122_graph_components" -> dX122Sql,
     "x123_graph_hubness" -> dX123Sql,
     "x124_graph_insert" -> dX124Sql,
+    "x126_beam_curve" -> dX126Sql,
   )
 
   /** x120's oracle: the full NN-Descent replay — hash-seeded init,
@@ -2378,11 +2397,11 @@ object Similarity {
         .stripMargin
     }.mkString
 
-  private def dX121Sql: String = {
-    val b = 5; val e = 8; val h = 2
-    val hopCte = dBeamHops(h, b, "sq", "vec_id")
-    s"""$dNndBase,
-       |ud AS MATERIALIZED (SELECT src, dst FROM e$NndT
+  /** The x121/x126 walk prelude: capped undirected adjacency, probe
+    * entry seeding (vec_id < 8), scored entry visits — one text, two
+    * oracles, zero drift. */
+  private def dWalkPrelude(e: Int): String =
+    s"""ud AS MATERIALIZED (SELECT src, dst FROM e$NndT
        |       UNION SELECT dst AS src, src AS dst FROM e$NndT),
        |udc AS MATERIALIZED (SELECT src, dst FROM (
        |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
@@ -2397,9 +2416,48 @@ object Similarity {
        |v0 AS MATERIALIZED (SELECT src, dst, $dCos AS cos
        |       FROM entp JOIN sq a ON entp.src = a.vec_id
        |                 JOIN sq b ON entp.dst = b.vec_id),
-       |f0 AS (SELECT src, dst FROM v0)
+       |f0 AS (SELECT src, dst FROM v0)""".stripMargin
+
+  private def dX121Sql: String = {
+    val b = 5; val e = 8; val h = 2
+    val hopCte = dBeamHops(h, b, "sq", "vec_id")
+    s"""$dNndBase,
+       |${dWalkPrelude(e)}
        |$hopCte
        |, ${dGraphGrade(s"v$h")}""".stripMargin
+  }
+
+  /** x126's oracle: the same walk chain, graded at EVERY depth — v0,
+    * v1, v2 are all CTEs of one text, so the curve costs one
+    * construction + one walk, mirroring the Scala side's shared
+    * standing index. */
+  private def dX126Sql: String = {
+    val b = 5; val e = 8; val h = 2; val k = NndK
+    val hopCte = dBeamHops(h, b, "sq", "vec_id")
+    val grades = (0 to h).map { i =>
+      s""",
+         |g$i AS (SELECT CAST($i AS BIGINT) AS hops,
+         |    CAST(COUNT(*) AS BIGINT) AS n_answers,
+         |    CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM (SELECT src, dst FROM (
+         |      SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+         |        ORDER BY cos DESC, dst) AS rk FROM v$i WHERE src < 8)
+         |    WHERE rk <= $k) f
+         |  LEFT JOIN exact e
+         |    ON f.src = e.query_id AND f.dst = e.neighbor_id)""".stripMargin
+    }.mkString
+    s"""$dNndBase,
+       |${dWalkPrelude(e)}
+       |$hopCte
+       |, exact AS (SELECT query_id, neighbor_id FROM ($dX11Sql)
+       |            WHERE rk <= $k)
+       |$grades
+       |SELECT hops, n_answers, n_hits,
+       |  ${dRound6("CAST(n_hits AS DOUBLE) / CAST(n_answers AS DOUBLE)")} AS recall_at_k
+       |FROM (SELECT * FROM g0 UNION ALL SELECT * FROM g1
+       |      UNION ALL SELECT * FROM g2)
+       |ORDER BY hops""".stripMargin
   }
 
   /** x124's oracle: the insertion walk — batch CTE (x115's % 97

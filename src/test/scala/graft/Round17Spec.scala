@@ -254,6 +254,19 @@ class Round17Spec extends SparkSpec {
     assert(degs.sameElements(degs.sorted), "ordered by in_degree")
   }
 
+  test("x126: the operating curve is one row per depth, monotone, self-consistent") {
+    val rows = SparkEntry.queries("x126_beam_curve")(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).sameElements(Array(0L, 1L, 2L)))
+    val rec = rows.map(_.getDouble(3))
+    assert(rec.sameElements(rec.sorted), s"recall fell with depth: ${rec.toList}")
+    rows.foreach { r =>
+      val expect = math.floor(
+        r.getLong(2).toDouble / r.getLong(1) * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9,
+        s"recall column inconsistent with counts: $r")
+    }
+  }
+
   // ── x125 uncertainty-sampled labeling batch ──
 
   test("x125: the batch IS the global uncertainty top-K, selected on the native heap") {
