@@ -1459,13 +1459,19 @@ object Similarity {
     // |probes|·B·2K" from an average-case claim into an enforced
     // invariant (spec-asserted), exactly how HNSW bounds its per-node
     // neighbor lists.
+    // SHARED tier: the capped adjacency is part of the standing index
+    // (built once with the graph, resident beside it), not per-walk
+    // work — x121, x124 and x126's three depths all read one copy.
     val cap = 2 * 5
-    val udRaw = edges.select("src", "dst").unionByName(
-      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    val ud = graft.plans.TopKPerKey.topKDesc(
-      udRaw.selectExpr("src", "dst", s"${sH("concat(src, ':', dst)")} as hk"),
-      Seq("src"), "hk", Seq("dst"), cap)
-      .select("src", "dst").localCheckpoint()
+    val ud = Shared.shared(s, dir, "nnd_ud") {
+      val udRaw = edges.select("src", "dst").unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      graft.plans.TopKPerKey.topKDesc(
+        udRaw.selectExpr("src", "dst",
+          s"${sH("concat(src, ':', dst)")} as hk"),
+        Seq("src"), "hk", Seq("dst"), cap)
+        .select("src", "dst")
+    }
     val nRow = sq.agg(count(lit(1)).as("nc"))
     val entries = probes.select(col("src"))
       .crossJoin(broadcast(nRow))
