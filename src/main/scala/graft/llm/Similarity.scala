@@ -1292,9 +1292,11 @@ object Similarity {
     // vector is ever scored twice, new candidates score in one bounded
     // payload join, and the next frontier is the per-probe top-B via
     // the native bounded heaps. Per hop the candidate set is
-    // ≤ |probes|·B·K rows — independent of corpus size; the corpus is
-    // touched only by the two payload lookups. Output: final top-K per
-    // probe graded hit-by-hit against the exact tier.
+    // ≤ |probes|·B·2K rows — the adjacency is ρ-capped at 2K per node
+    // (see beamWalk), so the bound is corpus-independent even at hub
+    // nodes; the corpus is touched only by the two payload lookups.
+    // Output: final top-K per probe graded hit-by-hit against the
+    // exact tier.
     "x121_graph_beam_search" -> { (s, dir) =>
       graphBeamSearch(s, dir, hops = 2)
     },
@@ -1519,12 +1521,10 @@ object Similarity {
       .orderBy("new_id", "rk")
   }
 
-  /** x120's body with the round count explicit so the spec can grade
-    * the descent itself: recall must not decrease with more local-join
-    * rounds (iters = 0 grades the raw hash-seeded init). */
-  /** Pair scorer shared by the NN-Descent construction and the beam
-    * search: (src, dst) + exact rounded cosine via two bounded payload
-    * joins against the shared norm frame. */
+  /** Pair scorer for the NN-Descent construction (the walks score
+    * through beamWalk's probe-payload variant): (src, dst) + exact
+    * rounded cosine via two bounded payload joins against the shared
+    * norm frame. */
   private def scorePairs(s: SparkSession, dir: String)(
       pairs: DataFrame): DataFrame = {
     val sq = withSq(s, dir)
@@ -1588,6 +1588,9 @@ object Similarity {
       edges
   }
 
+  /** x120's body with the round count explicit so the spec can grade
+    * the descent itself: recall must not decrease with more local-join
+    * rounds (iters = 0 grades the raw hash-seeded init). */
   private[graft] def nndescentGraph(
       s: SparkSession, dir: String, iters: Int): DataFrame = {
       val K = 5
