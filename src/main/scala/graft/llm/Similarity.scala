@@ -1306,12 +1306,14 @@ object Similarity {
     // graph connects, so a fragmented kNN graph caps search recall no
     // matter the beam width (the navigability premise of every
     // graph-ANN paper). Min-label propagation over the undirected
-    // edges, a FIXED 8 rounds (labels spread one hop per round, so
-    // 8 ≥ diameter ⇒ exact components); the output carries its own
-    // convergence certificate — `unconverged_nodes` counts labels a
-    // 9th round would still improve, so a 0 IS the proof the component
-    // rows are exact, and a nonzero says "raise R" in the result
-    // itself rather than silently mislabeling. Every loop frame is
+    // edges, iterated TO THE FIXPOINT (labels spread one hop per
+    // round, so rounds needed = component diameter from its min-id
+    // node — round 10's fixed 8-round budget self-reported 10,091
+    // unconverged nodes at the 100× decade; now the loop adapts). The
+    // output still carries its convergence certificate —
+    // `unconverged_nodes` is 0 at the fixpoint by construction, and
+    // nonzero only if the 128-round cap ever bound (shipped on every
+    // row rather than silently mislabeling). Every loop frame is
     // graph-sized (|V| labels, |V|·2K edges — corpus-degree-bounded,
     // never corpus²) and eager-localCheckpoints per round (the CC-loop
     // lineage truncation). Run once per index build, like x120.
@@ -1371,46 +1373,104 @@ object Similarity {
               " as recall_at_k")
       }.reduce(_ unionByName _).orderBy("hops")
     },
+
+    // GRAPH-INDEX TOMBSTONE REPAIR — the delete half of the index
+    // lifecycle (x120 builds, x121 searches, x124 inserts, this
+    // forgets): when a sync cycle tombstones documents (the store's
+    // §1.1 soft-delete semantics reaching the ANN tier, the same
+    // workflow r78 propagates through the view layer), the standing
+    // kNN graph is NOT rebuilt — victim edges die, and each surviving
+    // node that lost an out-edge is repaired by BRIDGING over the
+    // tombstone: the victim's own out-neighbors are exactly the points
+    // nearest the hole its removal leaves, so they are the candidate
+    // replacements (HNSW's repair heuristic: a deleted node's
+    // neighborhood inherits its connections). Per-cycle cost is
+    // |damaged|·K bridge scorings + graph-sized filters — corpus-
+    // independent, the never-rebuild discipline of r69/x99/x115/x124.
+    // Output: each damaged node's repaired top-K edge list with the
+    // bridge flag (how much of the repair is new wiring vs surviving
+    // edges — the delete-time health gauge).
+    "x127_graph_delete" -> { (s, dir) => graphDelete(s, dir) },
+
+    // K-CENTER CORESET — diverse-subset selection by geometric
+    // coverage (Gonzalez's greedy 2-approximation; the data-selection
+    // primitive behind coreset active learning, Sener & Savarese ICLR
+    // 2018, and prototype-based data pruning): pick the point farthest
+    // from the chosen set, k times, reporting after each pick the
+    // coverage radius (max over the corpus of distance to its nearest
+    // center) — the certificate that k centers cover the corpus within
+    // r (and no k-center solution beats r/2). Scale shape: the chosen
+    // set is ≤ k vectors broadcast into one corpus scan per iteration;
+    // the running min-distance frame is corpus-sized but NARROW
+    // (vec_id, dist), eager-localCheckpointed per pick; the argmax is
+    // a global top-1 on the native bounded heap — k·(one broadcast
+    // probe + one heap) total, never a pairwise matrix.
+    "x128_kcenter_coreset" -> { (s, dir) => kcenterCoreset(s, dir, k = 4) },
   )
 
-  /** x122's body: R rounds of min-label propagation plus the round-R+1
-    * probe that feeds the convergence column. */
+  /** x122's body: min-label propagation to the FIXPOINT (converge-or-
+    * certify). `rounds > 0` runs that fixed budget (spec diagnostics);
+    * the default -1 iterates until a round changes no labels, capped at
+    * [[CcMaxRounds]] — rounds needed = the component diameter from its
+    * min-id node, and each round is graph-sized (|V| labels ⋈ |V|·2K
+    * edges), so adapting costs diameter·(one keyed agg + one join),
+    * never corpus work. Round 10 shipped a fixed 8-round budget whose
+    * own certificate reported 10,091 unconverged nodes at the 100×
+    * decade — honest but wrong rows; this round the loop runs until the
+    * certificate is 0 (or the cap binds, in which case the nonzero
+    * certificate still rides every row rather than silently
+    * mislabeling). The per-round changed-label count doubles as the
+    * convergence test and the probe: when a round changes nothing, that
+    * round WAS the round-R+1 probe, so unconverged_nodes = 0 exactly.
+    *
+    * Shuffle width: the loop frames are eagerly localCheckpointed with
+    * exact sizes, and AQE (on in the bench session) coalesces the tiny
+    * per-round exchanges at runtime — no session-global
+    * spark.sql.shuffle.partitions mutation (round 10's narrowing
+    * silently re-scoped any concurrent query on the shared session). */
   private[graft] def graphComponents(
-      s: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+      s: SparkSession, dir: String, rounds: Int = -1): DataFrame = {
     val edges = nndescentEdges(s, dir, iters = 2)
     val ud = edges.select("src", "dst").unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .localCheckpoint()
-    // Size the loop's shuffle width to the graph, not the corpus (the
-    // same narrowing the x24 CC loop measured): at 32 partitions each
-    // of the 9 rounds is mostly empty-task scheduling overhead.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevParts.toInt,
-        math.max(2, (ud.count() / 100000L).toInt)).toString)
-    try {
-      var labels = ud.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node")).localCheckpoint()
-      def step(l: DataFrame): DataFrame = {
-        val prop = ud.join(l.selectExpr("node as src", "lbl as nlbl"), "src")
-          .groupBy(col("dst").as("node")).agg(min(col("nlbl")).as("nbr"))
-        l.join(prop, Seq("node"), "left")
-          .selectExpr("node", "least(lbl, coalesce(nbr, lbl)) as lbl")
-          .localCheckpoint()
-      }
+    var labels = ud.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    def step(l: DataFrame): DataFrame = {
+      val prop = ud.join(l.selectExpr("node as src", "lbl as nlbl"), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("nlbl")).as("nbr"))
+      l.join(prop, Seq("node"), "left")
+        .selectExpr("node", "least(lbl, coalesce(nbr, lbl)) as lbl")
+        .localCheckpoint()
+    }
+    var unconvRows = -1L
+    if (rounds > 0) {
       for (_ <- 1 to rounds) labels = step(labels)
       val probe = step(labels)
-      val unconv = labels.selectExpr("node", "lbl as l8")
-        .join(probe.selectExpr("node", "lbl as l9"), "node")
-        .agg(sum(when(col("l9") < col("l8"), 1L).otherwise(0L))
-          .as("unconverged_nodes"))
-      labels.groupBy(col("lbl").as("component_id"))
-        .agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(broadcast(unconv))
-        .select("component_id", "n_nodes", "unconverged_nodes")
-        .orderBy(col("n_nodes").desc, col("component_id"))
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      unconvRows = labels.selectExpr("node", "lbl as a")
+        .join(probe.selectExpr("node", "lbl as b"), "node")
+        .filter("b < a").count()
+    } else {
+      var changed = 1L; var r = 0
+      while (changed > 0 && r < CcMaxRounds) {
+        val next = step(labels)
+        changed = next.selectExpr("node", "lbl as b")
+          .join(labels.selectExpr("node", "lbl as a"), "node")
+          .filter("b < a").count()
+        labels = next; r += 1
+      }
+      unconvRows = changed // 0 at fixpoint; >0 only if the cap bound
+    }
+    labels.groupBy(col("lbl").as("component_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .withColumn("unconverged_nodes", lit(unconvRows))
+      .select("component_id", "n_nodes", "unconverged_nodes")
+      .orderBy(col("n_nodes").desc, col("component_id"))
   }
+
+  /** Adaptive-CC round cap — far above any kNN graph's diameter (the
+    * certificate goes nonzero, not silent, if it ever binds). */
+  private val CcMaxRounds = 128
 
   /** x121's body with the hop count explicit so the spec can grade the
     * walk itself: recall must not decrease with more hops (hops = 0
@@ -1489,7 +1549,14 @@ object Similarity {
         "dst")
       .selectExpr("src", "dst", s"${sCosIn(s)} as cos")
     var visited = score(entries).localCheckpoint()
-    var frontier = visited.select("src", "dst")
+    // Hop-1 frontier is the top-B of the SCORED entry visits, not all E
+    // of them — the per-hop fan-out bound "≤ |probes|·B·2K" is then
+    // structural for EVERY hop (hop 1 included), not an average-case
+    // claim that held only because E entries overlap after dedup. Total
+    // visits per probe: E entries + hops·B·2K expansions, the exact
+    // bound the spec asserts.
+    var frontier = graft.plans.TopKPerKey.topKDesc(visited, Seq("src"),
+      "cos", Seq("dst"), b).select("src", "dst").localCheckpoint()
     for (_ <- 1 to hops) {
       val expand = frontier
         .join(ud.selectExpr("src as dst", "dst as nxt"), "dst")
@@ -1519,6 +1586,93 @@ object Similarity {
         "dst as neighbor_id", "cos as cos_sim",
         "dst = src - 1000000000 as found_original")
       .orderBy("new_id", "rk")
+  }
+
+  /** x127's body: tombstone a deterministic victim set (vec_id % 89 —
+    * disjoint from x124's % 97 insert batch and x115's re-crawl
+    * convention), kill every edge touching a victim, and repair each
+    * damaged survivor by scoring the victim's own out-neighbors as
+    * bridge candidates (the deleted node's neighborhood inherits its
+    * connections). All victim-side frames are |victims|·K-sized and
+    * broadcast; the standing graph is filtered map-side; only the
+    * |damaged|·K bridge candidates pay a payload join. */
+  private[graft] def graphDelete(s: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val edges = nndescentEdges(s, dir, iters = 2)
+    val vict = broadcast(
+      withSq(s, dir).filter("vec_id % 89 = 0").select(col("vec_id").as("v"))
+        .localCheckpoint())
+    // surviving edges: neither endpoint tombstoned (two map-side
+    // anti probes of the broadcast victim set — the graph never
+    // shuffles for the delete itself)
+    val surv = edges
+      .join(vict, col("src") === col("v"), "left_anti")
+      .join(vict, col("dst") === col("v"), "left_anti")
+    // damaged links: survivor → victim out-edges (the holes to repair)
+    val lost = edges
+      .join(vict, col("src") === col("v"), "left_anti")
+      .join(vict, col("dst") === col("v"), "left_semi")
+      .select("src", "dst")
+    // bridge candidates: src → (victim's out-neighbor w), w surviving,
+    // not already wired — |victims|·K rows, broadcast into the lost set
+    val vout = edges
+      .join(vict, col("src") === col("v"), "left_semi")
+      .join(vict, col("dst") === col("v"), "left_anti")
+      .select(col("src").as("vd"), col("dst").as("w"))
+    val cand = lost.select(col("src"), col("dst").as("vd"))
+      .join(broadcast(vout), "vd")
+      .select(col("src"), col("w").as("dst")).distinct()
+      .filter(col("src") =!= col("dst"))
+      .join(surv.select("src", "dst"), Seq("src", "dst"), "left_anti")
+    val merged = surv
+      .join(lost.select("src").distinct(), Seq("src"), "left_semi")
+      .select("src", "dst", "cos").withColumn("is_bridge", lit(false))
+      .unionByName(scorePairs(s, dir)(cand).withColumn("is_bridge", lit(true)))
+    graft.plans.TopKPerKey.topKDesc(merged, Seq("src"), "cos",
+        Seq("dst"), K)
+      .selectExpr("src as node", "cast(rk as bigint) as rk",
+        "dst as neighbor_id", "cos as cos_sim", "is_bridge")
+      .orderBy("node", "rk")
+  }
+
+  /** x128's body: Gonzalez greedy k-center over exact cosine distance
+    * (1 − rounded cosine — the 6-dp decimal contract, so argmax ties
+    * resolve identically in both engines; vec_id breaks exact ties).
+    * The chosen set never exceeds k vectors (broadcast); the running
+    * min-distance frame is (vec_id, dist) — corpus-sized but two
+    * columns — localCheckpointed per pick; each argmax is a global
+    * top-1 (TakeOrderedAndProject: per-partition bounded top-1, k·P
+    * rows to the driver, never a global sort). */
+  private[graft] def kcenterCoreset(
+      s: SparkSession, dir: String, k: Int): DataFrame = {
+    val sq = withSq(s, dir)
+    def distTo(center: Long): DataFrame = {
+      val c = sq.filter(col("vec_id") === center)
+        .selectExpr("embedding as eb", "sq as sb")
+      sq.selectExpr("vec_id", "embedding as ea", "sq as sa")
+        .crossJoin(broadcast(c))
+        .selectExpr("vec_id", s"1.0d - ${sCosIn(s)} as d")
+    }
+    var center = 0L // deterministic seed: the min id
+    var mind: DataFrame = null
+    val out = (0 until k).map { i =>
+      val di = distTo(center)
+      mind =
+        (if (mind == null) di
+         else mind.join(di.withColumnRenamed("d", "d2"), "vec_id")
+           .selectExpr("vec_id", "least(d, d2) as d"))
+          .localCheckpoint()
+      val far = mind.orderBy(col("d").desc, col("vec_id")).limit(1)
+        .collect().head
+      val row = (i.toLong, center, far.getDouble(1))
+      center = far.getLong(0) // next center = the point defining the radius
+      row
+    }
+    import s.implicits._
+    out.toDF("iter", "center_id", "coverage_radius")
+      .selectExpr("iter", "center_id",
+        sRound6("coverage_radius") + " as coverage_radius")
+      .orderBy("iter")
   }
 
   /** Pair scorer for the NN-Descent construction (the walks score
@@ -2301,6 +2455,8 @@ object Similarity {
     "x123_graph_hubness" -> dX123Sql,
     "x124_graph_insert" -> dX124Sql,
     "x126_beam_curve" -> dX126Sql,
+    "x127_graph_delete" -> dX127Sql,
+    "x128_kcenter_coreset" -> dX128Sql,
   )
 
   /** x120's oracle: the full NN-Descent replay — hash-seeded init,
@@ -2407,9 +2563,10 @@ object Similarity {
     }.mkString
 
   /** The x121/x126 walk prelude: capped undirected adjacency, probe
-    * entry seeding (vec_id < 8), scored entry visits — one text, two
-    * oracles, zero drift. */
-  private def dWalkPrelude(e: Int): String =
+    * entry seeding (vec_id < 8), scored entry visits folded to the
+    * top-`b` hop-1 frontier (the Scala side's structural-bound fold) —
+    * one text, two oracles, zero drift. */
+  private def dWalkPrelude(e: Int, b: Int): String =
     s"""ud AS MATERIALIZED (SELECT src, dst FROM e$NndT
        |       UNION SELECT dst AS src, src AS dst FROM e$NndT),
        |udc AS MATERIALIZED (SELECT src, dst FROM (
@@ -2425,13 +2582,16 @@ object Similarity {
        |v0 AS MATERIALIZED (SELECT src, dst, $dCos AS cos
        |       FROM entp JOIN sq a ON entp.src = a.vec_id
        |                 JOIN sq b ON entp.dst = b.vec_id),
-       |f0 AS (SELECT src, dst FROM v0)""".stripMargin
+       |f0 AS (SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rk FROM v0) WHERE rk <= $b)"""
+      .stripMargin
 
   private def dX121Sql: String = {
     val b = 5; val e = 8; val h = 2
     val hopCte = dBeamHops(h, b, "sq", "vec_id")
     s"""$dNndBase,
-       |${dWalkPrelude(e)}
+       |${dWalkPrelude(e, b)}
        |$hopCte
        |, ${dGraphGrade(s"v$h")}""".stripMargin
   }
@@ -2457,7 +2617,7 @@ object Similarity {
          |    ON f.src = e.query_id AND f.dst = e.neighbor_id)""".stripMargin
     }.mkString
     s"""$dNndBase,
-       |${dWalkPrelude(e)}
+       |${dWalkPrelude(e, b)}
        |$hopCte
        |, exact AS (SELECT query_id, neighbor_id FROM ($dX11Sql)
        |            WHERE rk <= $k)
@@ -2493,7 +2653,9 @@ object Similarity {
        |v0 AS MATERIALIZED (SELECT entp.src, entp.dst, $dCos AS cos
        |       FROM entp JOIN bat a ON entp.src = a.src
        |                 JOIN sq b ON entp.dst = b.vec_id),
-       |f0 AS (SELECT src, dst FROM v0)
+       |f0 AS (SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rk FROM v0) WHERE rk <= $b)
        |$hopCte
        |SELECT src AS new_id, CAST(rk AS BIGINT) AS rk, dst AS neighbor_id,
        |  cos AS cos_sim, (dst = src - 1000000000) AS found_original
@@ -2503,37 +2665,37 @@ object Similarity {
        |ORDER BY new_id, rk""".stripMargin
   }
 
-  /** x122's oracle: the construction chain, then 9 unrolled min-label
-    * rounds over the undirected edges (l1..l9); components read at l8,
-    * the l9 diff feeds the convergence column — identical algebra to
-    * the Scala loop's step(). The loop CTEs are AS MATERIALIZED: each
-    * round references its predecessor twice, and DuckDB inlines plain
-    * CTEs, so without materialization the plan doubles per round (2^9
-    * copies of the construction chain, each re-opening the parquet —
-    * observed as an fd-exhaustion failure, the oracle-side analogue of
-    * the Scala loop's localCheckpoint). */
+  /** x122's oracle: the construction chain, then EXACT connected
+    * components as a recursive CTE — the fixpoint the adaptive Scala
+    * loop now iterates to, so the oracle is corpus-independent (round
+    * 10's 9-round unroll was pinned to the gate corpus and already
+    * under-provisioned at the 100× decade). `reach` enumerates
+    * (node, lbl) pairs where lbl reaches node along a path whose every
+    * subsequent node exceeds lbl (the `r.lbl < e.dst` prune): the
+    * component's MIN label always survives the prune — a blocking edge
+    * would mean a smaller id in the same component — so MIN(lbl) per
+    * node IS the exact component id, while the prune keeps the pair
+    * set near-linear instead of quadratic transitive closure. At the
+    * fixpoint the convergence certificate is 0 by definition; a
+    * nonzero Scala certificate (cap bound) hash-fails here, which is
+    * the correct failure semantics for shipping inexact components. */
   private def dX122Sql: String = {
-    val rounds = (1 to 9).map { i =>
-      s""",
-         |l$i AS MATERIALIZED (SELECT l.node, LEAST(l.lbl, COALESCE(MIN(pl.lbl), l.lbl)) AS lbl
-         |        FROM l${i - 1} l
-         |        LEFT JOIN ud e ON e.dst = l.node
-         |        LEFT JOIN l${i - 1} pl ON pl.node = e.src
-         |        GROUP BY l.node, l.lbl)""".stripMargin
-    }.mkString
     s"""$dNndBase,
        |ud AS MATERIALIZED (SELECT src, dst FROM e$NndT
        |       UNION SELECT dst AS src, src AS dst FROM e$NndT),
-       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM ud)
-       |$rounds
-       |, unc AS (SELECT CAST(SUM(CASE WHEN b.lbl < a.lbl THEN 1 ELSE 0 END) AS BIGINT)
-       |            AS unconverged_nodes
-       |          FROM l8 a JOIN l9 b ON a.node = b.node)
-       |SELECT a.lbl AS component_id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
-       |  unc.unconverged_nodes
-       |FROM l8 a, unc
-       |GROUP BY a.lbl, unc.unconverged_nodes
+       |reach(node, lbl) AS (
+       |  SELECT src AS node, src AS lbl FROM ud
+       |  UNION
+       |  SELECT e.dst AS node, r.lbl
+       |  FROM reach r JOIN ud e ON e.src = r.node
+       |  WHERE r.lbl < e.dst),
+       |comp AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+       |SELECT lbl AS component_id, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(0 AS BIGINT) AS unconverged_nodes
+       |FROM comp
+       |GROUP BY lbl
        |ORDER BY n_nodes DESC, component_id""".stripMargin
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
   }
 
   /** x123's oracle: in-degree histogram of the directed kNN graph,
@@ -2545,4 +2707,73 @@ object Similarity {
        |        GROUP BY s.vec_id)
        |SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
        |FROM ind GROUP BY in_degree ORDER BY in_degree""".stripMargin
+
+  /** x127's oracle: the tombstone-repair chain — victim set, surviving
+    * edges, damaged links, bridge candidates through the victims'
+    * out-neighborhoods, exact scoring, top-K merge — identical algebra
+    * to graphDelete. */
+  private def dX127Sql: String = {
+    val k = NndK
+    s"""$dNndBase,
+       |vict AS (SELECT vec_id AS v FROM sq WHERE vec_id % 89 = 0),
+       |surv AS MATERIALIZED (SELECT src, dst, cos FROM e$NndT e
+       |        WHERE NOT EXISTS (SELECT 1 FROM vict WHERE v = e.src)
+       |          AND NOT EXISTS (SELECT 1 FROM vict WHERE v = e.dst)),
+       |lost AS (SELECT src, dst FROM e$NndT e
+       |        WHERE NOT EXISTS (SELECT 1 FROM vict WHERE v = e.src)
+       |          AND EXISTS (SELECT 1 FROM vict WHERE v = e.dst)),
+       |vout AS (SELECT e.src AS vd, e.dst AS w FROM e$NndT e
+       |        WHERE EXISTS (SELECT 1 FROM vict WHERE v = e.src)
+       |          AND NOT EXISTS (SELECT 1 FROM vict WHERE v = e.dst)),
+       |cand AS (SELECT DISTINCT l.src, o.w AS dst
+       |        FROM lost l JOIN vout o ON l.dst = o.vd
+       |        WHERE l.src <> o.w
+       |          AND NOT EXISTS (SELECT 1 FROM surv s2
+       |                          WHERE s2.src = l.src AND s2.dst = o.w)),
+       |scored AS (SELECT c.src, c.dst, $dCos AS cos
+       |        FROM cand c JOIN sq a ON c.src = a.vec_id
+       |                    JOIN sq b ON c.dst = b.vec_id),
+       |merged AS (
+       |  SELECT s2.src, s2.dst, s2.cos, FALSE AS is_bridge FROM surv s2
+       |    WHERE EXISTS (SELECT 1 FROM lost l WHERE l.src = s2.src)
+       |  UNION ALL
+       |  SELECT src, dst, cos, TRUE AS is_bridge FROM scored)
+       |SELECT src AS node, CAST(rk AS BIGINT) AS rk, dst AS neighbor_id,
+       |  cos AS cos_sim, is_bridge
+       |FROM (SELECT src, dst, cos, is_bridge,
+       |        ROW_NUMBER() OVER (PARTITION BY src
+       |          ORDER BY cos DESC, dst) AS rk
+       |      FROM merged)
+       |WHERE rk <= $k
+       |ORDER BY node, rk""".stripMargin
+  }
+
+  /** x128's oracle: Gonzalez unrolled — m_i = running min distance to
+    * the first i+1 centers, c_{i+1} = argmax(m_i) with the vec_id
+    * tiebreak, radius_i = max(m_i); identical LEAST-chain and rounding
+    * to the Scala loop. */
+  private def dX128Sql: String = {
+    val iters = (1 to 3).map { i =>
+      s""",
+         |c$i AS (SELECT vec_id FROM m${i - 1}
+         |        ORDER BY d DESC, vec_id LIMIT 1),
+         |m$i AS MATERIALIZED (SELECT a.vec_id, LEAST(m.d, 1.0 - $dCos) AS d
+         |        FROM sq a JOIN m${i - 1} m ON m.vec_id = a.vec_id
+         |                  JOIN sq b ON b.vec_id = (SELECT vec_id FROM c$i)),
+         |r$i AS (SELECT $i AS iter,
+         |          (SELECT CAST(vec_id AS BIGINT) FROM c$i) AS center_id,
+         |          MAX(d) AS radius FROM m$i)""".stripMargin
+    }.mkString
+    s"""$dSq,
+       |m0 AS MATERIALIZED (SELECT a.vec_id, 1.0 - $dCos AS d
+       |        FROM sq a JOIN sq b ON b.vec_id = 0),
+       |r0 AS (SELECT 0 AS iter, CAST(0 AS BIGINT) AS center_id,
+       |          MAX(d) AS radius FROM m0)
+       |$iters
+       |SELECT CAST(iter AS BIGINT) AS iter, center_id,
+       |  ${dRound6("radius")} AS coverage_radius
+       |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+       |      UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+       |ORDER BY iter""".stripMargin
+  }
 }
