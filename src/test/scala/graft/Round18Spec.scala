@@ -1,0 +1,166 @@
+package graft
+
+/** Round-11 additions: graph-index tombstone repair (x127), k-center
+  * coreset selection (x128), and the x122 converge-or-certify upgrade
+  * (the fixed 8-round budget is gone; the loop adapts to the component
+  * diameter and the certificate is 0 by construction at the fixpoint).
+  * x127 is checked against a full first-principles recompute of the
+  * repair algebra from the collected standing graph; x128 against an
+  * in-memory Gonzalez run over the raw embeddings. */
+class Round18Spec extends SparkSpec {
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ── x127 graph tombstone repair ──
+
+  private lazy val edges: Array[(Long, Long, Double)] =
+    graft.llm.Similarity.nndescentEdges(spark, sf001, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+  private def isVictim(id: Long): Boolean = id % 89 == 0
+
+  test("x127: no tombstoned vector survives anywhere in the repaired lists") {
+    val rows = SparkEntry.queries("x127_graph_delete")(spark, sf001).collect()
+    assert(rows.nonEmpty, "fixture must damage at least one node")
+    rows.foreach { r =>
+      assert(!isVictim(r.getLong(0)), s"victim as node: $r")
+      assert(!isVictim(r.getLong(2)), s"victim as neighbor: $r")
+    }
+  }
+
+  test("x127: repaired set, ranks, and edge provenance match first principles") {
+    val rows = SparkEntry.queries("x127_graph_delete")(spark, sf001).collect()
+    val surv = edges.filter(e => !isVictim(e._1) && !isVictim(e._2))
+    val survSet = surv.map(e => (e._1, e._2)).toSet
+    val survCos = surv.map(e => (e._1, e._2) -> e._3).toMap
+    // damaged survivors: lost an out-edge to a victim
+    val lost = edges.filter(e => !isVictim(e._1) && isVictim(e._2))
+    val damaged = lost.map(_._1).toSet
+    assert(rows.map(_.getLong(0)).toSet == damaged,
+      "output nodes are exactly the damaged survivors")
+    // legal bridge targets per node: out-neighbors of its lost victims,
+    // surviving, not self, not already wired
+    val vout = edges.filter(e => isVictim(e._1) && !isVictim(e._2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val legalBridge: Map[Long, Set[Long]] = lost.groupBy(_._1).map {
+      case (s, ls) =>
+        s -> ls.flatMap(l => vout.getOrElse(l._2, Set.empty)).toSet
+          .filter(w => w != s && !survSet.contains((s, w)))
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (node, g) =>
+      val byRk = g.sortBy(_.getLong(1))
+      assert(byRk.map(_.getLong(1)).sameElements(1L to g.length),
+        s"ranks not contiguous for $node")
+      assert(g.map(_.getLong(2)).distinct.length == g.length,
+        s"duplicate neighbors for $node")
+      // descending cos, dst tiebreak — the caller-supplied total order
+      val key = byRk.map(r => (-r.getDouble(3), r.getLong(2)))
+      assert(key.sameElements(key.sorted), s"order violated for $node")
+      g.foreach { r =>
+        val dst = r.getLong(2)
+        if (r.getBoolean(4))
+          assert(legalBridge(node).contains(dst),
+            s"illegal bridge $node -> $dst")
+        else {
+          assert(survSet.contains((node, dst)),
+            s"non-bridge row is not a surviving edge: $r")
+          assert(r.getDouble(3) == survCos((node, dst)),
+            s"surviving edge must keep its standing cos: $r")
+        }
+      }
+      // top-K completeness on the checkable side: any surviving edge
+      // of a damaged node that did NOT make the list must be beaten
+      // (or tied-and-out-ordered) by the selected minimum
+      val selMin = byRk.last.getDouble(3)
+      surv.filter(_._1 == node)
+        .filterNot(e => g.exists(_.getLong(2) == e._2))
+        .foreach { e =>
+          assert(e._3 <= selMin,
+            s"surviving edge $e beats selected min $selMin but was dropped")
+        }
+    }
+    // at least one bridge must fire on this corpus (non-vacuous repair)
+    assert(rows.exists(_.getBoolean(4)), "no bridge was ever wired")
+    assert(rows.exists(r => !r.getBoolean(4)), "no surviving edge kept")
+  }
+
+  test("x127: per-cycle work is victim-bounded — bridge candidates never exceed |lost|*K") {
+    val lost = edges.count(e => !isVictim(e._1) && isVictim(e._2))
+    val k = 5
+    val bridges = SparkEntry.queries("x127_graph_delete")(spark, sf001)
+      .collect().count(_.getBoolean(4))
+    assert(bridges <= lost * k,
+      s"bridge rows $bridges exceed the |lost|*K bound ${lost * k}")
+  }
+
+  // ── x128 k-center coreset ──
+
+  private lazy val vecs: Map[Long, Array[Float]] =
+    spark.read.parquet(s"$sf001/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def dist(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      sa += a(i).toDouble * a(i).toDouble
+      sb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    1.0 - round6(dot / math.sqrt(sa * sb))
+  }
+
+  test("x128: the greedy picks and radii match an in-memory Gonzalez run exactly") {
+    val rows = SparkEntry.queries("x128_kcenter_coreset")(spark, sf001)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 4, "k = 4 rows")
+    val ids = vecs.keys.toArray.sorted
+    var center = 0L
+    var mind = Map.empty[Long, Double].withDefaultValue(Double.MaxValue)
+    (0 until 4).foreach { i =>
+      mind = ids.map(id =>
+        id -> math.min(mind(id), dist(vecs(id), vecs(center)))).toMap
+      val far = ids.map(id => (id, mind(id))).maxBy(t => (t._2, -t._1))
+      val r = rows(i)
+      assert(r.getLong(0) == i, s"iter $i")
+      assert(r.getLong(1) == center,
+        s"center mismatch at iter $i: got ${r.getLong(1)}, expected $center")
+      assert(r.getDouble(2) == round6(far._2),
+        s"radius mismatch at iter $i: got ${r.getDouble(2)}, expected ${far._2}")
+      center = far._1
+    }
+  }
+
+  test("x128: radii are monotone non-increasing and centers distinct") {
+    val rows = SparkEntry.queries("x128_kcenter_coreset")(spark, sf001)
+      .collect().sortBy(_.getLong(0))
+    val radii = rows.map(_.getDouble(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"coverage radius rose: ${radii.mkString(", ")}")
+    val centers = rows.map(_.getLong(1))
+    assert(centers.distinct.length == centers.length, "centers repeat")
+  }
+
+  // ── x122 converge-or-certify ──
+
+  test("x122: the adaptive loop reaches the fixpoint — certificate is 0 and labels are exact components") {
+    val rows = SparkEntry.queries("x122_graph_components")(spark, sf001).collect()
+    assert(rows.forall(_.getLong(2) == 0L),
+      "adaptive loop must certify convergence (0 unconverged)")
+    // exact components from the collected graph (in-memory union-find)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { e =>
+      val (a, b) = (find(e._1), find(e._2))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val comp = parent.keys.map(n => find(n) -> n).toSeq
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == comp,
+      s"component map mismatch: got ${got.size} comps, expected ${comp.size}")
+  }
+}
