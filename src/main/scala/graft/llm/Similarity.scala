@@ -1406,6 +1406,23 @@ object Similarity {
     // a global top-1 on the native bounded heap — k·(one broadcast
     // probe + one heap) total, never a pairwise matrix.
     "x128_kcenter_coreset" -> { (s, dir) => kcenterCoreset(s, dir, k = 4) },
+
+    // HIERARCHICAL BEAM SEARCH — the HNSW layer idea completing the
+    // graph family: x121's one weakness is its RANDOM entry points (a
+    // walk spends its first hops just escaping them — x126 measures
+    // exactly that cost). Here a 1/16 hash sample of the corpus keeps
+    // its own standing NN-Descent graph (dense rank ids via ExactRank,
+    // so the modular hash seeding stays valid — no partitionless
+    // window); a query walks the COARSE layer first and its top-B
+    // results, mapped back to original ids, seed the layer-0 walk with
+    // semantically-close entries instead of random ones. Same walkFrom
+    // engine, same structural per-hop bound on both legs; all four
+    // index tiers (both graphs, both capped adjacencies) are standing
+    // shared frames built once. Graded like x121 so the two are
+    // directly comparable at equal layer-0 hop budget.
+    "x129_hier_beam_search" -> { (s, dir) =>
+      hierBeamSearch(s, dir, hops1 = 2, hops0 = 2)
+    },
   )
 
   /** x122's body: min-label propagation to the FIXPOINT (converge-or-
@@ -1477,10 +1494,16 @@ object Similarity {
     * grades the raw hash-seeded entry points). */
   private[graft] def graphBeamSearch(
       s: SparkSession, dir: String, hops: Int): DataFrame = {
-    val K = 5
     val probes = withSq(s, dir).filter(QuerySet)
       .selectExpr("vec_id as src", "embedding as ea", "sq as sa")
-    val visited = beamWalk(s, dir, probes, hops)
+    gradeWalk(s, dir, beamWalk(s, dir, probes, hops))
+  }
+
+  /** Shared x121/x129 grading: top-K of the visited set per probe,
+    * hit-flagged against the exact tier. */
+  private def gradeWalk(s: SparkSession, dir: String,
+      visited: DataFrame): DataFrame = {
+    val K = 5
     val truth = exactTopk(s, dir).filter(s"rk <= $K")
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
         lit(true).as("hit0"))
@@ -1491,6 +1514,61 @@ object Similarity {
         "dst as neighbor_id", "cos as cos_sim",
         "coalesce(hit0, false) as hit")
       .orderBy("query_id", "rk")
+  }
+
+  /** x129's body: two-layer hierarchical beam search (the HNSW layer
+    * idea on the standing NN-Descent index). The coarse layer is a
+    * deterministic 1/16 hash sample of the corpus with its OWN
+    * NN-Descent graph over dense rank ids (ExactRank — no partitionless
+    * window anywhere in the sample indexing); a query walks the coarse
+    * layer first from hash-seeded entries, and its top-B coarse results
+    * — mapped back to original ids — become the layer-0 entry points,
+    * replacing x121's random seeds with semantically-close ones. Both
+    * legs are the same walkFrom engine with the same structural
+    * per-hop bound; the coarse leg's fan-out is bounded by the SAMPLE,
+    * so the whole prelude costs E + hops·B·2K coarse scorings. Both
+    * layer graphs and both capped adjacencies are standing shared
+    * tiers (nnd_edges/nnd_ud, nnd_l1/nnd_l1_ud) — built once, never
+    * per query. `hops1` walks the coarse layer, `hops0` the base. */
+  private[graft] def hierBeamSearch(s: SparkSession, dir: String,
+      hops1: Int, hops0: Int): DataFrame = {
+    val B = 5; val E = 8
+    val l1 = Shared.shared(s, dir, "l1_sample") {
+      graft.queries.ExactRank.withGlobalRank(
+        withSq(s, dir)
+          .filter(s"${sH("concat(vec_id, ':lvl')")} % 16 = 0"),
+        Seq(col("vec_id")))
+        .selectExpr("rank - 1 as vec_id", "vec_id as orig_id",
+          "embedding", "sq")
+    }
+    val l1c = l1.select("vec_id", "embedding", "sq")
+    val l1edges = Shared.shared(s, dir, "nnd_l1")(
+      nndescentEdgesOn(s, l1c, iters = 2))
+    val ud1 = cappedUd(s, dir, l1edges, "nnd_l1_ud")
+    val probes = withSq(s, dir).filter(QuerySet)
+      .selectExpr("vec_id as src", "embedding as ea", "sq as sa")
+    val n1 = l1c.agg(count(lit(1)).as("nc"))
+    // coarse entries: hash % |sample| in the DENSE domain (no self-
+    // avoid case — src is an original id, dst a dense index; identity
+    // is not equality across domains)
+    val ent1 = probes.select(col("src")).crossJoin(broadcast(n1))
+      .selectExpr("src",
+        s"explode(transform(sequence(1, $E), j -> " +
+          s"${sH("concat(src, ':entry:', j)")} % nc)) as dst")
+      .distinct()
+    val v1 = walkFrom(s, l1c, ud1, probes, ent1, hops1, B,
+      excludeSelf = false)
+    // layer-0 entry points: the coarse walk's top-B, mapped back to
+    // original ids (sample-sized broadcast map join)
+    val ent0 = graft.plans.TopKPerKey.topKDesc(v1, Seq("src"), "cos",
+        Seq("dst"), B)
+      .join(broadcast(l1.selectExpr("vec_id as dst", "orig_id")), "dst")
+      .select(col("src"), col("orig_id").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val ud0 = cappedUd(s, dir, nndescentEdges(s, dir, iters = 2), "nnd_ud")
+    val v0 = walkFrom(s, withSq(s, dir), ud0, probes, ent0, hops0, B)
+    gradeWalk(s, dir, v0)
   }
 
   /** Greedy beam walk over the standing undirected kNN graph for an
@@ -1513,27 +1591,7 @@ object Similarity {
       probes: DataFrame, hops: Int, b: Int = 5, e: Int = 8): DataFrame = {
     val sq = withSq(s, dir)
     val edges = nndescentEdges(s, dir, iters = 2)
-    // Undirected adjacency ρ-CAPPED at 2K per node, in the same
-    // deterministic hash order the construction rounds use: a raw
-    // out ∪ in union bounds out-degree (K) but not in-degree — x123's
-    // hub tail would make a hub-touching hop's fan-out corpus-
-    // DEPENDENT. The cap is what turns "per-hop candidates ≤
-    // |probes|·B·2K" from an average-case claim into an enforced
-    // invariant (spec-asserted), exactly how HNSW bounds its per-node
-    // neighbor lists.
-    // SHARED tier: the capped adjacency is part of the standing index
-    // (built once with the graph, resident beside it), not per-walk
-    // work — x121, x124 and x126's three depths all read one copy.
-    val cap = 2 * 5
-    val ud = Shared.shared(s, dir, "nnd_ud") {
-      val udRaw = edges.select("src", "dst").unionByName(
-        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      graft.plans.TopKPerKey.topKDesc(
-        udRaw.selectExpr("src", "dst",
-          s"${sH("concat(src, ':', dst)")} as hk"),
-        Seq("src"), "hk", Seq("dst"), cap)
-        .select("src", "dst")
-    }
+    val ud = cappedUd(s, dir, edges, "nnd_ud")
     val nRow = sq.agg(count(lit(1)).as("nc"))
     val entries = probes.select(col("src"))
       .crossJoin(broadcast(nRow))
@@ -1543,25 +1601,78 @@ object Similarity {
       .selectExpr("src",
         "case when d0 = src then (d0 + 1) % nc else d0 end as dst")
       .distinct()
+    walkFrom(s, sq, ud, probes, entries, hops, b)
+  }
+
+  /** Undirected adjacency ρ-CAPPED at 2K per node, in the same
+    * deterministic hash order the construction rounds use: a raw
+    * out ∪ in union bounds out-degree (K) but not in-degree — x123's
+    * hub tail would make a hub-touching hop's fan-out corpus-
+    * DEPENDENT. The cap is what turns "per-hop candidates ≤
+    * |probes|·B·2K" from an average-case claim into an enforced
+    * invariant (spec-asserted), exactly how HNSW bounds its per-node
+    * neighbor lists.
+    * SHARED tier (per `tier` key): the capped adjacency is part of the
+    * standing index (built once with its graph, resident beside it),
+    * not per-walk work — x121, x124, x126's three depths and x129's
+    * layer-0 leg all read the one "nnd_ud" copy; x129's coarse layer
+    * keeps its own "nnd_l1_ud". */
+  private def cappedUd(s: SparkSession, dir: String,
+      edges: DataFrame, tier: String): DataFrame = {
+    val cap = 2 * 5
+    Shared.shared(s, dir, tier) {
+      val udRaw = edges.select("src", "dst").unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      graft.plans.TopKPerKey.topKDesc(
+        udRaw.selectExpr("src", "dst",
+          s"${sH("concat(src, ':', dst)")} as hk"),
+        Seq("src"), "hk", Seq("dst"), cap)
+        .select("src", "dst")
+    }
+  }
+
+  /** The walk engine, generic over the graph's id domain: score the
+    * given entry pairs, fold to a top-`b` frontier, then `hops` rounds
+    * of expand (⋈ capped adjacency) / anti-join visited / score / fold.
+    * `corpus` supplies the dst-side payload (vec_id, embedding, sq) —
+    * the full corpus for the layer-0 walks, the sampled coarse layer
+    * (dense ids) for x129's layer-1 leg; `probes` supplies the src side
+    * (src, ea, sa).
+    *
+    * Hop-1 frontier is the top-B of the SCORED entry visits, not all E
+    * of them — the per-hop fan-out bound "≤ |probes|·B·2K" is then
+    * structural for EVERY hop (hop 1 included), not an average-case
+    * claim that held only because E entries overlap after dedup. Total
+    * visits per probe: E entries + hops·B·2K expansions, the exact
+    * bound the spec asserts.
+    *
+    * Eager localCheckpoint per round, the same lineage-truncation the
+    * CC loop uses (Dedup.clusterLabelsBuild): without it every hop
+    * re-plans a tree that embeds all prior hops (measured: 3,960-line
+    * plan, 736 exchanges, 54 s/hop at sf0.001 → ~1 s/hop truncated),
+    * and the checkpointed frames carry exact sizes so the planner
+    * broadcasts the probe-bounded frontier into the edge join. */
+  private def walkFrom(s: SparkSession, corpus: DataFrame, ud: DataFrame,
+      probes: DataFrame, entries: DataFrame, hops: Int,
+      b: Int = 5, excludeSelf: Boolean = true): DataFrame = {
     def score(pairs: DataFrame): DataFrame = pairs
       .join(probes, "src")
-      .join(sq.selectExpr("vec_id as dst", "embedding as eb", "sq as sb"),
-        "dst")
+      .join(corpus.selectExpr("vec_id as dst", "embedding as eb",
+        "sq as sb"), "dst")
       .selectExpr("src", "dst", s"${sCosIn(s)} as cos")
     var visited = score(entries).localCheckpoint()
-    // Hop-1 frontier is the top-B of the SCORED entry visits, not all E
-    // of them — the per-hop fan-out bound "≤ |probes|·B·2K" is then
-    // structural for EVERY hop (hop 1 included), not an average-case
-    // claim that held only because E entries overlap after dedup. Total
-    // visits per probe: E entries + hops·B·2K expansions, the exact
-    // bound the spec asserts.
     var frontier = graft.plans.TopKPerKey.topKDesc(visited, Seq("src"),
       "cos", Seq("dst"), b).select("src", "dst").localCheckpoint()
     for (_ <- 1 to hops) {
-      val expand = frontier
+      val expand0 = frontier
         .join(ud.selectExpr("src as dst", "dst as nxt"), "dst")
         .select(col("src"), col("nxt").as("dst")).distinct()
-        .filter(col("src") =!= col("dst"))
+      // src and dst share an id domain on the layer-0 walks (probe IS a
+      // corpus row — never re-score yourself); on x129's layer-1 leg
+      // src is an ORIGINAL id and dst a DENSE sample index, so equality
+      // is a numeric coincidence, not identity — the filter must be off
+      val expand = (if (excludeSelf) expand0.filter(col("src") =!= col("dst"))
+                    else expand0)
         .join(visited.select("src", "dst"), Seq("src", "dst"), "left_anti")
       val scored = score(expand).localCheckpoint()
       visited = visited.unionByName(scored).localCheckpoint()
@@ -1680,13 +1791,18 @@ object Similarity {
     * rounded cosine via two bounded payload joins against the shared
     * norm frame. */
   private def scorePairs(s: SparkSession, dir: String)(
-      pairs: DataFrame): DataFrame = {
-    val sq = withSq(s, dir)
+      pairs: DataFrame): DataFrame =
+    scorePairsOn(s, withSq(s, dir))(pairs)
+
+  /** The same exact-cosine pair scorer over an arbitrary
+    * (vec_id, embedding, sq) frame — x129's coarse layer scores within
+    * the sampled frame under its dense id domain. */
+  private def scorePairsOn(s: SparkSession, corpus: DataFrame)(
+      pairs: DataFrame): DataFrame =
     pairs
-      .join(sq.selectExpr("vec_id as src", "embedding as ea", "sq as sa"), "src")
-      .join(sq.selectExpr("vec_id as dst", "embedding as eb", "sq as sb"), "dst")
+      .join(corpus.selectExpr("vec_id as src", "embedding as ea", "sq as sa"), "src")
+      .join(corpus.selectExpr("vec_id as dst", "embedding as eb", "sq as sb"), "dst")
       .selectExpr("src", "dst", s"${sCosIn(s)} as cos")
-  }
 
   /** NN-Descent edge lists (src, dst, cos) after `iters` local-join
     * rounds. The canonical 2-round graph is a SHARED tier — it is the
@@ -1701,11 +1817,20 @@ object Similarity {
     else nndescentEdgesBuild(s, dir, iters)
 
   private def nndescentEdgesBuild(
-      s: SparkSession, dir: String, iters: Int): DataFrame = {
+      s: SparkSession, dir: String, iters: Int): DataFrame =
+    nndescentEdgesOn(s, withSq(s, dir), iters)
+
+  /** The NN-Descent construction generic over the corpus frame
+    * (vec_id DENSE 0..n-1, embedding, sq) — the layer-0 standing graph
+    * builds on the full corpus, x129's coarse layer on the hash sample
+    * under its dense rank ids (the modular hash seeding requires a
+    * dense domain: `hash % n` must land on an existing vector). */
+  private def nndescentEdgesOn(
+      s: SparkSession, corpus: DataFrame, iters: Int): DataFrame = {
       val K = 5; val T = iters; val R = 2 * K
-      val sq = withSq(s, dir)
+      val sq = corpus
       val nRow = sq.agg(count(lit(1)).as("nc"))
-      def score(pairs: DataFrame): DataFrame = scorePairs(s, dir)(pairs)
+      def score(pairs: DataFrame): DataFrame = scorePairsOn(s, corpus)(pairs)
       val seeds = sq.select("vec_id").crossJoin(broadcast(nRow))
         .selectExpr("vec_id",
           s"explode(transform(sequence(1, $K), j -> " +
@@ -2457,6 +2582,7 @@ object Similarity {
     "x126_beam_curve" -> dX126Sql,
     "x127_graph_delete" -> dX127Sql,
     "x128_kcenter_coreset" -> dX128Sql,
+    "x129_hier_beam_search" -> dX129Sql,
   )
 
   /** x120's oracle: the full NN-Descent replay — hash-seeded init,
@@ -2465,26 +2591,27 @@ object Similarity {
     * exact brute-force list. Iterations are emitted by `dNndIter`, so
     * the SQL is the Scala loop unrolled — same constants, same order
     * keys (cos DESC, dst ASC), same hash strings. */
-  private def dNndIter(i: Int, k: Int, r: Int): String = {
-    val prev = s"e${i - 1}"
+  private def dNndIter(i: Int, k: Int, r: Int,
+      src: String = "sq", pfx: String = ""): String = {
+    val prev = s"${pfx}e${i - 1}"
     s""",
-       |adj$i AS (SELECT src AS p, dst AS n FROM $prev
+       |${pfx}adj$i AS (SELECT src AS p, dst AS n FROM $prev
        |          UNION SELECT dst, src FROM $prev),
-       |cap$i AS MATERIALIZED (SELECT p, n FROM (
+       |${pfx}cap$i AS MATERIALIZED (SELECT p, n FROM (
        |    SELECT p, n, ROW_NUMBER() OVER (PARTITION BY p
        |      ORDER BY ${dH("concat(p, ':', n)")} DESC, n) AS rn
-       |    FROM adj$i) WHERE rn <= $r),
-       |pr$i AS (SELECT DISTINCT x.n AS psrc, y.n AS pdst
-       |         FROM cap$i x JOIN cap$i y ON x.p = y.p AND x.n < y.n),
-       |sc$i AS MATERIALIZED (SELECT psrc AS src, pdst AS dst, $dCos AS cos
-       |         FROM pr$i JOIN sq a ON pr$i.psrc = a.vec_id
-       |                   JOIN sq b ON pr$i.pdst = b.vec_id),
-       |m$i AS (SELECT src, dst, cos FROM $prev
-       |        UNION SELECT src, dst, cos FROM sc$i
-       |        UNION SELECT dst, src, cos FROM sc$i),
-       |e$i AS MATERIALIZED (SELECT src, dst, cos FROM (
+       |    FROM ${pfx}adj$i) WHERE rn <= $r),
+       |${pfx}pr$i AS (SELECT DISTINCT x.n AS psrc, y.n AS pdst
+       |         FROM ${pfx}cap$i x JOIN ${pfx}cap$i y ON x.p = y.p AND x.n < y.n),
+       |${pfx}sc$i AS MATERIALIZED (SELECT psrc AS src, pdst AS dst, $dCos AS cos
+       |         FROM ${pfx}pr$i JOIN $src a ON ${pfx}pr$i.psrc = a.vec_id
+       |                   JOIN $src b ON ${pfx}pr$i.pdst = b.vec_id),
+       |${pfx}m$i AS (SELECT src, dst, cos FROM $prev
+       |        UNION SELECT src, dst, cos FROM ${pfx}sc$i
+       |        UNION SELECT dst, src, cos FROM ${pfx}sc$i),
+       |${pfx}e$i AS MATERIALIZED (SELECT src, dst, cos FROM (
        |    SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src
-       |      ORDER BY cos DESC, dst) AS rk FROM m$i) WHERE rk <= $k)""".stripMargin
+       |      ORDER BY cos DESC, dst) AS rk FROM ${pfx}m$i) WHERE rk <= $k)""".stripMargin
   }
 
   // `final val` with a literal is a compile-time constant (inlined at
@@ -2496,22 +2623,30 @@ object Similarity {
   /** The NN-Descent construction CTE chain (ends at `e{NndT}`, the
     * final edge list) — shared verbatim by the x120 and x121 oracles,
     * mirroring the Scala side's one shared `nnd_edges` tier. */
-  private def dNndBase: String = {
-    val k = NndK; val t = NndT; val r = 2 * k
+  private def dNndBase: String =
     s"""$dSq,
-       |n0 AS (SELECT COUNT(*) AS nc FROM sq),
-       |seeds AS (SELECT vec_id, nc, ${dH("concat(vec_id, ':init:', j)")} % nc AS d0
-       |          FROM sq, n0, UNNEST(range(1, $k + 1)) AS u(j)),
-       |e0p AS (SELECT DISTINCT vec_id AS src,
+       |${dNndChain("sq", "n0", "")}""".stripMargin
+
+  /** The NN-Descent CTE chain generic over its source CTE (columns
+    * vec_id DENSE, embedding, sq) and a CTE-name prefix — the layer-0
+    * chain is `dNndChain("sq", "n0", "")` (x120/x121's exact text), the
+    * x129 coarse layer `dNndChain("l1", "gn0", "g")`. Ends at
+    * `${pfx}e{NndT}`. */
+  private def dNndChain(src: String, n0: String, pfx: String): String = {
+    val k = NndK; val t = NndT; val r = 2 * k
+    s"""$n0 AS (SELECT COUNT(*) AS nc FROM $src),
+       |${pfx}seeds AS (SELECT vec_id, nc, ${dH("concat(vec_id, ':init:', j)")} % nc AS d0
+       |          FROM $src, $n0, UNNEST(range(1, $k + 1)) AS u(j)),
+       |${pfx}e0p AS (SELECT DISTINCT vec_id AS src,
        |          CASE WHEN d0 = vec_id THEN (d0 + 1) % nc ELSE d0 END AS dst
-       |        FROM seeds),
-       |s0 AS (SELECT src, dst, $dCos AS cos
-       |       FROM e0p JOIN sq a ON e0p.src = a.vec_id
-       |                JOIN sq b ON e0p.dst = b.vec_id),
-       |e0 AS MATERIALIZED (SELECT src, dst, cos FROM (
+       |        FROM ${pfx}seeds),
+       |${pfx}s0 AS (SELECT src, dst, $dCos AS cos
+       |       FROM ${pfx}e0p JOIN $src a ON ${pfx}e0p.src = a.vec_id
+       |                JOIN $src b ON ${pfx}e0p.dst = b.vec_id),
+       |${pfx}e0 AS MATERIALIZED (SELECT src, dst, cos FROM (
        |    SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src
-       |      ORDER BY cos DESC, dst) AS rk FROM s0) WHERE rk <= $k)
-       |${(1 to t).map(dNndIter(_, k, r)).mkString}""".stripMargin
+       |      ORDER BY cos DESC, dst) AS rk FROM ${pfx}s0) WHERE rk <= $k)
+       |${(1 to t).map(dNndIter(_, k, r, src, pfx)).mkString}""".stripMargin
   }
 
   /** Final grading SELECT shared by both graph oracles: top-K per
@@ -2542,37 +2677,47 @@ object Similarity {
     * payload from `(srcTbl, srcKey)` (x121: the corpus `sq`/`vec_id`;
     * x124: the batch CTE `bat`/`src`), top-B frontier fold. */
   private def dBeamHops(h: Int, b: Int,
-      srcTbl: String, srcKey: String): String =
+      srcTbl: String, srcKey: String, pfx: String = "",
+      dstTbl: String = "sq", excludeSelf: Boolean = true): String =
     (1 to h).map { i =>
-      val pv = s"v${i - 1}"; val pf = s"f${i - 1}"
+      val pv = s"${pfx}v${i - 1}"; val pf = s"${pfx}f${i - 1}"
+      // on the layer-0 walks src and dst share an id domain (never
+      // re-score yourself); on x129's coarse leg src is an original id
+      // and dst a dense sample index — equality is coincidence, not
+      // identity, so the guard is off (mirrors walkFrom.excludeSelf)
+      val selfGuard = if (excludeSelf) s"\n        WHERE f.src <> g.dst" else ""
       s""",
-         |x$i AS (SELECT DISTINCT f.src, g.dst
-         |        FROM $pf f JOIN udc g ON f.dst = g.src
-         |        WHERE f.src <> g.dst),
-         |n$i AS (SELECT src, dst FROM x$i
+         |${pfx}x$i AS (SELECT DISTINCT f.src, g.dst
+         |        FROM $pf f JOIN ${pfx}udc g ON f.dst = g.src$selfGuard),
+         |${pfx}n$i AS (SELECT src, dst FROM ${pfx}x$i
          |        WHERE NOT EXISTS (SELECT 1 FROM $pv v
-         |          WHERE v.src = x$i.src AND v.dst = x$i.dst)),
-         |s$i AS MATERIALIZED (SELECT n$i.src, n$i.dst, $dCos AS cos
-         |        FROM n$i JOIN $srcTbl a ON n$i.src = a.$srcKey
-         |                 JOIN sq b ON n$i.dst = b.vec_id),
-         |v$i AS MATERIALIZED (SELECT * FROM $pv UNION ALL SELECT * FROM s$i),
-         |f$i AS MATERIALIZED (SELECT src, dst FROM (
+         |          WHERE v.src = ${pfx}x$i.src AND v.dst = ${pfx}x$i.dst)),
+         |${pfx}s$i AS MATERIALIZED (SELECT ${pfx}n$i.src, ${pfx}n$i.dst, $dCos AS cos
+         |        FROM ${pfx}n$i JOIN $srcTbl a ON ${pfx}n$i.src = a.$srcKey
+         |                 JOIN $dstTbl b ON ${pfx}n$i.dst = b.vec_id),
+         |${pfx}v$i AS MATERIALIZED (SELECT * FROM $pv UNION ALL SELECT * FROM ${pfx}s$i),
+         |${pfx}f$i AS MATERIALIZED (SELECT src, dst FROM (
          |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
-         |      ORDER BY cos DESC, dst) AS rk FROM s$i) WHERE rk <= $b)"""
+         |      ORDER BY cos DESC, dst) AS rk FROM ${pfx}s$i) WHERE rk <= $b)"""
         .stripMargin
     }.mkString
+
+  /** Capped undirected adjacency CTE pair over an edge CTE — the SQL
+    * twin of [[cappedUd]], shared by every walk oracle. */
+  private def dUdCap(edges: String, ud: String, udc: String): String =
+    s"""$ud AS MATERIALIZED (SELECT src, dst FROM $edges
+       |       UNION SELECT dst AS src, src AS dst FROM $edges),
+       |$udc AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY ${dH("concat(src, ':', dst)")} DESC, dst) AS rn
+       |    FROM $ud) WHERE rn <= 10)""".stripMargin
 
   /** The x121/x126 walk prelude: capped undirected adjacency, probe
     * entry seeding (vec_id < 8), scored entry visits folded to the
     * top-`b` hop-1 frontier (the Scala side's structural-bound fold) —
     * one text, two oracles, zero drift. */
   private def dWalkPrelude(e: Int, b: Int): String =
-    s"""ud AS MATERIALIZED (SELECT src, dst FROM e$NndT
-       |       UNION SELECT dst AS src, src AS dst FROM e$NndT),
-       |udc AS MATERIALIZED (SELECT src, dst FROM (
-       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
-       |      ORDER BY ${dH("concat(src, ':', dst)")} DESC, dst) AS rn
-       |    FROM ud) WHERE rn <= 10),
+    s"""${dUdCap(s"e$NndT", "ud", "udc")},
        |entq AS (SELECT vec_id, nc, ${dH("concat(vec_id, ':entry:', j)")} % nc AS d0
        |         FROM sq, n0, UNNEST(range(1, $e + 1)) AS u(j)
        |         WHERE vec_id < 8),
@@ -2775,5 +2920,51 @@ object Similarity {
        |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
        |      UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
        |ORDER BY iter""".stripMargin
+  }
+
+  /** x129's oracle: the full two-layer replay — the layer-0
+    * construction chain (shared text with x120/x121), the coarse-layer
+    * sample with dense ROW_NUMBER ids + its own prefixed construction
+    * chain, the coarse walk (no self-guard: src/dst domains differ),
+    * the top-B→orig_id entry mapping, then the standard layer-0 walk
+    * and grade. Every piece is the same parametrized CTE builder the
+    * single-layer oracles use — one algebra, two layers. */
+  private def dX129Sql: String = {
+    val b = 5; val e = 8; val h = 2
+    s"""$dNndBase,
+       |l1 AS MATERIALIZED (SELECT
+       |       ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS vec_id,
+       |       vec_id AS orig_id, embedding, sq
+       |     FROM sq WHERE ${dH("concat(vec_id, ':lvl')")} % 16 = 0),
+       |${dNndChain("l1", "gn0", "g")},
+       |${dUdCap(s"ge$NndT", "gud", "gudc")},
+       |gentq AS (SELECT vec_id, ${dH("concat(vec_id, ':entry:', j)")} % nc AS dst
+       |         FROM sq, gn0, UNNEST(range(1, $e + 1)) AS u(j)
+       |         WHERE vec_id < 8),
+       |gentp AS (SELECT DISTINCT vec_id AS src, dst FROM gentq),
+       |gv0 AS MATERIALIZED (SELECT src, dst, $dCos AS cos
+       |       FROM gentp JOIN sq a ON gentp.src = a.vec_id
+       |                  JOIN l1 b ON gentp.dst = b.vec_id),
+       |gf0 AS (SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rk FROM gv0) WHERE rk <= $b)
+       |${dBeamHops(h, b, "sq", "vec_id", pfx = "g", dstTbl = "l1",
+          excludeSelf = false)},
+       |ent0 AS (SELECT DISTINCT f.src, l.orig_id AS dst
+       |       FROM (SELECT src, dst FROM (
+       |           SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |             ORDER BY cos DESC, dst) AS rk FROM gv$h)
+       |         WHERE rk <= $b) f
+       |       JOIN l1 l ON f.dst = l.vec_id
+       |       WHERE f.src <> l.orig_id),
+       |${dUdCap(s"e$NndT", "ud", "udc")},
+       |v0 AS MATERIALIZED (SELECT ent0.src, ent0.dst, $dCos AS cos
+       |       FROM ent0 JOIN sq a ON ent0.src = a.vec_id
+       |                 JOIN sq b ON ent0.dst = b.vec_id),
+       |f0 AS (SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rk FROM v0) WHERE rk <= $b)
+       |${dBeamHops(h, b, "sq", "vec_id")}
+       |, ${dGraphGrade(s"v$h")}""".stripMargin
   }
 }

@@ -141,6 +141,50 @@ class Round18Spec extends SparkSpec {
     assert(centers.distinct.length == centers.length, "centers repeat")
   }
 
+  // ── x129 hierarchical beam search ──
+
+  private def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+    rows.count(_.getBoolean(4)).toDouble / rows.length
+
+  test("x129: answer shape matches x121's (directly comparable grading)") {
+    val rows = SparkEntry.queries("x129_hier_beam_search")(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).distinct.sorted.sameElements(0L until 8L),
+      "one ranked list per probe")
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to 5L), "ranks 1..K")
+      assert(g.map(_.getLong(2)).distinct.length == 5, "distinct neighbors")
+    }
+  }
+
+  test("x129: coarse-guided entries beat random entries before any layer-0 hop") {
+    // the hierarchical claim isolated: with ZERO layer-0 hops, the
+    // layer-0 candidates are exactly the entry points — coarse-walk
+    // guidance must beat x121's hash-random seeds on a clustered corpus
+    val guided = recallOf(graft.llm.Similarity
+      .hierBeamSearch(spark, sf001, hops1 = 2, hops0 = 0).collect())
+    val random = recallOf(graft.llm.Similarity
+      .graphBeamSearch(spark, sf001, hops = 0).collect())
+    assert(guided > random,
+      s"coarse guidance must beat random entries: guided $guided vs random $random")
+  }
+
+  test("x129: layer-0 hops only add visited candidates — recall monotone in hops0") {
+    val r0 = recallOf(graft.llm.Similarity
+      .hierBeamSearch(spark, sf001, hops1 = 2, hops0 = 0).collect())
+    val r2 = recallOf(graft.llm.Similarity
+      .hierBeamSearch(spark, sf001, hops1 = 2, hops0 = 2).collect())
+    assert(r2 >= r0, s"recall fell with layer-0 hops: $r0 -> $r2")
+  }
+
+  test("x129: at the full hop budget, hierarchical recall is at least x121's") {
+    val hier = recallOf(SparkEntry
+      .queries("x129_hier_beam_search")(spark, sf001).collect())
+    val flat = recallOf(SparkEntry
+      .queries("x121_graph_beam_search")(spark, sf001).collect())
+    assert(hier >= flat,
+      s"hierarchical entries must not lose to random ones: $hier vs $flat")
+  }
+
   // ── x122 converge-or-certify ──
 
   test("x122: the adaptive loop reaches the fixpoint — certificate is 0 and labels are exact components") {
