@@ -1766,21 +1766,26 @@ object Similarity {
     }
     var center = 0L // deterministic seed: the min id
     var mind: DataFrame = null
-    val out = (0 until k).map { i =>
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var i = 0
+    var live = true
+    while (live && i < k) {
       val di = distTo(center)
       mind =
         (if (mind == null) di
          else mind.join(di.withColumnRenamed("d", "d2"), "vec_id")
            .selectExpr("vec_id", "least(d, d2) as d"))
           .localCheckpoint()
-      val far = mind.orderBy(col("d").desc, col("vec_id")).limit(1)
-        .collect().head
-      val row = (i.toLong, center, far.getDouble(1))
-      center = far.getLong(0) // next center = the point defining the radius
-      row
+      val far = mind.orderBy(col("d").desc, col("vec_id")).limit(1).collect()
+      if (far.isEmpty) live = false // empty corpus: nothing to cover
+      else {
+        out += ((i.toLong, center, far.head.getDouble(1)))
+        center = far.head.getLong(0) // next center: the radius-defining point
+        i += 1
+      }
     }
     import s.implicits._
-    out.toDF("iter", "center_id", "coverage_radius")
+    out.toSeq.toDF("iter", "center_id", "coverage_radius")
       .selectExpr("iter", "center_id",
         sRound6("coverage_radius") + " as coverage_radius")
       .orderBy("iter")

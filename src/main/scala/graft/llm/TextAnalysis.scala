@@ -78,6 +78,64 @@ object TextAnalysis {
           "split_part(g, ' ', 2) as cur")
     }
 
+  /** The x65 Jelinek-Mercer oracle chain factored to a `jm` CTE
+    * (doc_id, n_bigrams, mean_nll_jm) — shared verbatim by the x65 and
+    * x130 oracles, mirroring the Scala side's jmPerDoc. */
+  private def dJmChain: String =
+    s"""WITH tkn AS (SELECT doc_id, list_filter($dTokens, x -> x <> '') AS tk FROM documents),
+       |g AS (SELECT doc_id,
+       |        CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+       |          i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS gs
+       |      FROM tkn),
+       |bg AS (SELECT doc_id, split_part(g2, ' ', 1) AS prev, split_part(g2, ' ', 2) AS cur
+       |       FROM (SELECT doc_id, unnest(gs) AS g2 FROM g)),
+       |cbg AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg GROUP BY prev, cur),
+       |cu AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cu FROM bg GROUP BY prev),
+       |toks AS (SELECT unnest(tk) AS tok FROM tkn),
+       |ctok AS (SELECT tok AS cur, CAST(COUNT(*) AS BIGINT) AS ctk FROM toks GROUP BY tok),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM toks),
+       |sc AS (SELECT doc_id,
+       |         -ln(0.5 * (CAST(cbg AS DOUBLE) / CAST(cu AS DOUBLE))
+       |           + 0.5 * (CAST(ctk AS DOUBLE) / CAST(n_corpus AS DOUBLE))) AS nll
+       |       FROM bg JOIN cbg USING (prev, cur) JOIN cu USING (prev)
+       |            JOIN ctok USING (cur), tot),
+       |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |         CAST(SUM(CAST(nll AS DECIMAL(24,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m0
+       |       FROM sc GROUP BY doc_id),
+       |jm AS (SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+       |         ${dRound6("COALESCE(m0, 0.0)")} AS mean_nll_jm
+       |       FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id)""".stripMargin
+
+  /** Per-doc Jelinek-Mercer bigram LM score (doc_id, n_bigrams,
+    * mean_nll_jm — 6-dp rounded): x65's body, factored so the x130
+    * perplexity-bucket cut ranks the identical scores (one algebra,
+    * two consumers). */
+  private def jmPerDoc(s: SparkSession, dir: String): DataFrame = {
+    val bg = bigramStream(s, dir)
+    val cbg = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cbg"))
+    val cu = bg.groupBy("prev").agg(count(lit(1)).as("cu"))
+    val ctok = docTf(s, dir).groupBy("token").agg(sum(col("tf")).as("ctk"))
+      .withColumnRenamed("token", "cur")
+    val nTot = docTf(s, dir).agg(sum(col("tf")).as("n_corpus"))
+    val scored = bg
+      .join(cbg, Seq("prev", "cur"))
+      .join(cu, Seq("prev"))
+      .join(ctok, Seq("cur"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("nll", expr(
+        """-ln(0.5d * (cast(cbg as double) / cast(cu as double))
+          |  + 0.5d * (cast(ctk as double) / cast(n_corpus as double)))""".stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("nll").cast(org.apache.spark.sql.types.DecimalType(24, 12)))
+          .cast("double") / count(lit(1)).cast("double")).as("m0"))
+    docs(s, dir).select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(n_bigrams, cast(0 as bigint)) as n_bigrams",
+        sRound6("coalesce(m0, 0.0d)") + " as mean_nll_jm")
+  }
+
   /** Hashed 64-dim signed bag-of-words features — (doc_id, dim, x)
     * with x a nonzero signed integer count (x91's hashing trick:
     * dim = h(token) & 63, sign from an independent salted hash).
@@ -933,30 +991,7 @@ object TextAnalysis {
     // arithmetic before one ln ⇒ engine-identical terms, decimal-summed
     // means ⇒ order-free.
     "x65_interpolated_lm" -> { (s, dir) =>
-      val bg = bigramStream(s, dir)
-      val cbg = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cbg"))
-      val cu = bg.groupBy("prev").agg(count(lit(1)).as("cu"))
-      val ctok = docTf(s, dir).groupBy("token").agg(sum(col("tf")).as("ctk"))
-        .withColumnRenamed("token", "cur")
-      val nTot = docTf(s, dir).agg(sum(col("tf")).as("n_corpus"))
-      val scored = bg
-        .join(cbg, Seq("prev", "cur"))
-        .join(cu, Seq("prev"))
-        .join(ctok, Seq("cur"))
-        .crossJoin(broadcast(nTot))
-        .withColumn("nll", expr(
-          """-ln(0.5d * (cast(cbg as double) / cast(cu as double))
-            |  + 0.5d * (cast(ctk as double) / cast(n_corpus as double)))""".stripMargin))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          (sum(col("nll").cast(org.apache.spark.sql.types.DecimalType(24, 12)))
-            .cast("double") / count(lit(1)).cast("double")).as("m0"))
-      docs(s, dir).select("doc_id")
-        .join(scored, Seq("doc_id"), "left")
-        .selectExpr("doc_id",
-          "coalesce(n_bigrams, cast(0 as bigint)) as n_bigrams",
-          sRound6("coalesce(m0, 0.0d)") + " as mean_nll_jm")
-        .orderBy("doc_id")
+      jmPerDoc(s, dir).orderBy("doc_id")
     },
 
     // DSIR IMPORTANCE WEIGHTS (Xie et al., NeurIPS 2023: Data Selection
@@ -1795,6 +1830,44 @@ object TextAnalysis {
         .select(col("q"), col("n_chars").cast("long").as("exact_disc"))
       exact.join(calib, "q").orderBy("q")
     },
+
+    // PERPLEXITY BUCKETS — the CCNet cut (Wenzek et al., LREC 2020):
+    // per language, rank documents by LM score and split into
+    // head / middle / tail thirds — the standard recipe for choosing
+    // which web text to keep (head), re-examine (middle), or drop
+    // (tail). Scores are x65's Jelinek-Mercer per-doc mean NLL (the
+    // factored jmPerDoc — one algebra, two consumers). Scale shape:
+    // NO per-language window — a corpus that is 90% one language would
+    // funnel through a single WindowExec task — instead ExactRank's
+    // range-partitioned global rank under the composite
+    // (lang, nll, doc_id) order, per-language offsets/counts from one
+    // language-keyed aggregation (|languages| rows, broadcast back),
+    // and the NTILE assignment computed ARITHMETICALLY from
+    // (within-lang rank, lang count) — integer-exact on both engines.
+    "x130_ppl_buckets" -> { (s, dir) =>
+      val jl = docs(s, dir).select("doc_id", "lang")
+        .join(jmPerDoc(s, dir), Seq("doc_id"))
+      val ranked = graft.queries.ExactRank.withGlobalRank(jl,
+        Seq(col("lang"), col("mean_nll_jm"), col("doc_id")))
+      val off = ranked.groupBy("lang")
+        .agg((min(col("rank")) - lit(1L)).as("off"),
+          count(lit(1)).as("n"))
+      ranked.join(broadcast(off), "lang")
+        .withColumn("lrank", col("rank") - col("off"))
+        .withColumn("bucket", expr(
+          """case when lrank <= (n % 3) * (n div 3 + 1)
+            |  then (lrank - 1) div (n div 3 + 1) + 1
+            |  else (n % 3) + (lrank - (n % 3) * (n div 3 + 1) - 1)
+            |         div (n div 3) + 1 end""".stripMargin))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams_total"),
+          min(col("mean_nll_jm")).as("min_nll"),
+          max(col("mean_nll_jm")).as("max_nll"))
+        .selectExpr("lang", "cast(bucket as bigint) as bucket", "n_docs",
+          "n_bigrams_total", "min_nll", "max_nll")
+        .orderBy("lang", "bucket")
+    },
   )
 
   /** Row-stochastic co-occurrence edges for x105: undirected adjacent-
@@ -2464,30 +2537,30 @@ object TextAnalysis {
          |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "x65_interpolated_lm" ->
-      s"""WITH tkn AS (SELECT doc_id, list_filter($dTokens, x -> x <> '') AS tk FROM documents),
-         |g AS (SELECT doc_id,
-         |        CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
-         |          i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS gs
-         |      FROM tkn),
-         |bg AS (SELECT doc_id, split_part(g2, ' ', 1) AS prev, split_part(g2, ' ', 2) AS cur
-         |       FROM (SELECT doc_id, unnest(gs) AS g2 FROM g)),
-         |cbg AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg GROUP BY prev, cur),
-         |cu AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cu FROM bg GROUP BY prev),
-         |toks AS (SELECT unnest(tk) AS tok FROM tkn),
-         |ctok AS (SELECT tok AS cur, CAST(COUNT(*) AS BIGINT) AS ctk FROM toks GROUP BY tok),
-         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM toks),
-         |sc AS (SELECT doc_id,
-         |         -ln(0.5 * (CAST(cbg AS DOUBLE) / CAST(cu AS DOUBLE))
-         |           + 0.5 * (CAST(ctk AS DOUBLE) / CAST(n_corpus AS DOUBLE))) AS nll
-         |       FROM bg JOIN cbg USING (prev, cur) JOIN cu USING (prev)
-         |            JOIN ctok USING (cur), tot),
-         |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         |         CAST(SUM(CAST(nll AS DECIMAL(24,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m0
-         |       FROM sc GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
-         |  ${dRound6("COALESCE(m0, 0.0)")} AS mean_nll_jm
-         |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""$dJmChain
+         |SELECT doc_id, n_bigrams, mean_nll_jm FROM jm
+         |ORDER BY doc_id""".stripMargin,
+    "x130_ppl_buckets" ->
+      s"""$dJmChain,
+         |jl AS (SELECT j.doc_id, d.lang, j.n_bigrams, j.mean_nll_jm
+         |       FROM jm j JOIN documents d ON j.doc_id = d.doc_id),
+         |rk AS (SELECT lang, n_bigrams, mean_nll_jm,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |           ORDER BY mean_nll_jm, doc_id) AS BIGINT) AS lrank,
+         |         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |       FROM jl),
+         |bk AS (SELECT lang, n_bigrams, mean_nll_jm,
+         |         CASE WHEN lrank <= (n % 3) * (n // 3 + 1)
+         |           THEN (lrank - 1) // (n // 3 + 1) + 1
+         |           ELSE (n % 3) + (lrank - (n % 3) * (n // 3 + 1) - 1)
+         |                  // (n // 3) + 1 END AS bucket
+         |       FROM rk)
+         |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams_total,
+         |  MIN(mean_nll_jm) AS min_nll, MAX(mean_nll_jm) AS max_nll
+         |FROM bk GROUP BY lang, bucket
+         |ORDER BY lang, bucket""".stripMargin,
     "x44_dsir_weights" ->
       s"""WITH toks AS (SELECT doc_id, lang, ${dH("token")} % 64 AS b
          |              FROM (SELECT doc_id, lang, unnest(list_filter($dTokens, x -> x <> '')) AS token

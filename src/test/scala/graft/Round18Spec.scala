@@ -185,6 +185,47 @@ class Round18Spec extends SparkSpec {
       s"hierarchical entries must not lose to random ones: $hier vs $flat")
   }
 
+  // ── x130 perplexity buckets ──
+
+  test("x130: arithmetic NTILE equals the window form, buckets are ordered CCNet thirds") {
+    val rows = SparkEntry.queries("x130_ppl_buckets")(spark, sf001).collect()
+    // ground truth: per-doc JM scores via the registered x65 query,
+    // bucketed in memory with textbook NTILE semantics
+    val jm = SparkEntry.queries("x65_interpolated_lm")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lang = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = jm.groupBy(t => lang(t._1)).toSeq.flatMap { case (lg, ds) =>
+      val sorted = ds.sortBy(t => (t._3, t._1))
+      val n = sorted.length; val q = n / 3; val r = n % 3
+      sorted.zipWithIndex.map { case (d, i) =>
+        val rank = i + 1
+        val b = if (rank <= r.toLong * (q + 1)) (rank - 1) / (q + 1) + 1
+                else r + (rank - r * (q + 1) - 1) / math.max(q, 1) + 1
+        (lg, b.toLong) -> d
+      }.toSeq
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val ds = expect(key)
+      assert(r.getLong(2) == ds.length, s"n_docs mismatch at $key")
+      assert(r.getLong(3) == ds.map(_._2).sum, s"bigram mass mismatch at $key")
+      assert(r.getDouble(4) == ds.map(_._3).min, s"min_nll mismatch at $key")
+      assert(r.getDouble(5) == ds.map(_._3).max, s"max_nll mismatch at $key")
+    }
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet == expect.keySet)
+    // the CCNet property: within a language, bucket boundaries are
+    // ordered — head's worst score never exceeds tail's best
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val byB = g.sortBy(_.getLong(1))
+      byB.zip(byB.tail).foreach { case (a, b) =>
+        assert(a.getDouble(5) <= b.getDouble(4),
+          s"bucket overlap in ${a.getString(0)}: ${a.getDouble(5)} > ${b.getDouble(4)}")
+      }
+    }
+  }
+
   // ── x122 converge-or-certify ──
 
   test("x122: the adaptive loop reaches the fixpoint — certificate is 0 and labels are exact components") {
