@@ -108,9 +108,14 @@ object TextAnalysis {
 
   /** Per-doc Jelinek-Mercer bigram LM score (doc_id, n_bigrams,
     * mean_nll_jm — 6-dp rounded): x65's body, factored so the x130
-    * perplexity-bucket cut ranks the identical scores (one algebra,
-    * two consumers). */
-  private def jmPerDoc(s: SparkSession, dir: String): DataFrame = {
+    * perplexity-bucket cut ranks the identical scores. SHARED tier:
+    * the trained-LM score table is a warehouse-resident artifact (like
+    * the probe tier x94 trains once for x95/x117/x125) — x65 and x130
+    * read one copy instead of re-running the three LM aggregations. */
+  private def jmPerDoc(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Shared.shared(s, dir, "jm_nll")(jmPerDocBuild(s, dir))
+
+  private def jmPerDocBuild(s: SparkSession, dir: String): DataFrame = {
     val bg = bigramStream(s, dir)
     val cbg = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cbg"))
     val cu = bg.groupBy("prev").agg(count(lit(1)).as("cu"))

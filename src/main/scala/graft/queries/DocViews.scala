@@ -106,8 +106,11 @@ object DocViews {
   /** Landing for the r79 snapshot diff: disjoint residue classes
     * (doc_id % 12) exercise every CDC transition — m=1 late arrival
     * (absent from batch 1), m=2 live v2 update, m=3 v2 tombstone,
-    * m=4 tombstoned v1 then restored live at v2; everything else is
-    * an unchanged v1 replay. */
+    * m=4 tombstoned v1 then restored live at v2, m=5 a
+    * contract-VIOLATING producer that re-lands the SAME version with
+    * the deleted flag flipped (the store forbids in-place updates;
+    * `changes` surfaces it as 'anomaly' rather than silently classing
+    * it unchanged); everything else is an unchanged v1 replay. */
   private def cdcLanding(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
     def rows(pred: String, batch: String, ver: Int, del: String) =
@@ -123,6 +126,7 @@ object DocViews {
       .unionByName(rows("doc_id % 12 = 2", ts2, 2, "false"))
       .unionByName(rows("doc_id % 12 = 3", ts2, 2, "true"))
       .unionByName(rows("doc_id % 12 = 4", ts2, 2, "false"))
+      .unionByName(rows("doc_id % 12 = 5", ts2, 1, "true"))
   }
 
   /** Self-referencing document type for the r77 lineage closure: SRC
@@ -692,10 +696,11 @@ object DocViews {
     "r79_snapshot_diff" ->
       """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID,
         |  CASE doc_id % 12 WHEN 1 THEN 'added' WHEN 2 THEN 'updated'
-        |       WHEN 3 THEN 'deleted' WHEN 4 THEN 'restored' END AS change,
+        |       WHEN 3 THEN 'deleted' WHEN 4 THEN 'restored'
+        |       WHEN 5 THEN 'anomaly' END AS change,
         |  CASE WHEN doc_id % 12 = 1 THEN NULL ELSE CAST(1 AS BIGINT) END AS old_version,
-        |  CASE WHEN doc_id % 12 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS new_version
-        |FROM documents WHERE doc_id % 12 IN (1, 2, 3, 4)
+        |  CASE WHEN doc_id % 12 IN (1, 5) THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS new_version
+        |FROM documents WHERE doc_id % 12 IN (1, 2, 3, 4, 5)
         |ORDER BY DOCUMENT_ID""".stripMargin,
     "r80_time_travel" ->
       """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID,

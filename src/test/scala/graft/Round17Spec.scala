@@ -172,8 +172,12 @@ class Round17Spec extends SparkSpec {
   test("beamWalk: the per-probe candidate bound is an enforced invariant, not an average") {
     // the 100 TB claim, asserted: visited(probe) ≤ E entries + per hop
     // at most B frontier nodes × the ρ-capped undirected degree (2K).
-    // Without the hash-order cap on reverse edges a hub node's fan-out
-    // would be its in-degree — corpus-dependent (x123's right tail).
+    // STRUCTURAL since round 11: beamWalk folds the scored entry visits
+    // to the top-B hop-1 frontier, so hop 1 obeys the same B·2K bound
+    // as every later hop (previously all E entries expanded and the
+    // bound held only through incidental candidate overlap — a latent
+    // flake). Without the hash-order cap on reverse edges a hub node's
+    // fan-out would be its in-degree — corpus-dependent (x123's tail).
     val E = 8; val B = 5; val cap = 10; val hops = 2
     val probes = spark.read.parquet(s"$sf001/embeddings.parquet")
       .filter("vec_id < 8")
