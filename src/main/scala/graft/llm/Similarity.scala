@@ -1711,20 +1711,31 @@ object Similarity {
     trace.toSeq
   }
 
-  /** x124's body with the hop count explicit so the spec can grade the
-    * insertion walk (found-original count must be monotone in hops). */
-  private[graft] def graphInsert(
-      s: SparkSession, dir: String, hops: Int): DataFrame = {
+  /** The insertion primitive shared by x124 and the streaming
+    * maintenance gate: beam-search the FROZEN standing index with the
+    * new vectors as probes, each new vector's edge list = top-K of its
+    * walk. `probes` = (src, ea, sa); per-call cost
+    * |probes|·hops·B·2K scorings — corpus-independent. */
+  private[graft] def insertEdges(s: SparkSession, dir: String,
+      probes: DataFrame, hops: Int): DataFrame = {
     val K = 5
-    val probes = withSq(s, dir).filter("vec_id % 97 = 0")
-      .selectExpr("vec_id + 1000000000 as src", "embedding as ea",
-        "sq as sa").localCheckpoint()
     val visited = beamWalk(s, dir, probes, hops)
     graft.plans.TopKPerKey.topKDesc(visited, Seq("src"), "cos",
         Seq("dst"), K)
       .selectExpr("src as new_id", "cast(rk as bigint) as rk",
-        "dst as neighbor_id", "cos as cos_sim",
-        "dst = src - 1000000000 as found_original")
+        "dst as neighbor_id", "cos as cos_sim")
+  }
+
+  /** x124's body with the hop count explicit so the spec can grade the
+    * insertion walk (found-original count must be monotone in hops). */
+  private[graft] def graphInsert(
+      s: SparkSession, dir: String, hops: Int): DataFrame = {
+    val probes = withSq(s, dir).filter("vec_id % 97 = 0")
+      .selectExpr("vec_id + 1000000000 as src", "embedding as ea",
+        "sq as sa").localCheckpoint()
+    insertEdges(s, dir, probes, hops)
+      .selectExpr("new_id", "rk", "neighbor_id", "cos_sim",
+        "neighbor_id = new_id - 1000000000 as found_original")
       .orderBy("new_id", "rk")
   }
 

@@ -53,6 +53,44 @@ object Streaming {
       .start()
   }
 
+  /** Streaming graph-index maintenance — x124's insertion primitive in
+    * the sync loop: each micro-batch of newly-embedded vectors is
+    * beam-search-inserted against the FROZEN standing kNN index
+    * (`llm.Similarity.insertEdges` — the shared tiers are built once
+    * and resolved per batch like every other stream-static side), and
+    * the resulting edge lists append to an output store a periodic
+    * compaction folds into the index. The walk is ITERATIVE
+    * (hops × join/score/fold with lineage truncation), which no pure
+    * streaming transform can express — `foreachBatch` is exactly the
+    * tool: the batch operator runs verbatim per micro-batch, so stream
+    * and batch CANNOT drift (spec-proved: streamed micro-batches ≡ the
+    * x124 batch output, because each probe's walk is independent of
+    * its batch-mates). Per-batch cost |batch|·hops·B·2K scorings —
+    * corpus-independent, the same never-rebuild bound as batch x124. */
+  def graphInsertStream(
+      spark: SparkSession,
+      vecs: DataFrame, // streaming: (vec_id: bigint, embedding: array<float>)
+      standingDir: String, // frozen standing-index corpus dir
+      outPath: String, // edge-list sink (parquet, append)
+      checkpointDir: String,
+      hops: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.llm.Frag.sSumSq
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val probes = batch.selectExpr("vec_id as src", "embedding as ea",
+            s"${sSumSq("embedding")} as sa").localCheckpoint()
+          graft.llm.Similarity
+            .insertEdges(batch.sparkSession, standingDir, probes, hops)
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window counts over an event stream — late
     * events beyond the watermark are dropped, state is bounded (the
     * scale requirement for infinite streams). Works identically on a

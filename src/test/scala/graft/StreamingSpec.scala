@@ -616,4 +616,44 @@ class StreamingSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"gate must stay map-side:\n$plan")
   }
+
+  test("graphInsertStream: streamed micro-batches reproduce the x124 batch edge lists exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ground truth: the x124 batch operator (drop its found_original
+    // health column — the gate appends raw edge lists)
+    val batchOut = SparkEntry.queries("x124_graph_insert")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the same new vectors, split across TWO micro-batches: each
+    // probe's walk is independent of its batch-mates, so the split
+    // must be invisible in the output
+    val newVecs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter("vec_id % 97 = 0")
+      .selectExpr("vec_id + 1000000000 as vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(newVecs.length >= 2, "need at least two probes to split")
+    val (first, second) = newVecs.splitAt(1)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val outDir = Files.createTempDirectory("graft-ginsert-out").toString
+    val ckpt = Files.createTempDirectory("graft-ginsert-ckpt").toString
+    val q = Streaming.graphInsertStream(spark,
+      mem.toDS().toDF("vec_id", "embedding"),
+      sf001, outDir, ckpt, hops = 2,
+      trigger = Trigger.ProcessingTime(0))
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+    assert(streamed.length == batchOut.length,
+      s"row count drifted: stream ${streamed.length} vs batch ${batchOut.length}")
+    assert(streamed.toSet == batchOut.toSet,
+      "streamed edge lists must equal the batch operator's bit-for-bit")
+  }
 }
