@@ -1416,6 +1416,19 @@ object Similarity {
     // probe + one heap) total, never a pairwise matrix.
     "x128_kcenter_coreset" -> { (s, dir) => kcenterCoreset(s, dir, k = 4) },
 
+    // GRAPH-INDEX LIFECYCLE — the r74 composition for the ANN tier:
+    // ONE sync cycle applied to the standing kNN graph as one dag —
+    // the cycle's tombstones (x127's % 89 victims) kill and repair,
+    // the cycle's new vectors (x124's % 97 re-crawl batch) walk in,
+    // and the compacted graph G' = kept ∪ repaired ∪ inserted is
+    // audited per segment (nodes, edges, exact-decimal mean/min/max
+    // cosine) — the 3-row report an operator reads after each cycle to
+    // see the index's wiring quality drift. All cycle-sized work rides
+    // the already-shared tiers (standing graph, capped adjacency);
+    // the audit adds three bounded aggregations. The full G' is
+    // corpus-sized and stays distributed — only the audit rows leave.
+    "x131_graph_lifecycle" -> { (s, dir) => graphLifecycle(s, dir) },
+
     // HIERARCHICAL BEAM SEARCH — the HNSW layer idea completing the
     // graph family: x121's one weakness is its RANDOM entry points (a
     // walk spends its first hops just escaping them — x126 measures
@@ -1784,6 +1797,47 @@ object Similarity {
       .selectExpr("src as node", "cast(rk as bigint) as rk",
         "dst as neighbor_id", "cos as cos_sim", "is_bridge")
       .orderBy("node", "rk")
+  }
+
+  /** x131's body: the lifecycle segments and their audit. `kept` =
+    * surviving edges of undamaged survivors (untouched by the cycle);
+    * `repaired` = x127's merged top-K lists for damaged survivors;
+    * `inserted` = x124's walked edge lists for the new batch, less any
+    * edge landing on a victim (insert and delete run in the same
+    * cycle). Mean cosine is decimal-accumulated over the 6-dp-rounded
+    * edge scores, so the audit is bit-exact cross-engine. */
+  private[graft] def graphLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val edges = nndescentEdges(s, dir, iters = 2)
+    val vict = broadcast(
+      withSq(s, dir).filter("vec_id % 89 = 0").select(col("vec_id").as("v"))
+        .localCheckpoint())
+    val surv = edges
+      .join(vict, col("src") === col("v"), "left_anti")
+      .join(vict, col("dst") === col("v"), "left_anti")
+    val damaged = edges
+      .join(vict, col("src") === col("v"), "left_anti")
+      .join(vict, col("dst") === col("v"), "left_semi")
+      .select("src").distinct()
+    val kept = surv.join(damaged, Seq("src"), "left_anti")
+      .selectExpr("'kept' as segment", "src as node", "cos")
+    val repaired = graphDelete(s, dir)
+      .selectExpr("'repaired' as segment", "node", "cos_sim as cos")
+    val probes = withSq(s, dir).filter("vec_id % 97 = 0")
+      .selectExpr("vec_id + 1000000000 as src", "embedding as ea",
+        "sq as sa").localCheckpoint()
+    val inserted = insertEdges(s, dir, probes, hops = 2)
+      .join(vict, col("neighbor_id") === col("v"), "left_anti")
+      .selectExpr("'inserted' as segment", "new_id as node", "cos_sim as cos")
+    kept.unionByName(repaired).unionByName(inserted)
+      .groupBy("segment")
+      .agg(countDistinct(col("node")).as("n_nodes"),
+        count(lit(1)).as("n_edges"),
+        (sum(col("cos").cast(org.apache.spark.sql.types.DecimalType(24, 12)))
+          .cast("double") / count(lit(1)).cast("double")).as("m0"),
+        min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"))
+      .selectExpr("segment", "n_nodes", "n_edges",
+        sRound6("m0") + " as mean_cos", "min_cos", "max_cos")
+      .orderBy("segment")
   }
 
   /** x128's body: Gonzalez greedy k-center over exact cosine distance
@@ -2628,6 +2682,7 @@ object Similarity {
     "x127_graph_delete" -> dX127Sql,
     "x128_kcenter_coreset" -> dX128Sql,
     "x129_hier_beam_search" -> dX129Sql,
+    "x131_graph_lifecycle" -> dX131Sql,
   )
 
   /** x120's oracle: the full NN-Descent replay — hash-seeded init,
@@ -2902,10 +2957,10 @@ object Similarity {
     * edges, damaged links, bridge candidates through the victims'
     * out-neighborhoods, exact scoring, top-K merge — identical algebra
     * to graphDelete. */
-  private def dX127Sql: String = {
-    val k = NndK
-    s"""$dNndBase,
-       |vict AS (SELECT vec_id AS v FROM sq WHERE vec_id % 89 = 0),
+  /** The x127 tombstone-repair CTE block (vict → merged) — shared
+    * verbatim by the x127 and x131 oracles. */
+  private def dDeleteChain: String =
+    s"""vict AS (SELECT vec_id AS v FROM sq WHERE vec_id % 89 = 0),
        |surv AS MATERIALIZED (SELECT src, dst, cos FROM e$NndT e
        |        WHERE NOT EXISTS (SELECT 1 FROM vict WHERE v = e.src)
        |          AND NOT EXISTS (SELECT 1 FROM vict WHERE v = e.dst)),
@@ -2927,7 +2982,12 @@ object Similarity {
        |  SELECT s2.src, s2.dst, s2.cos, FALSE AS is_bridge FROM surv s2
        |    WHERE EXISTS (SELECT 1 FROM lost l WHERE l.src = s2.src)
        |  UNION ALL
-       |  SELECT src, dst, cos, TRUE AS is_bridge FROM scored)
+       |  SELECT src, dst, cos, TRUE AS is_bridge FROM scored)""".stripMargin
+
+  private def dX127Sql: String = {
+    val k = NndK
+    s"""$dNndBase,
+       |$dDeleteChain
        |SELECT src AS node, CAST(rk AS BIGINT) AS rk, dst AS neighbor_id,
        |  cos AS cos_sim, is_bridge
        |FROM (SELECT src, dst, cos, is_bridge,
@@ -2936,6 +2996,51 @@ object Similarity {
        |      FROM merged)
        |WHERE rk <= $k
        |ORDER BY node, rk""".stripMargin
+  }
+
+  /** x131's oracle: the delete chain, the x124 insertion walk, and the
+    * kept segment composed into the 3-row per-segment audit — the same
+    * decimal-accumulated mean over 6-dp-rounded scores as the Scala
+    * side. */
+  private def dX131Sql: String = {
+    val b = 5; val e = 8; val h = 2; val k = NndK
+    val hopCte = dBeamHops(h, b, "bat", "src")
+    s"""$dNndBase,
+       |$dDeleteChain,
+       |rep AS (SELECT src AS node, cos FROM (
+       |    SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rk FROM merged) WHERE rk <= $k),
+       |dmg AS (SELECT DISTINCT src FROM lost),
+       |kept AS (SELECT 'kept' AS segment, s2.src AS node, s2.cos FROM surv s2
+       |        WHERE NOT EXISTS (SELECT 1 FROM dmg WHERE dmg.src = s2.src)),
+       |${dUdCap(s"e$NndT", "ud", "udc")},
+       |bat AS MATERIALIZED (SELECT vec_id + 1000000000 AS src, embedding, sq
+       |       FROM sq WHERE vec_id % 97 = 0),
+       |entq AS (SELECT src, nc, ${dH("concat(src, ':entry:', j)")} % nc AS d0
+       |         FROM bat, n0, UNNEST(range(1, $e + 1)) AS u(j)),
+       |entp AS (SELECT DISTINCT src,
+       |           CASE WHEN d0 = src THEN (d0 + 1) % nc ELSE d0 END AS dst
+       |         FROM entq),
+       |v0 AS MATERIALIZED (SELECT entp.src, entp.dst, $dCos AS cos
+       |       FROM entp JOIN bat a ON entp.src = a.src
+       |                 JOIN sq b ON entp.dst = b.vec_id),
+       |f0 AS (SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rk FROM v0) WHERE rk <= $b)
+       |$hopCte
+       |, ins AS (SELECT 'inserted' AS segment, src AS node, cos
+       |    FROM (SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src
+       |            ORDER BY cos DESC, dst) AS rk FROM v$h) t
+       |    WHERE rk <= $k
+       |      AND NOT EXISTS (SELECT 1 FROM vict WHERE v = t.dst)),
+       |allseg AS (SELECT * FROM kept
+       |    UNION ALL SELECT 'repaired' AS segment, node, cos FROM rep
+       |    UNION ALL SELECT * FROM ins)
+       |SELECT segment, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+       |  CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |  ${dRound6("CAST(SUM(CAST(cos AS DECIMAL(24,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS mean_cos,
+       |  MIN(cos) AS min_cos, MAX(cos) AS max_cos
+       |FROM allseg GROUP BY segment ORDER BY segment""".stripMargin
   }
 
   /** x128's oracle: Gonzalez unrolled — m_i = running min distance to

@@ -185,6 +185,35 @@ class Round18Spec extends SparkSpec {
       s"hierarchical entries must not lose to random ones: $hier vs $flat")
   }
 
+  // ── x131 graph-index lifecycle ──
+
+  test("x131: the per-segment audit reconciles exactly with the composed operators") {
+    val rows = SparkEntry.queries("x131_graph_lifecycle")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set("kept", "repaired", "inserted"))
+    def agg(xs: Array[(Long, Double)]): (Long, Long, Double) = {
+      val mean = xs.map(x => BigDecimal(x._2)).sum / xs.length
+      (xs.map(_._1).distinct.length.toLong, xs.length.toLong,
+        mean.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // kept: surviving edges of undamaged survivors, from the collected graph
+    val surv = edges.filter(e => !isVictim(e._1) && !isVictim(e._2))
+    val damaged = edges.filter(e => !isVictim(e._1) && isVictim(e._2))
+      .map(_._1).toSet
+    val kept = surv.filterNot(e => damaged(e._1)).map(e => (e._1, e._3))
+    assert(rows("kept") == agg(kept), "kept segment drifted")
+    // repaired: exactly x127's rows
+    val rep = SparkEntry.queries("x127_graph_delete")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows("repaired") == agg(rep), "repaired segment drifted")
+    // inserted: x124's rows, less victim targets
+    val ins = SparkEntry.queries("x124_graph_insert")(spark, sf001)
+      .collect().filterNot(r => isVictim(r.getLong(2)))
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows("inserted") == agg(ins), "inserted segment drifted")
+  }
+
   // ── x130 perplexity buckets ──
 
   test("x130: arithmetic NTILE equals the window form, buckets are ordered CCNet thirds") {
