@@ -1416,6 +1416,29 @@ object Similarity {
     // probe + one heap) total, never a pairwise matrix.
     "x128_kcenter_coreset" -> { (s, dir) => kcenterCoreset(s, dir, k = 4) },
 
+    // BEAM-WIDTH OPERATING CURVE — the SECOND walk knob's tuning
+    // report, pairing with x126 (depth) the way x106 (nprobe) pairs
+    // with x107 (code budget) for IVF-PQ: recall@K per beam width
+    // B ∈ {1, 5, 10} at the standard 2-hop depth. Width is the
+    // recall-vs-fan-out trade (per hop ≤ |probes|·B·2K scorings —
+    // LINEAR in B, so the curve prices each recall point in exact
+    // candidate budget); B=1 is greedy best-first descent, the
+    // degenerate walk every graph-ANN paper warns gets stuck. Three
+    // walks over the one resident index; ~10 rows out at any corpus
+    // size.
+    "x132_beam_width_curve" -> { (s, dir) =>
+      val probes = withSq(s, dir).filter(QuerySet)
+        .selectExpr("vec_id as src", "embedding as ea", "sq as sa")
+      Seq(1, 5, 10).map { b =>
+        gradeWalk(s, dir, beamWalk(s, dir, probes, hops = 2, b = b))
+          .agg(count(lit(1)).as("n_answers"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+          .selectExpr(s"cast($b as bigint) as beam", "n_answers", "n_hits",
+            sRound6("cast(n_hits as double) / cast(n_answers as double)") +
+              " as recall_at_k")
+      }.reduce(_ unionByName _).orderBy("beam")
+    },
+
     // GRAPH-INDEX LIFECYCLE — the r74 composition for the ANN tier:
     // ONE sync cycle applied to the standing kNN graph as one dag —
     // the cycle's tombstones (x127's % 89 victims) kill and repair,
@@ -2683,6 +2706,7 @@ object Similarity {
     "x128_kcenter_coreset" -> dX128Sql,
     "x129_hier_beam_search" -> dX129Sql,
     "x131_graph_lifecycle" -> dX131Sql,
+    "x132_beam_width_curve" -> dX132Sql,
   )
 
   /** x120's oracle: the full NN-Descent replay — hash-seeded init,
@@ -2778,7 +2802,9 @@ object Similarity {
     * x124: the batch CTE `bat`/`src`), top-B frontier fold. */
   private def dBeamHops(h: Int, b: Int,
       srcTbl: String, srcKey: String, pfx: String = "",
-      dstTbl: String = "sq", excludeSelf: Boolean = true): String =
+      dstTbl: String = "sq", excludeSelf: Boolean = true,
+      udcName: String = null): String = {
+    val udc = Option(udcName).getOrElse(s"${pfx}udc")
     (1 to h).map { i =>
       val pv = s"${pfx}v${i - 1}"; val pf = s"${pfx}f${i - 1}"
       // on the layer-0 walks src and dst share an id domain (never
@@ -2788,7 +2814,7 @@ object Similarity {
       val selfGuard = if (excludeSelf) s"\n        WHERE f.src <> g.dst" else ""
       s""",
          |${pfx}x$i AS (SELECT DISTINCT f.src, g.dst
-         |        FROM $pf f JOIN ${pfx}udc g ON f.dst = g.src$selfGuard),
+         |        FROM $pf f JOIN $udc g ON f.dst = g.src$selfGuard),
          |${pfx}n$i AS (SELECT src, dst FROM ${pfx}x$i
          |        WHERE NOT EXISTS (SELECT 1 FROM $pv v
          |          WHERE v.src = ${pfx}x$i.src AND v.dst = ${pfx}x$i.dst)),
@@ -2801,6 +2827,7 @@ object Similarity {
          |      ORDER BY cos DESC, dst) AS rk FROM ${pfx}s$i) WHERE rk <= $b)"""
         .stripMargin
     }.mkString
+  }
 
   /** Capped undirected adjacency CTE pair over an edge CTE — the SQL
     * twin of [[cappedUd]], shared by every walk oracle. */
@@ -2816,20 +2843,26 @@ object Similarity {
     * entry seeding (vec_id < 8), scored entry visits folded to the
     * top-`b` hop-1 frontier (the Scala side's structural-bound fold) —
     * one text, two oracles, zero drift. */
-  private def dWalkPrelude(e: Int, b: Int): String =
+  private def dWalkPrelude(e: Int, b: Int, pfx: String = ""): String =
     s"""${dUdCap(s"e$NndT", "ud", "udc")},
-       |entq AS (SELECT vec_id, nc, ${dH("concat(vec_id, ':entry:', j)")} % nc AS d0
+       |${dWalkEntries(e, b, pfx)}""".stripMargin
+
+  /** The entry-seeding + hop-0 fold piece of the prelude, with the
+    * adjacency CTEs factored out — x132's width curve emits ud/udc
+    * ONCE and three prefixed entry/hop chains over it. */
+  private def dWalkEntries(e: Int, b: Int, pfx: String = ""): String =
+    s"""${pfx}entq AS (SELECT vec_id, nc, ${dH("concat(vec_id, ':entry:', j)")} % nc AS d0
        |         FROM sq, n0, UNNEST(range(1, $e + 1)) AS u(j)
        |         WHERE vec_id < 8),
-       |entp AS (SELECT DISTINCT vec_id AS src,
+       |${pfx}entp AS (SELECT DISTINCT vec_id AS src,
        |           CASE WHEN d0 = vec_id THEN (d0 + 1) % nc ELSE d0 END AS dst
-       |         FROM entq),
-       |v0 AS MATERIALIZED (SELECT src, dst, $dCos AS cos
-       |       FROM entp JOIN sq a ON entp.src = a.vec_id
-       |                 JOIN sq b ON entp.dst = b.vec_id),
-       |f0 AS (SELECT src, dst FROM (
+       |         FROM ${pfx}entq),
+       |${pfx}v0 AS MATERIALIZED (SELECT src, dst, $dCos AS cos
+       |       FROM ${pfx}entp JOIN sq a ON ${pfx}entp.src = a.vec_id
+       |                 JOIN sq b ON ${pfx}entp.dst = b.vec_id),
+       |${pfx}f0 AS (SELECT src, dst FROM (
        |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
-       |      ORDER BY cos DESC, dst) AS rk FROM v0) WHERE rk <= $b)"""
+       |      ORDER BY cos DESC, dst) AS rk FROM ${pfx}v0) WHERE rk <= $b)"""
       .stripMargin
 
   private def dX121Sql: String = {
@@ -3070,6 +3103,47 @@ object Similarity {
        |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
        |      UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
        |ORDER BY iter""".stripMargin
+  }
+
+  /** x132's oracle: ONE adjacency (ud/udc emitted once) + three
+    * prefixed entry/hop chains (w1/w5/w10 — the widths share entries
+    * and differ only in the fold), each graded against the shared
+    * exact list — the same one-index/three-walks shape as the Scala
+    * side. */
+  private def dX132Sql: String = {
+    val e = 8; val h = 2; val k = NndK
+    val widths = Seq(1, 5, 10)
+    val chains = widths.map { b =>
+      val pfx = s"w$b"
+      s""",
+         |${dWalkEntries(e, b, pfx)}
+         |${dBeamHops(h, b, "sq", "vec_id", pfx = pfx, udcName = "udc")}"""
+        .stripMargin
+    }.mkString
+    val grades = widths.map { b =>
+      s""",
+         |g$b AS (SELECT CAST($b AS BIGINT) AS beam,
+         |    CAST(COUNT(*) AS BIGINT) AS n_answers,
+         |    CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM (SELECT src, dst FROM (
+         |      SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+         |        ORDER BY cos DESC, dst) AS rk FROM w${b}v$h WHERE src < 8)
+         |    WHERE rk <= $k) f
+         |  LEFT JOIN exact e
+         |    ON f.src = e.query_id AND f.dst = e.neighbor_id)""".stripMargin
+    }.mkString
+    s"""$dNndBase,
+       |${dUdCap(s"e$NndT", "ud", "udc")}
+       |$chains
+       |, exact AS (SELECT query_id, neighbor_id FROM ($dX11Sql)
+       |            WHERE rk <= $k)
+       |$grades
+       |SELECT beam, n_answers, n_hits,
+       |  ${dRound6("CAST(n_hits AS DOUBLE) / CAST(n_answers AS DOUBLE)")} AS recall_at_k
+       |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g5
+       |      UNION ALL SELECT * FROM g10)
+       |ORDER BY beam""".stripMargin
   }
 
   /** x129's oracle: the full two-layer replay — the layer-0

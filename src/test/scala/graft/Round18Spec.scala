@@ -185,6 +185,28 @@ class Round18Spec extends SparkSpec {
       s"hierarchical entries must not lose to random ones: $hier vs $flat")
   }
 
+  // ── x132 beam-width curve ──
+
+  test("x132: one row per width, counts self-consistent, width buys recall on this corpus") {
+    val rows = SparkEntry.queries("x132_beam_width_curve")(spark, sf001)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).sameElements(Array(1L, 5L, 10L)))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 40L, "8 probes x K answers")
+      val rec = r.getLong(2).toDouble / r.getLong(1)
+      assert(math.abs(round6(rec) - r.getDouble(3)) == 0.0,
+        s"recall inconsistent with counts: $r")
+    }
+    // not structural across corpora (a wider frontier explores
+    // differently), but deterministic on this fixed corpus: the
+    // B=1 greedy descent must lose to a real beam
+    val rec = rows.map(_.getDouble(3))
+    assert(rec(1) > rec(0),
+      s"B=5 must beat greedy B=1 here: ${rec.mkString(", ")}")
+    assert(rec(2) >= rec(1),
+      s"B=10 fell below B=5: ${rec.mkString(", ")}")
+  }
+
   // ── x131 graph-index lifecycle ──
 
   test("x131: the per-segment audit reconciles exactly with the composed operators") {
