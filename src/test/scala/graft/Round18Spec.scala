@@ -277,6 +277,18 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  test("x130 plan: every window is partition-local (__pid) — no per-language or global window") {
+    // the scale claim, plan-guarded: a per-language window would funnel
+    // a 90%-one-language corpus through one WindowExec task; the only
+    // windows allowed are ExactRank's __pid-partitioned local ranks
+    val plan = SparkEntry.queries("x130_ppl_buckets")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val wins = plan.linesIterator.filter(_.contains("Window [")).toList
+    assert(wins.nonEmpty, "expected ExactRank's partition-local window")
+    wins.foreach(w => assert(w.contains("__pid"),
+      s"non-__pid window found (a per-language/global window at scale):\n$w"))
+  }
+
   // ── x122 converge-or-certify ──
 
   test("x122: the adaptive loop reaches the fixpoint — certificate is 0 and labels are exact components") {
