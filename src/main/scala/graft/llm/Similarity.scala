@@ -1416,6 +1416,71 @@ object Similarity {
     // probe + one heap) total, never a pairwise matrix.
     "x128_kcenter_coreset" -> { (s, dir) => kcenterCoreset(s, dir, k = 4) },
 
+    // MARGIN-BASED BITEXT MINING — the parallel-pair miner behind
+    // CCMatrix/LASER (Artetxe & Schwenk, ACL 2019): a raw cosine
+    // threshold cannot mine aligned pairs because some vectors are
+    // globally close to everything (x123's hubs) — the fix is the
+    // RATIO MARGIN, cos(a,b) normalized by the mean of each side's own
+    // kNN similarities, so a pair only scores high if the two are
+    // closer to each other than to their usual neighborhoods. Sides
+    // here are the planted label's parity (the cross-"language" split
+    // this corpus affords). Scale shape: candidates come from the
+    // shared LSH band tier (bucket collisions across sides — never
+    // all-pairs, the x13/x114 discipline); the per-vector kNN-mean
+    // denominators come from the RESIDENT NN-Descent graph (exactly
+    // how CCMatrix reuses its FAISS index — no new neighbor search is
+    // paid); only candidates are exactly scored; the final cut is a
+    // global top-20 on the bounded-heap TakeOrderedAndProject. ~20
+    // rows out at any corpus size.
+    "x133_bitext_margin" -> { (s, dir) =>
+      // mine over exact-duplicate REPS (x13's discipline): without the
+      // collapse, a re-crawl-heavy corpus turns every band bucket into
+      // a mega-bucket and the cross join goes quadratic in duplicate
+      // multiplicity — x108's forecast, observed live at the 100×
+      // exact-duplication decade. A duplicate pair carries no new
+      // alignment information anyway.
+      val repIds = withSq(s, dir)
+        .groupBy("embedding").agg(min(col("vec_id")).as("vec_id"))
+        .select("vec_id")
+      val bands = withBands(s, dir)
+        .join(broadcast(repIds), Seq("vec_id"), "left_semi")
+      val lab = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val ba = bands
+        .join(lab.filter("label % 2 = 0").select("vec_id"),
+          Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("vec_a"), col("bi"), col("bv"))
+      val bb = bands
+        .join(lab.filter("label % 2 = 1").select("vec_id"),
+          Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("vec_b"), col("bi"), col("bv"))
+      val cand = ba.join(bb, Seq("bi", "bv"))
+        .select("vec_a", "vec_b").distinct()
+      val sq = withSq(s, dir)
+      val scored = cand
+        .join(sq.selectExpr("vec_id as vec_a", "embedding as ea", "sq as sa"),
+          "vec_a")
+        .join(sq.selectExpr("vec_id as vec_b", "embedding as eb", "sq as sb"),
+          "vec_b")
+        .selectExpr("vec_a", "vec_b", s"${sCosIn(s)} as cos_sim")
+      // each side's usual neighborhood: exact-decimal mean of its K
+      // standing out-edge scores (every node has exactly K)
+      val deg = nndescentEdges(s, dir, iters = 2)
+        .groupBy(col("src").as("vec_id"))
+        .agg((sum(col("cos").cast(DecimalType(24, 12))).cast("double") /
+          count(lit(1)).cast("double")).as("deg"))
+      val top = scored
+        .join(deg.selectExpr("vec_id as vec_a", "deg as deg_a"), "vec_a")
+        .join(deg.selectExpr("vec_id as vec_b", "deg as deg_b"), "vec_b")
+        .withColumn("m0", col("cos_sim") / ((col("deg_a") + col("deg_b")) / 2))
+        .orderBy(col("m0").desc, col("vec_a"), col("vec_b"))
+        .limit(20) // bounded heap; the window below ranks ≤ 20 rows
+      top.withColumn("rk", row_number().over(
+          Window.orderBy(col("m0").desc, col("vec_a"), col("vec_b"))))
+        .selectExpr("cast(rk as bigint) as rk", "vec_a", "vec_b", "cos_sim",
+          sRound6("m0") + " as margin", "m0 >= 1.0d as accepted")
+        .orderBy("rk")
+    },
+
     // BEAM-WIDTH OPERATING CURVE — the SECOND walk knob's tuning
     // report, pairing with x126 (depth) the way x106 (nprobe) pairs
     // with x107 (code budget) for IVF-PQ: recall@K per beam width
@@ -2707,6 +2772,7 @@ object Similarity {
     "x129_hier_beam_search" -> dX129Sql,
     "x131_graph_lifecycle" -> dX131Sql,
     "x132_beam_width_curve" -> dX132Sql,
+    "x133_bitext_margin" -> dX133Sql,
   )
 
   /** x120's oracle: the full NN-Descent replay — hash-seeded init,
@@ -3104,6 +3170,40 @@ object Similarity {
        |      UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
        |ORDER BY iter""".stripMargin
   }
+
+  /** x133's oracle: shared band tier + the NN-Descent chain's per-node
+    * mean out-edge score as the margin denominator — identical ratio
+    * algebra, global top-20 with the (m0 DESC, vec_a, vec_b) total
+    * order. */
+  private def dX133Sql: String =
+    s"""$dNndBase$dBands,
+       |mreps AS (SELECT MIN(vec_id) AS vec_id
+       |          FROM embeddings GROUP BY embedding),
+       |rbands AS (SELECT * FROM bands
+       |           WHERE EXISTS (SELECT 1 FROM mreps
+       |                         WHERE mreps.vec_id = bands.vec_id)),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |        FROM rbands a JOIN rbands b ON a.bi = b.bi AND a.bv = b.bv
+       |        WHERE EXISTS (SELECT 1 FROM embeddings la
+       |                      WHERE la.vec_id = a.vec_id AND la.label % 2 = 0)
+       |          AND EXISTS (SELECT 1 FROM embeddings lb
+       |                      WHERE lb.vec_id = b.vec_id AND lb.label % 2 = 1)),
+       |sc AS (SELECT c.vec_a, c.vec_b, $dCos AS cos_sim
+       |       FROM cand c JOIN sq a ON c.vec_a = a.vec_id
+       |                   JOIN sq b ON c.vec_b = b.vec_id),
+       |deg AS (SELECT src AS vec_id,
+       |          CAST(SUM(CAST(cos AS DECIMAL(24,12))) AS DOUBLE)
+       |            / CAST(COUNT(*) AS DOUBLE) AS deg
+       |        FROM e$NndT GROUP BY src),
+       |mg AS (SELECT sc.vec_a, sc.vec_b, sc.cos_sim,
+       |         sc.cos_sim / ((da.deg + db.deg) / 2) AS m0
+       |       FROM sc JOIN deg da ON sc.vec_a = da.vec_id
+       |               JOIN deg db ON sc.vec_b = db.vec_id)
+       |SELECT CAST(rk AS BIGINT) AS rk, vec_a, vec_b, cos_sim,
+       |  ${dRound6("m0")} AS margin, m0 >= 1.0 AS accepted
+       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY m0 DESC, vec_a, vec_b)
+       |        AS rk FROM mg)
+       |WHERE rk <= 20 ORDER BY rk""".stripMargin
 
   /** x132's oracle: ONE adjacency (ud/udc emitted once) + three
     * prefixed entry/hop chains (w1/w5/w10 — the widths share entries

@@ -185,6 +185,50 @@ class Round18Spec extends SparkSpec {
       s"hierarchical entries must not lose to random ones: $hier vs $flat")
   }
 
+  // ── x133 margin-based bitext mining ──
+
+  test("x133: sides, ordering, and the ratio-margin algebra match first principles") {
+    val rows = SparkEntry.queries("x133_bitext_margin")(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).sorted.sameElements(1L to 20L), "rk 1..20")
+    val labels = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    // the standing graph's per-node mean out-edge score (exact decimal)
+    val deg = edges.groupBy(_._1).map { case (v, es) =>
+      v -> (es.map(e => BigDecimal(e._3)).sum / es.length).toDouble
+    }
+    def cosOf(av: Long, bv: Long): Double = {
+      val (a, b) = (vecs(av), vecs(bv))
+      var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        sa += a(i).toDouble * a(i).toDouble
+        sb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      round6(dot / math.sqrt(sa * sb))
+    }
+    val margins = rows.sortBy(_.getLong(0)).map { r =>
+      val (a, b) = (r.getLong(1), r.getLong(2))
+      assert(labels(a) % 2 == 0, s"vec_a $a not on the even-label side")
+      assert(labels(b) % 2 == 1, s"vec_b $b not on the odd-label side")
+      val cos = cosOf(a, b)
+      assert(r.getDouble(3) == cos, s"cos drifted for ($a,$b)")
+      val m = cos / ((deg(a) + deg(b)) / 2)
+      assert(r.getDouble(4) == round6(m),
+        s"margin drifted for ($a,$b): got ${r.getDouble(4)}, expected $m")
+      assert(r.getBoolean(5) == (m >= 1.0), "accepted flag inconsistent")
+      m
+    }
+    assert(margins.zip(margins.tail).forall { case (x, y) => y <= x },
+      "margins must be non-increasing in rank")
+    // the margin must actually discriminate: a hub-inflated raw cosine
+    // ordering and the margin ordering differ on this corpus
+    val byCos = rows.sortBy(-_.getDouble(3)).map(_.getLong(0))
+    assert(!byCos.sameElements(1L to 20L),
+      "margin ordering degenerated to the raw cosine ordering")
+  }
+
   // ── x132 beam-width curve ──
 
   test("x132: one row per width, counts self-consistent, width buys recall on this corpus") {
