@@ -17,6 +17,15 @@ object SparkEntry {
       graft.llm.Similarity.queries ++
       graft.llm.Multimodal.queries
 
+  /** Queries deliberately WITHOUT an oracle: outputs that are
+    * approximate by nature (HLL / quantile sketches), where any exact
+    * SQL "oracle" would be a different algorithm — the driver records
+    * a weaker rows>0 check for these. Every other queries key MUST
+    * have an oracleSql entry; graft.Verify exits nonzero (and
+    * EntrySpec fails) if one is missing, so a correctness hole can't
+    * ship silently. */
+  val rowsOnly: Set[String] = Set("r21_approx_distinct")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

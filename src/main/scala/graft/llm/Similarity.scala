@@ -3145,7 +3145,11 @@ object Similarity {
   /** x128's oracle: Gonzalez unrolled — m_i = running min distance to
     * the first i+1 centers, c_{i+1} = argmax(m_i) with the vec_id
     * tiebreak, radius_i = max(m_i); identical LEAST-chain and rounding
-    * to the Scala loop. */
+    * to the Scala loop. Each r_i carries `HAVING COUNT(*) > 0` so an
+    * empty (or vec_id-0-less) corpus emits 0 rows on BOTH engines —
+    * without it the GROUP-BY-less aggregate would emit 4 NULL-radius
+    * rows exactly in the case the Scala side's empty-corpus guard
+    * returns nothing. */
   private def dX128Sql: String = {
     val iters = (1 to 3).map { i =>
       s""",
@@ -3156,13 +3160,13 @@ object Similarity {
          |                  JOIN sq b ON b.vec_id = (SELECT vec_id FROM c$i)),
          |r$i AS (SELECT $i AS iter,
          |          (SELECT CAST(vec_id AS BIGINT) FROM c$i) AS center_id,
-         |          MAX(d) AS radius FROM m$i)""".stripMargin
+         |          MAX(d) AS radius FROM m$i HAVING COUNT(*) > 0)""".stripMargin
     }.mkString
     s"""$dSq,
        |m0 AS MATERIALIZED (SELECT a.vec_id, 1.0 - $dCos AS d
        |        FROM sq a JOIN sq b ON b.vec_id = 0),
        |r0 AS (SELECT 0 AS iter, CAST(0 AS BIGINT) AS center_id,
-       |          MAX(d) AS radius FROM m0)
+       |          MAX(d) AS radius FROM m0 HAVING COUNT(*) > 0)
        |$iters
        |SELECT CAST(iter AS BIGINT) AS iter, center_id,
        |  ${dRound6("radius")} AS coverage_radius

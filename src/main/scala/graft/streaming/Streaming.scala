@@ -66,29 +66,57 @@ object Streaming {
     * and batch CANNOT drift (spec-proved: streamed micro-batches ≡ the
     * x124 batch output, because each probe's walk is independent of
     * its batch-mates). Per-batch cost |batch|·hops·B·2K scorings —
-    * corpus-independent, the same never-rebuild bound as batch x124. */
+    * corpus-independent, the same never-rebuild bound as batch x124.
+    *
+    * CONTRACT: streamed `vec_id`s must be DISJOINT from the standing
+    * corpus's ids (x124 offsets its re-crawl batch by +1e9 for exactly
+    * this). The walk's self-exclusion filter treats src = dst as "the
+    * probe met itself"; a streamed id that numerically collides with a
+    * corpus id would silently exclude that corpus vector from the new
+    * vector's edge list. The offset is the CALLER's job — this gate
+    * cannot apply one itself without breaking the id the caller will
+    * use to read the edge lists back.
+    *
+    * Exactly-once despite foreachBatch's at-least-once contract: each
+    * micro-batch writes to its own `batch_id=<id>` partition with
+    * dynamic partition overwrite, so a batch retried after a failure or
+    * restart REPLACES its own previous (possibly partial) output
+    * instead of appending it twice — the standard idempotent-foreachBatch
+    * recipe, with the batchId Spark already persists in the checkpoint
+    * as the replay key. */
   def graphInsertStream(
       spark: SparkSession,
       vecs: DataFrame, // streaming: (vec_id: bigint, embedding: array<float>)
       standingDir: String, // frozen standing-index corpus dir
-      outPath: String, // edge-list sink (parquet, append)
+      outPath: String, // edge-list sink (parquet, partitioned by batch_id)
       checkpointDir: String,
       hops: Int = 2,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    import graft.llm.Frag.sSumSq
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val probes = batch.selectExpr("vec_id as src", "embedding as ea",
-            s"${sSumSq("embedding")} as sa").localCheckpoint()
-          graft.llm.Similarity
-            .insertEdges(batch.sparkSession, standingDir, probes, hops)
-            .write.mode("append").parquet(outPath)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        insertEdgeBatch(batch, standingDir, outPath, hops, batchId)
       }
       .start()
+
+  /** The per-micro-batch body of [[graphInsertStream]], named so the
+    * idempotence contract is directly testable: running the same
+    * (batch, batchId) twice leaves ONE copy of its edge lists. */
+  private[graft] def insertEdgeBatch(batch: DataFrame, standingDir: String,
+      outPath: String, hops: Int, batchId: Long): Unit = {
+    import graft.llm.Frag.sSumSq
+    if (!batch.isEmpty) {
+      val probes = batch.selectExpr("vec_id as src", "embedding as ea",
+        s"${sSumSq("embedding")} as sa").localCheckpoint()
+      graft.llm.Similarity
+        .insertEdges(batch.sparkSession, standingDir, probes, hops)
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outPath)
+    }
   }
 
   /** Watermarked tumbling-window counts over an event stream — late

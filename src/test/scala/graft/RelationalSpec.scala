@@ -27,4 +27,15 @@ class RelationalSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  // The self-evidencing gate's coverage invariant (round 12): every
+  // query is DuckDB-checkable or explicitly declared rows-only — a new
+  // query landing without its oracle fails here AND makes graft.Verify
+  // exit nonzero, so a correctness hole can't ship silently.
+  test("every queries key has an oracle or is declared rows-only") {
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked == SparkEntry.rowsOnly,
+      s"queries without oracle: ${unchecked -- SparkEntry.rowsOnly}; " +
+        s"stale rows-only entries: ${SparkEntry.rowsOnly -- unchecked}")
+  }
 }

@@ -655,5 +655,17 @@ class StreamingSpec extends SparkSpec {
       s"row count drifted: stream ${streamed.length} vs batch ${batchOut.length}")
     assert(streamed.toSet == batchOut.toSet,
       "streamed edge lists must equal the batch operator's bit-for-bit")
+    // foreachBatch is at-least-once: replaying the second micro-batch's
+    // body with its SAME batchId must leave the sink unchanged (dynamic
+    // partition overwrite replaces the batch's partition, never appends)
+    Streaming.insertEdgeBatch(second.toSeq.toDF("vec_id", "embedding"),
+      sf001, outDir, hops = 2, batchId = 1L)
+    val replayed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+    assert(replayed.length == batchOut.length,
+      s"batch replay duplicated rows: ${replayed.length} vs ${batchOut.length}")
+    assert(replayed.toSet == batchOut.toSet,
+      "batch replay must be idempotent bit-for-bit")
   }
 }

@@ -63,11 +63,9 @@ hard_errs = set()
 fallbacks = {}
 
 
-def run_worker(start, threads, upto=None):
-    """Stream (name, sec|err) from a worker starting at index `start`;
-    returns (index after last success, failed_name | None).
-    `upto` limits the worker to names[start:upto] (single-query retry)."""
-    sub = names[:upto] if upto is not None else names
+def run_worker(sub, start, threads):
+    """Stream (name, sec|err) from a worker running sub[start:];
+    returns (index after last success, failed_name | None)."""
     proc = subprocess.Popen(
         [sys.executable, "-c", WORKER, sfdir, oracle_path, str(start),
          str(threads), ",".join(sub)],
@@ -94,18 +92,21 @@ def run_worker(start, threads, upto=None):
 
 
 for p in range(reps):
+    # hard-erred queries are excluded from the worker's list ENTIRELY:
+    # the old index-skip only applied between worker segments, so a
+    # hard-err query still re-ran inside later bulk workers — a success
+    # there would .append onto the None sentinel (AttributeError, run
+    # lost), and a later-pass failure clobbered a valid pass-1 timing.
+    active = [n for n in names if n not in hard_errs]
     i = 0
-    while i < len(names):
-        if names[i] in hard_errs:
-            i += 1
-            continue
-        i, failed = run_worker(i, 32)
+    while i < len(active):
+        i, failed = run_worker(active, i, 32)
         if failed is None:
             break
         # isolated retry of the one failing query, degrading threads
         ok = False
         for threads in (32, 16, 8):
-            j, f2 = run_worker(i, threads, upto=i + 1)
+            j, f2 = run_worker(active[:i + 1], i, threads)
             if f2 is None and j == i + 1:
                 if threads != 32:
                     fallbacks[failed] = f"threads{threads}"
@@ -113,10 +114,13 @@ for p in range(reps):
                 break
         if not ok:
             hard_errs.add(failed)
-            rep_times[failed] = None
         i += 1
 
+# a query that hard-errs on every attempt of every pass reports None;
+# one that timed in any pass keeps its valid minimum
 times = {name: (min(v) if v else None) for name, v in rep_times.items()}
+for n in hard_errs:
+    times.setdefault(n, None)
 total = round(sum(v for v in times.values() if v is not None), 3)
 res = {"total": total, "reps": reps, "agg": "min", "queries": times,
        "rep_queries": {k: v for k, v in rep_times.items() if v},

@@ -23,6 +23,11 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fail = 0
 ran = 0
+# VERIFY_JSON=path freezes the per-query results as a committed
+# artifact (CORRECTNESS_SELF_rN.json) — the self-evidencing gate:
+# round 11's driver-side artifact arrived empty, so the repo now
+# carries its own.
+report = {}
 
 def norm(df):
     df = df[sorted(df.columns)]
@@ -43,6 +48,7 @@ for name in names:
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output")
+        report[name] = {"status": "fail", "detail": "no spark output"}
         fail += 1
         continue
     got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
@@ -50,15 +56,19 @@ for name in names:
         exp = con.execute(sql).fetchdf()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
+        report[name] = {"status": "fail", "detail": f"oracle error: {e}"[:300]}
         fail += 1
         continue
     ran += 1
     if sorted(got.columns) != sorted(exp.columns):
         print(f"FAIL {name}: cols spark={sorted(got.columns)} duck={sorted(exp.columns)}")
+        report[name] = {"status": "fail", "detail": "column mismatch"}
         fail += 1
         continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}")
+        report[name] = {"status": "fail",
+                        "detail": f"rows spark={len(got)} duck={len(exp)}"}
         fail += 1
         continue
     g, e = norm(got.copy()), norm(exp.copy())
@@ -77,9 +87,11 @@ for name in names:
             bad.append(f"{c}[row {i}]: spark={g[c][i]!r} duck={e[c][i]!r}")
     if bad:
         print(f"FAIL {name}: " + "; ".join(bad[:3]))
+        report[name] = {"status": "fail", "detail": "; ".join(bad[:3])[:300]}
         fail += 1
     else:
         print(f"ok   {name} ({len(got)} rows)")
+        report[name] = {"status": "ok", "rows": int(len(got))}
 
 # rows-only entries (queries without oracle)
 for d in sorted(glob.glob(f"{out}/*/")):
@@ -87,6 +99,16 @@ for d in sorted(glob.glob(f"{out}/*/")):
     if name not in oracle:
         n = sum(len(pd.read_parquet(f)) for f in glob.glob(f"{d}/*.parquet"))
         print(f"rows {name}: {n} rows {'(EMPTY!)' if n == 0 else ''}")
+        report[name] = {"status": "rows_only" if n > 0 else "fail",
+                        "rows": int(n)}
+        if n == 0:
+            fail += 1
 
 print(f"\n{ran} oracle-checked, {fail} failures")
+jpath = os.environ.get("VERIFY_JSON")
+if jpath:
+    json.dump({"sf": sfdir, "oracle_checked": ran, "failures": fail,
+               "total_dumped": len(report), "compare": "exact-value",
+               "queries": report}, open(jpath, "w"), indent=1)
+    print(f"wrote {jpath}")
 sys.exit(1 if fail else 0)
