@@ -7,10 +7,12 @@ import java.nio.file.{Files, Paths}
 
 /** CLI entry point mirroring the reference's command surface
   * (/root/reference/src/main.go:129-148): sync, push, clone,
-  * create_views, prune, config, version — plus jdbc_push (K2: landing →
-  * external JDBC warehouse, transactional). (`gen`/`upgrade` are
-  * credential/self-update tooling, out of engine scope per SURVEY.md
-  * §2.6 and README.) Option resolution follows the reference's
+  * create_views, prune, gen (RSA keypair for warehouse JWT auth —
+  * pipeline.KeyGen), config, version — plus jdbc_push (K2: landing →
+  * external JDBC warehouse, transactional). (`upgrade` — self-update
+  * from GitHub releases, cmd_upgrade.go:32-48 — genuinely needs
+  * network egress and stays out of scope per SURVEY.md §2.6 and
+  * README.) Option resolution follows the reference's
   * precedence — defaults < GRAFT_* env < CLI flags (pipeline.CliConfig).
   *
   * Usage:
@@ -26,6 +28,9 @@ object Main {
     if (args.isEmpty) { usage(); sys.exit(2) }
     val cmd = args.head
     if (cmd == "version") { println("graft 0.1.0"); return }
+    // O4 `gen` (cmd_gen.go:15-66): local RSA-2048 keypair for warehouse
+    // JWT auth — pure crypto, no SparkSession, no network
+    if (cmd == "gen") { println(graft.pipeline.KeyGen.report()); return }
     // reference precedence (config_test.go:35-77): defaults < env < CLI
     val opts = graft.pipeline.CliConfig.resolve(
       args.tail.sliding(2, 2).collect {
@@ -109,7 +114,7 @@ object Main {
   }
 
   private def usage(): Unit = System.err.println(
-    "usage: graft.Main sync|push|clone|create_views|prune|compact|jdbc_push|config|version " +
+    "usage: graft.Main sync|push|clone|create_views|prune|compact|jdbc_push|gen|config|version " +
       "--source DIR | --url URL [--user U --password P --limit N] " +
       "--landing DIR --state DIR [--schema FILE] " +
       "[--hide-inactive-fields true|false] " +
