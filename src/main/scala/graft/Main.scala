@@ -93,7 +93,11 @@ object Main {
         val n = pipeline.clone(schema(), httpSource)
         println(s"cloned $n documents; views registered")
       case "create_views" =>
-        pipeline.createViews(schema()).foreach(println)
+        opts.get("persistent-db") match {
+          case Some(db) =>
+            pipeline.createViewsPersistent(schema(), db).foreach(println)
+          case None => pipeline.createViews(schema()).foreach(println)
+        }
       case "prune" =>
         pipeline.prune(); println("pruned")
       case "compact" =>
@@ -117,7 +121,7 @@ object Main {
     "usage: graft.Main sync|push|clone|create_views|prune|compact|jdbc_push|gen|config|version " +
       "--source DIR | --url URL [--user U --password P --limit N] " +
       "--landing DIR --state DIR [--schema FILE] " +
-      "[--hide-inactive-fields true|false] " +
+      "[--hide-inactive-fields true|false] [--persistent-db DB] " +
       "[--wait SECONDS] [--chunk-size N] [--target-file-mb N] " +
       "[--jdbc-url URL --jdbc-table T --jdbc-driver CLASS]")
 }

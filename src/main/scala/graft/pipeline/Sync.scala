@@ -146,6 +146,13 @@ final class SyncPipeline(
       Views.registerAll(latest, schema)
   }
 
+  /** create_views --persistent-db DB: the same catalog as SQL-text
+    * `CREATE OR REPLACE VIEW` DDL in `spark_catalog`, surviving the
+    * session — the reference's durability contract (its views are
+    * warehouse DDL, snowflake.go:362). */
+  def createViewsPersistent(schema: RootSchema, db: String): Seq[String] =
+    Views.registerAllPersistent(spark, landingPath, schema, db)
+
   /** clone (§3.3): forced full sync + views; `source` switches to a
     * paged (e.g. HTTP) source, file source otherwise. */
   def clone(schema: RootSchema, source: Option[PagedSource] = None): Long = {

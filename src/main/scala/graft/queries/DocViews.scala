@@ -381,6 +381,22 @@ object DocViews {
       Views.typedView(bucketedLatest(s, dir), "DOC", docSchema("DOC"))
         .orderBy("DOCUMENT_ID")
     },
+    // THE PERSISTENT CATALOG on the public query surface (V7
+    // durability parity, snowflake.go:362's CREATE OR REPLACE SECURE
+    // VIEW): the same landing history as r24, WRITTEN to a parquet
+    // store and read back exclusively through registerAllPersistent's
+    // SQL-text views — landing path baked into the view DDL, R1/R2 and
+    // the typed projection all living in spark_catalog rather than in
+    // any DataFrame. Same oracle as r24: the persistent SQL catalog
+    // must be bit-identical to the temp DataFrame catalog (the no-drift
+    // pin, under the hash gate at every sf).
+    "r85_persistent_view" -> { (s, dir) =>
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_r85_${Integer.toHexString(dir.hashCode)}").toString
+      landing(s, dir).write.mode("overwrite").parquet(path)
+      Views.registerAllPersistent(s, path, docSchema, db = "graft_r85")
+      s.table("graft_r85.DOC").orderBy("DOCUMENT_ID")
+    },
     // incremental view maintenance (the per-sync-cycle refresh at
     // 100 TB): materialize latest over the ts1 history, then fold ONLY
     // the ts2 batch in with Views.latestIncremental — refresh work is
@@ -666,6 +682,7 @@ object DocViews {
     "r45_variant_latest_view" -> latestViewOracle,
     "r68_bucketed_latest" -> latestViewOracle,
     "r69_incremental_latest" -> latestViewOracle,
+    "r85_persistent_view" -> latestViewOracle,
     "r70_scd2_history" ->
       """SELECT CAST(doc_id AS VARCHAR) AS DOCUMENT_ID, v AS _VERSION,
         |  valid_from, valid_to, is_current FROM (

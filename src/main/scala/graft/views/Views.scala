@@ -408,8 +408,45 @@ object Views {
         case e: Exception =>
           System.err.println(s"graft: error creating view $name: ${e.getMessage}")
       }
+    catalogDefs(schema).foreach { d =>
+      val ds = schema(d.docType)
+      d match {
+        case TypedDef(n, dt) => register(n)(typedView(latestDf, dt, ds))
+        case RecordDef(n, dt, p) =>
+          register(n)(recordView(latestDf, dt, ds, p))
+        case ListDef(n, dt, lp) =>
+          register(n)(recordListView(latestDf, dt, ds, lp))
+        case ItemRecordDef(n, dt, lp, sp) =>
+          register(n)(listItemRecordView(latestDf, dt, ds, lp, sp))
+      }
+    }
+    reg.toSeq
+  }
+
+  /** One generated view's identity in the catalog walk — the shared
+    * description BOTH registration modes are driven from (temp
+    * DataFrame views in [[registerAll]], persistent SQL DDL in
+    * [[registerAllPersistent]]), so the two catalogs can never drift
+    * in shape: same walk, same names, same skip rules. */
+  sealed trait ViewDef { def name: String; def docType: String }
+  final case class TypedDef(name: String, docType: String) extends ViewDef
+  final case class RecordDef(name: String, docType: String,
+      path: Seq[String]) extends ViewDef
+  final case class ListDef(name: String, docType: String,
+      listPath: Seq[String]) extends ViewDef
+  final case class ItemRecordDef(name: String, docType: String,
+      listPath: Seq[String], subPath: Seq[String]) extends ViewDef
+
+  /** The reference's recursive catalog walk (snowflake.go:314-378) as
+    * data: `<TYPE>` top view; `<TYPE>_<FIELD>…` per nested RECORD at
+    * any depth; a flatten view per RECORD LIST reached through RECORDs;
+    * a flattened-grain view per RECORD under a list ITEM; LIST-under-
+    * LIST refused. View names accumulate the field chain exactly as the
+    * reference's `tableName_FIELD` recursion does. */
+  def catalogDefs(schema: RootSchema): Seq[ViewDef] = {
+    val defs = scala.collection.mutable.ArrayBuffer.empty[ViewDef]
     schema.types.foreach { case (docType, ds) =>
-      register(docType)(typedView(latestDf, docType, ds))
+      defs += TypedDef(docType, docType)
       def name(path: Seq[String]) = (docType +: path).mkString("_")
       // `data`-rooted walk: RECORDs recurse, each RECORD LIST starts a
       // flatten-rooted walk of its element type
@@ -417,12 +454,10 @@ object Views {
         d.fields.foreach { case (n, fm) =>
           fm.fieldType match {
             case "RECORD" if fm.recordType.isDefined =>
-              register(name(path :+ n))(
-                recordView(latestDf, docType, ds, path :+ n))
+              defs += RecordDef(name(path :+ n), docType, path :+ n)
               walkData(fm.recordType.get, path :+ n)
             case "RECORD LIST" if fm.recordType.isDefined =>
-              register(name(path :+ n))(
-                recordListView(latestDf, docType, ds, path :+ n))
+              defs += ListDef(name(path :+ n), docType, path :+ n)
               walkItem(fm.recordType.get, path :+ n, Nil)
             case _ =>
           }
@@ -435,13 +470,164 @@ object Views {
         d.fields.foreach { case (n, fm) =>
           fm.fieldType match {
             case "RECORD" if fm.recordType.isDefined =>
-              register(name(listPath ++ sub :+ n))(
-                listItemRecordView(latestDf, docType, ds, listPath, sub :+ n))
+              defs += ItemRecordDef(name(listPath ++ sub :+ n), docType,
+                listPath, sub :+ n)
               walkItem(fm.recordType.get, listPath, sub :+ n)
             case _ =>
           }
         }
       walkData(ds, Nil)
+    }
+    defs.toSeq
+  }
+
+  // ─── Persistent catalog (V7 durability parity) ───
+
+  /** SQL identifier / string-literal quoting for generated DDL. */
+  private def qi(n: String): String = "`" + n.replace("`", "``") + "`"
+  private def ql(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Scalar projection of one field as SQL text — the SQL twin of
+    * [[scalarCol]], character-for-character the same cast table. */
+  private def scalarSql(path: String, name: String,
+      fm: FieldMetadata): Option[String] =
+    fm.fieldType match {
+      case "DOCUMENT" =>
+        Some(s"$path.${qi(name)}.`DOCUMENT_ID` AS ${qi(name)}")
+      case _ =>
+        SchemaMapper.scalarType(fm).map(dt =>
+          s"CAST($path.${qi(name)} AS ${dt.sql}) AS ${qi(name)}")
+    }
+
+  private def metaSql = Seq("deleted AS _DELETED", "author AS _AUTHOR",
+    "version AS _VERSION", "date AS _DATE")
+
+  /** The generated-view SQL texts, one per [[ViewDef]] plus the three
+    * store views, all reading the landing store by PATH
+    * (`parquet.`…``) — the path is baked into the view text, so the
+    * definition is self-contained and survives any session. */
+  private[views] def viewSql(d: ViewDef, schema: RootSchema,
+      latestRef: String): String = {
+    val root = schema(d.docType)
+    val ddl = ql(SchemaMapper.structFor(root).toDDL)
+    def typedBase(chunk0: Boolean) =
+      s"""FROM (SELECT *, from_json(data, $ddl) AS __j FROM $latestRef
+         |      WHERE type = ${ql(d.docType)}${if (chunk0) " AND chunk = 0" else ""})""".stripMargin
+    d match {
+      case TypedDef(_, _) =>
+        val cols = "id AS DOCUMENT_ID" +:
+          (root.fields.flatMap { case (n, fm) => scalarSql("__j", n, fm) } ++
+            metaSql)
+        s"SELECT ${cols.mkString(",\n  ")}\n${typedBase(chunk0 = true)}"
+      case RecordDef(_, _, path) =>
+        val inner = path.foldLeft(root) { (ds, f) => ds(f).recordType.get }
+        val nested = ("__j" +: path.map(qi)).mkString(".")
+        val cols = "id AS DOCUMENT_ID" +:
+          inner.fields.flatMap { case (n, fm) => scalarSql(nested, n, fm) }
+        s"SELECT ${cols.mkString(",\n  ")}\n${typedBase(chunk0 = true)}"
+      case ListDef(_, _, listPath) =>
+        val inner = listPath.init.foldLeft(root)((ds, f) =>
+          ds(f).recordType.get)(listPath.last).recordType.get
+        val arr = (s"from_json(data, $ddl)" +: listPath.map(qi)).mkString(".")
+        val cols = Seq("DOCUMENT_ID",
+          "CAST(__item.`LISTITEM_ID` AS STRING) AS LISTITEM_ID") ++
+          inner.fields.flatMap { case (n, fm) =>
+            if (fm.fieldType == "RECORD LIST") None // list-in-list refused
+            else scalarSql("__item", n, fm)
+          }
+        // chunk union: all chunks contribute (explode of NULL emits none)
+        s"""SELECT ${cols.mkString(",\n  ")}
+           |FROM (SELECT id AS DOCUMENT_ID, explode($arr) AS __item
+           |      FROM $latestRef WHERE type = ${ql(d.docType)})""".stripMargin
+      case ItemRecordDef(_, _, listPath, subPath) =>
+        val item = listPath.init.foldLeft(root)((ds, f) =>
+          ds(f).recordType.get)(listPath.last).recordType.get
+        val inner = subPath.foldLeft(item)((ds, f) => ds(f).recordType.get)
+        val arr = (s"from_json(data, $ddl)" +: listPath.map(qi)).mkString(".")
+        val nested = ("__item" +: subPath.map(qi)).mkString(".")
+        val cols = Seq("DOCUMENT_ID",
+          "CAST(__item.`LISTITEM_ID` AS STRING) AS LISTITEM_ID") ++
+          inner.fields.flatMap { case (n, fm) =>
+            if (fm.fieldType == "RECORD LIST") None
+            else scalarSql(nested, n, fm)
+          }
+        s"""SELECT ${cols.mkString(",\n  ")}
+           |FROM (SELECT id AS DOCUMENT_ID, explode($arr) AS __item
+           |      FROM $latestRef WHERE type = ${ql(d.docType)})""".stripMargin
+    }
+  }
+
+  private val landingCols = graft.ingest.Landing.schema.fieldNames.toSeq
+
+  /** R1 as SQL over the landing path: max-batch window + the
+    * PK-restoring dedup (a deterministic `ORDER BY data` row_number
+    * replaces dropDuplicates' arbitrary pick — same-PK rows are
+    * identical replay copies, so any pick yields the same row). */
+  private[views] def latestAllVersionsSql(landingRef: String): String =
+    s"""SELECT ${landingCols.mkString(", ")} FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY batch_date, type, id, version, chunk
+       |      ORDER BY data) AS __rn
+       |  FROM (SELECT *, MAX(batch_date) OVER (
+       |          PARTITION BY type, id, version) AS __maxb
+       |        FROM $landingRef)
+       |  WHERE batch_date = __maxb)
+       |WHERE __rn = 1""".stripMargin
+
+  /** R2 as SQL over the R1 view. */
+  private[views] def latestSql(lavRef: String): String =
+    s"""SELECT ${landingCols.mkString(", ")} FROM (
+       |  SELECT *, MAX(version) OVER (PARTITION BY type, id) AS __maxv
+       |  FROM $lavRef)
+       |WHERE version = __maxv""".stripMargin
+
+  /** SCD2 history as SQL over the R1 view (same RANGE frame as
+    * [[history]]). */
+  private[views] def historySql(lavRef: String): String =
+    s"""SELECT *, date AS valid_from,
+       |  MIN(date) OVER (PARTITION BY type, id ORDER BY version
+       |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS valid_to,
+       |  MIN(date) OVER (PARTITION BY type, id ORDER BY version
+       |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) IS NULL
+       |    AS is_current
+       |FROM $lavRef""".stripMargin
+
+  /** V7-persistent — the reference's durability contract: its generated
+    * catalog is `CREATE OR REPLACE SECURE VIEW` DDL that SURVIVES the
+    * session (snowflake.go:362); `createOrReplaceTempView` dies with
+    * the SparkSession. This registers the same catalog as persistent
+    * SQL views in `spark_catalog` under namespace `db`: store views
+    * `<prefix>_LATEST_ALL_VERSIONS` / `<prefix>_LATEST` /
+    * `<prefix>_HISTORY` over the landing PATH, then every [[catalogDefs]]
+    * view over the latest view. View text is self-contained (path
+    * inline, schema as a from_json DDL literal), so any later session
+    * of the same catalog — in-memory catalog: any session of this
+    * SparkContext; Hive/Unity metastore: any session ever — resolves
+    * them. Per-view error resilience as in [[registerAll]]: one bad
+    * view never aborts the rest. Returns qualified registered names. */
+  def registerAllPersistent(spark: org.apache.spark.sql.SparkSession,
+      landingPath: String, schema: RootSchema, db: String,
+      prefix: String = "DOCUMENTS"): Seq[String] = {
+    val reg = scala.collection.mutable.ArrayBuffer.empty[String]
+    def create(name: String)(body: => String): Unit = {
+      val qn = s"${qi(db)}.${qi(name)}"
+      try {
+        spark.sql(s"CREATE OR REPLACE VIEW $qn AS\n$body")
+        reg += s"$db.$name"
+      } catch {
+        case e: Exception =>
+          System.err.println(s"graft: error creating view $qn: ${e.getMessage}")
+      }
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ${qi(db)}")
+    val landingRef = s"parquet.${qi(landingPath)}"
+    val lav = s"${prefix}_LATEST_ALL_VERSIONS"
+    create(lav)(latestAllVersionsSql(landingRef))
+    val latestQn = s"${qi(db)}.${qi(s"${prefix}_LATEST")}"
+    create(s"${prefix}_LATEST")(latestSql(s"${qi(db)}.${qi(lav)}"))
+    create(s"${prefix}_HISTORY")(historySql(s"${qi(db)}.${qi(lav)}"))
+    catalogDefs(schema).foreach { d =>
+      create(d.name)(viewSql(d, schema, latestQn))
     }
     reg.toSeq
   }
