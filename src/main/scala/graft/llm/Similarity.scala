@@ -1533,6 +1533,24 @@ object Similarity {
     "x129_hier_beam_search" -> { (s, dir) =>
       hierBeamSearch(s, dir, hops1 = 2, hops0 = 2)
     },
+
+    // CONSTRUCTION-DEGREE OPERATING CURVE — the THIRD walk knob,
+    // completing the graph family's tuning triptych (x126 depth, x132
+    // width, this: index degree K). x126/x132 showed a recall plateau
+    // the walk knobs cannot break — because a walk can only rank what
+    // the GRAPH connects, the ceiling belongs to construction, not
+    // search (every graph-ANN paper's M/efConstruction trade). Per
+    // K ∈ {5, 10, 20}: a fresh NN-Descent build at 3 local-join rounds
+    // (one more than the standing index — degree AND effort move
+    // together, as HNSW couples M with efConstruction), the ρ-cap at
+    // its structural 2K, the standard 2-hop/B=5 walk from the SAME
+    // hash-seeded entries, graded against the exact tier at BOTH
+    // recall@5 and recall@10. Cost is the curve's honest price:
+    // construction pairs/iter ≤ N·C(2K,2) — linear in N at every K,
+    // quadratic only in the DEGREE a user chose to pay for; per-hop
+    // walk fan-out ≤ |probes|·B·2K stays structural. 3 rows out at any
+    // corpus size.
+    "x134_degree_sweep" -> { (s, dir) => degreeSweep(s, dir) },
   )
 
   /** x122's body: min-label propagation to the FIXPOINT (converge-or-
@@ -1812,6 +1830,63 @@ object Similarity {
     trace.toSeq
   }
 
+  /** x134's body: per construction degree K, a fresh 3-round NN-Descent
+    * graph (nndescentEdgesOn with k = K — same seeds/cap/fold algebra
+    * as the standing index, only the degree knob moved), its own 2K
+    * ρ-capped undirected adjacency, the standard hops=2/B=5/E=8 walk
+    * from the SAME entry seeds every layer-0 walk uses, and a dual
+    * grade (recall@5 and recall@10) against the shared exact tier.
+    * The per-K graphs are one-query temporaries, deliberately NOT
+    * shared tiers: the sweep is an index-construction tuning report an
+    * operator runs once per corpus to PICK the standing degree, not a
+    * resident structure. */
+  private[graft] def degreeSweep(s: SparkSession, dir: String): DataFrame = {
+    val sq = withSq(s, dir)
+    val probes = sq.filter(QuerySet)
+      .selectExpr("vec_id as src", "embedding as ea", "sq as sa")
+    val truth = exactTopk(s, dir)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        col("rk").as("erk"))
+    val nRow = sq.agg(count(lit(1)).as("nc"))
+    // the walk's entry seeds are graph-independent — identical text to
+    // beamWalkTrace's, shared across the three degrees by construction
+    val entries = probes.select(col("src")).crossJoin(broadcast(nRow))
+      .selectExpr("src",
+        s"explode(transform(sequence(1, 8), j -> " +
+          s"${sH("concat(src, ':entry:', j)")} % nc)) as d0", "nc")
+      .selectExpr("src",
+        "case when d0 = src then (d0 + 1) % nc else d0 end as dst")
+      .distinct()
+    Seq(5, 10, 20).map { k =>
+      val edges = nndescentEdgesOn(s, sq, iters = 3, k = k)
+      val udRaw = edges.select("src", "dst").unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      // ρ-cap at THIS graph's 2K (the structural per-hop bound scales
+      // with the degree the user is pricing)
+      val ud = graft.plans.TopKPerKey.topKDesc(
+        udRaw.selectExpr("src", "dst",
+          s"${sH("concat(src, ':', dst)")} as hk"),
+        Seq("src"), "hk", Seq("dst"), 2 * k).select("src", "dst")
+      val visited = walkFrom(s, sq, ud, probes, entries, hops = 2, b = 5)
+      graft.plans.TopKPerKey.topKDesc(visited, Seq("src"), "cos",
+          Seq("dst"), TopK)
+        .join(truth, Seq("src", "dst"), "left")
+        .agg(
+          sum(when(col("rk") <= 5, 1L).otherwise(0L)).as("n5"),
+          sum(when(col("rk") <= 5 && col("erk") <= 5, 1L).otherwise(0L))
+            .as("h5"),
+          count(lit(1)).as("n10"),
+          sum(when(col("erk").isNotNull, 1L).otherwise(0L)).as("h10"))
+        .selectExpr(s"cast($k as bigint) as degree",
+          "n5 as n_answers_5", "h5 as n_hits_5",
+          sRound6("cast(h5 as double) / cast(n5 as double)") +
+            " as recall_at_5",
+          "n10 as n_answers_10", "h10 as n_hits_10",
+          sRound6("cast(h10 as double) / cast(n10 as double)") +
+            " as recall_at_10")
+    }.reduce(_ unionByName _).orderBy("degree")
+  }
+
   /** The insertion primitive shared by x124 and the streaming
     * maintenance gate: beam-search the FROZEN standing index with the
     * new vectors as probes, each new vector's edge list = top-K of its
@@ -2013,8 +2088,9 @@ object Similarity {
     * under its dense rank ids (the modular hash seeding requires a
     * dense domain: `hash % n` must land on an existing vector). */
   private def nndescentEdgesOn(
-      s: SparkSession, corpus: DataFrame, iters: Int): DataFrame = {
-      val K = 5; val T = iters; val R = 2 * K
+      s: SparkSession, corpus: DataFrame, iters: Int,
+      k: Int = 5): DataFrame = {
+      val K = k; val T = iters; val R = 2 * K
       val sq = corpus
       val nRow = sq.agg(count(lit(1)).as("nc"))
       def score(pairs: DataFrame): DataFrame = scorePairsOn(s, corpus)(pairs)
@@ -2772,6 +2848,7 @@ object Similarity {
     "x129_hier_beam_search" -> dX129Sql,
     "x131_graph_lifecycle" -> dX131Sql,
     "x132_beam_width_curve" -> dX132Sql,
+    "x134_degree_sweep" -> dX134Sql,
     "x133_bitext_margin" -> dX133Sql,
   )
 
@@ -2822,8 +2899,9 @@ object Similarity {
     * chain is `dNndChain("sq", "n0", "")` (x120/x121's exact text), the
     * x129 coarse layer `dNndChain("l1", "gn0", "g")`. Ends at
     * `${pfx}e{NndT}`. */
-  private def dNndChain(src: String, n0: String, pfx: String): String = {
-    val k = NndK; val t = NndT; val r = 2 * k
+  private def dNndChain(src: String, n0: String, pfx: String,
+      k: Int = NndK, t: Int = NndT): String = {
+    val r = 2 * k
     s"""$n0 AS (SELECT COUNT(*) AS nc FROM $src),
        |${pfx}seeds AS (SELECT vec_id, nc, ${dH("concat(vec_id, ':init:', j)")} % nc AS d0
        |          FROM $src, $n0, UNNEST(range(1, $k + 1)) AS u(j)),
@@ -2897,13 +2975,14 @@ object Similarity {
 
   /** Capped undirected adjacency CTE pair over an edge CTE — the SQL
     * twin of [[cappedUd]], shared by every walk oracle. */
-  private def dUdCap(edges: String, ud: String, udc: String): String =
+  private def dUdCap(edges: String, ud: String, udc: String,
+      cap: Int = 2 * NndK): String =
     s"""$ud AS MATERIALIZED (SELECT src, dst FROM $edges
        |       UNION SELECT dst AS src, src AS dst FROM $edges),
        |$udc AS MATERIALIZED (SELECT src, dst FROM (
        |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
        |      ORDER BY ${dH("concat(src, ':', dst)")} DESC, dst) AS rn
-       |    FROM $ud) WHERE rn <= 10)""".stripMargin
+       |    FROM $ud) WHERE rn <= $cap)""".stripMargin
 
   /** The x121/x126 walk prelude: capped undirected adjacency, probe
     * entry seeding (vec_id < 8), scored entry visits folded to the
@@ -3248,6 +3327,58 @@ object Similarity {
        |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g5
        |      UNION ALL SELECT * FROM g10)
        |ORDER BY beam""".stripMargin
+  }
+
+  /** x134's oracle: three FULL construction chains (K ∈ {5, 10, 20},
+    * 3 local-join rounds — dNndChain's k/t knobs), each with its own
+    * 2K-capped adjacency and its own prefixed entry/walk chain (the
+    * entry text is identical across degrees — the seeds are graph-
+    * independent, exactly the Scala side's one shared `entries`
+    * frame), dual-graded at recall@5 and recall@10 against the shared
+    * exact list. */
+  private def dX134Sql: String = {
+    val e = 8; val b = 5; val h = 2
+    val degrees = Seq(5, 10, 20)
+    val chains = degrees.zipWithIndex.map { case (k, i) =>
+      val p = f"k$k%02d"
+      // chain 0 owns the shared corpus-count CTE name `n0` the entry
+      // seeding references; later chains get throwaway count names
+      val n0 = if (i == 0) "n0" else s"${p}n0"
+      s""",
+         |${dNndChain("sq", n0, p, k = k, t = 3)},
+         |${dUdCap(s"${p}e3", s"${p}ud", s"${p}udc", cap = 2 * k)},
+         |${dWalkEntries(e, b, p)}
+         |${dBeamHops(h, b, "sq", "vec_id", pfx = p, udcName = s"${p}udc")}"""
+        .stripMargin
+    }.mkString
+    val grades = degrees.map { k =>
+      val p = f"k$k%02d"
+      s""",
+         |${p}g AS (SELECT CAST($k AS BIGINT) AS degree,
+         |    CAST(SUM(CASE WHEN f.rk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_answers_5,
+         |    CAST(SUM(CASE WHEN f.rk <= 5 AND e.rk <= 5 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits_5,
+         |    CAST(COUNT(*) AS BIGINT) AS n_answers_10,
+         |    CAST(SUM(CASE WHEN e.rk IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits_10
+         |  FROM (SELECT src, dst, rk FROM (
+         |      SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+         |        ORDER BY cos DESC, dst) AS rk FROM ${p}v$h WHERE src < 8)
+         |    WHERE rk <= $TopK) f
+         |  LEFT JOIN exact e
+         |    ON f.src = e.query_id AND f.dst = e.neighbor_id)""".stripMargin
+    }.mkString
+    s"""$dSq$chains
+       |, exact AS (SELECT query_id, neighbor_id, rk FROM ($dX11Sql))
+       |$grades
+       |SELECT degree, n_answers_5, n_hits_5,
+       |  ${dRound6("CAST(n_hits_5 AS DOUBLE) / CAST(n_answers_5 AS DOUBLE)")} AS recall_at_5,
+       |  n_answers_10, n_hits_10,
+       |  ${dRound6("CAST(n_hits_10 AS DOUBLE) / CAST(n_answers_10 AS DOUBLE)")} AS recall_at_10
+       |FROM (SELECT * FROM k05g UNION ALL SELECT * FROM k10g
+       |      UNION ALL SELECT * FROM k20g)
+       |ORDER BY degree""".stripMargin
   }
 
   /** x129's oracle: the full two-layer replay — the layer-0
