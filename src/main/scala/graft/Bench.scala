@@ -37,7 +37,9 @@ object Bench {
       queries: Map[String, (SparkSession, String) => DataFrame],
       isolate: Boolean = true,
       trace: Boolean = false,
-      reps: Int = 1): (Map[String, QueryResult], Map[String, String]) = {
+      reps: Int = 1,
+      onProgress: (Map[String, QueryResult], Map[String, String]) => Unit =
+        (_, _) => ()): (Map[String, QueryResult], Map[String, String]) = {
     val sc = spark.sparkContext
     val passes = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[QueryResult]]()
@@ -77,16 +79,26 @@ object Bench {
           // analogue of the warehouse-resident base tables DuckDB
           // amortizes its repeated CTEs against.
           if (isolate) graft.queries.Shared.dropTransient()
+          // incremental checkpoint of everything measured so far — a
+          // mid-pass crash (driver OOM, kill) leaves a valid partial
+          // artifact instead of zeroing the run
+          onProgress(snapshot(passes, at, failures), failures.toMap)
         }
       }
     }
-    val results = passes.collect {
-      case (name, repRes) if !failures.contains(name) =>
+    (snapshot(passes, at, failures), failures.toMap)
+  }
+
+  private def snapshot(
+      passes: scala.collection.Map[String,
+        scala.collection.mutable.ArrayBuffer[QueryResult]],
+      at: scala.collection.Map[String, Double],
+      failures: scala.collection.Map[String, String]): Map[String, QueryResult] =
+    passes.collect {
+      case (name, repRes) if !failures.contains(name) && repRes.nonEmpty =>
         val best = repRes.minBy(_.sec)
         name -> best.copy(repSecs = repRes.map(_.sec).toSeq, at = at(name))
-    }
-    (results.toMap, failures.toMap)
-  }
+    }.toMap
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -154,10 +166,29 @@ object Bench {
     // min-of-2 by default (GRAFT_BENCH_REPS=1 opts out): the official
     // gate number must survive a loaded host — see runAll's scaladoc
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    def qstr0(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def writeDetail(res: Map[String, QueryResult],
+        fails: Map[String, String]): Unit = {
+      val tot = ms(if (res.nonEmpty) res.values.map(_.sec).sum else 0.0)
+      val det = res.map { case (k, v) =>
+        "\"" + k + "\":{\"sec\":" + v.sec + ",\"jobs\":" + v.jobs +
+          ",\"stages\":" + v.stages +
+          ",\"reps\":" + v.repSecs.map(ms).mkString("[", ",", "]") +
+          ",\"at\":" + ms(v.at) + "}"
+      }.mkString("{", ",", "}")
+      val fl = fails.map { case (k, v) => qstr0(k) + ":" + qstr0(v) }
+        .mkString("{", ",", "}")
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")),
+          s"""{"metric":"total","value":$tot,"unit":"sec","reps":$reps,"agg":"min","queries":$det,"failed":$fl,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     val (results, failures) = runAll(spark, sfDir, benchQueries,
       isolate = !sys.env.get("GRAFT_BENCH_ISOLATE").contains("0"),
-      trace = trace, reps = reps)
-    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+      trace = trace, reps = reps,
+      onProgress = (res, fails) => writeDetail(res, fails))
     val total = ms(if (results.nonEmpty) results.values.map(_.sec).sum else 0.0)
     // The harness keeps only the last ~2000 chars of stdout, so the JSON
     // line must stay short — at 161 queries the full per-query map
@@ -199,20 +230,7 @@ object Bench {
     val planLine = shown.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":\"" + v.jobs + "/" + v.stages + "\""
       }.mkString("{", ",", "}")
-    val detail = results.map { case (k, v) =>
-      "\"" + k + "\":{\"sec\":" + v.sec + ",\"jobs\":" + v.jobs +
-        ",\"stages\":" + v.stages +
-        ",\"reps\":" + v.repSecs.map(ms).mkString("[", ",", "]") +
-        ",\"at\":" + ms(v.at) + "}"
-    }.mkString("{", ",", "}")
-    def qstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val failed = failures.map { case (k, v) => qstr(k) + ":" + qstr(v) }
-      .mkString("{", ",", "}")
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")),
-        s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","queries":$detail,"failed":$failed,"sf":"$sfDir"}""".getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    writeDetail(results, failures)
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"agg":"min","queries":$qs,"plan":$planLine,"sf":"$sfDir"}""")
     spark.stop()
   }

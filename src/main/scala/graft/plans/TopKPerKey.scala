@@ -68,11 +68,19 @@ object TopKPerKey {
   /** Map-side pruning: keeps at most k rows per key per partition —
     * every row it drops is beaten by ≥ k same-key rows in the same
     * partition, so the global top k per key is untouched. Memory is
-    * capped: at most `graft.topk.maxPartialKeys` heaps per partition
-    * (default 131072); rows for keys beyond the cap pass through
-    * UNPRUNED — still correct (FinalTopKExec ranks and cuts), just
-    * without the shuffle saving for the overflow keys. Partial pruning
-    * is an optimization, never a correctness dependency. */
+    * capped by a ROW budget, not a key count: at most
+    * `graft.topk.maxPartialRows` retained rows per partition (default
+    * 2^20 ≈ 100 MB of UnsafeRows), i.e. maxRows/k heaps (a
+    * `graft.topk.maxPartialKeys` ceiling still applies); rows for keys
+    * beyond the cap pass through UNPRUNED — still correct
+    * (FinalTopKExec ranks and cuts), just without the shuffle saving
+    * for the overflow keys. Partial pruning is an optimization, never
+    * a correctness dependency. The row budget matters at wide k: the
+    * old key-count-only cap (131072 heaps) retained keys×k rows — at
+    * k = 40 that is 5.2 M row copies PER PARTITION, which OOM'd the
+    * 100× decade bench (x134's 2K-capped adjacency build) across 32
+    * concurrent partitions; a budget in rows makes the footprint
+    * independent of k, exactly like a hash aggregate's. */
   final case class PartialTopKExec(
       keys: Seq[Attribute],
       order: Seq[SortOrder],
@@ -88,7 +96,11 @@ object TopKPerKey {
       val keyExprs = keys
       val sortOrder = order
       val limit = k
-      val maxKeys = conf.getConfString("graft.topk.maxPartialKeys", "131072").toInt
+      val maxRows = conf.getConfString("graft.topk.maxPartialRows",
+        (1 << 20).toString).toInt
+      val maxKeys = math.min(
+        conf.getConfString("graft.topk.maxPartialKeys", "131072").toInt,
+        math.max(1024, maxRows / math.max(1, k)))
       child.execute().mapPartitions({ iter =>
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
         val ord = RowOrdering.create(sortOrder, childOutput)

@@ -78,6 +78,25 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.set("graft.topk.maxPartialKeys", "131072")
   }
 
+  test("row budget caps heap count at wide k; output unchanged") {
+    import spark.implicits._
+    // the 100x lesson: memory must be bounded in ROWS (keys×k), not
+    // keys — at k=40 the old key-count cap retained 5.2M rows per
+    // partition. The floor is 1024 keys, so 2000 keys with a 1-row
+    // budget exercises the overflow pass-through at wide k.
+    spark.conf.set("graft.topk.maxPartialRows", "1")
+    try {
+      val df = (0L until 2000L).flatMap(key =>
+        (0L until 3L).map(j => (key, key * 3 + j, (j * 17 % 7).toDouble)))
+        .toDF("key", "id", "v").repartition(4)
+      val native = TopKPerKey.topKDesc(df, Seq("key"), "v", Seq("id"), 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      val win = windowForm(df, "key", "v", "id", 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(native == win && native.size == 4000)
+    } finally spark.conf.unset("graft.topk.maxPartialRows")
+  }
+
   test("float/double grouping keys route to the window form (-0.0 == 0.0)") {
     import spark.implicits._
     // native path would bypass NormalizeFloatingNumbers: -0.0 and 0.0
