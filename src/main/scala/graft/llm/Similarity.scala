@@ -1833,9 +1833,20 @@ object Similarity {
   /** x134's body: per construction degree K, a fresh 3-round NN-Descent
     * graph (nndescentEdgesOn with k = K — same seeds/cap/fold algebra
     * as the standing index, only the degree knob moved), its own 2K
-    * ρ-capped undirected adjacency, the standard hops=2/B=5/E=8 walk
-    * from the SAME entry seeds every layer-0 walk uses, and a dual
-    * grade (recall@5 and recall@10) against the shared exact tier.
+    * ρ-capped undirected adjacency, the standard hops=2/B=5/E=8 walk,
+    * and a dual grade (recall@5 and recall@10).
+    *
+    * The sweep builds on a TUNING SLICE, not the corpus: a
+    * deterministic 1/10 sample (vec_id % 10) under dense rank ids
+    * (nndescentEdgesOn's modular hash seeding needs a dense domain —
+    * x129's coarse-layer move). Index construction is self-averaging,
+    * so the K-ordering measured on the slice is the corpus's ordering
+    * at a tenth of the triple-build cost — this is how construction
+    * parameters are tuned in practice at 100 TB (on a sample, never by
+    * building three full-corpus indexes). The grade's ground truth is
+    * the slice's OWN exact top-k: the walk can only ever answer from
+    * the slice, so grading against full-corpus truth would cap recall
+    * at the sampling rate and erase the K-signal the sweep measures.
     * The per-K graphs are one-query temporaries, deliberately NOT
     * shared tiers: the sweep is an index-construction tuning report an
     * operator runs once per corpus to PICK the standing degree, not a
@@ -1856,22 +1867,46 @@ object Similarity {
     val sq = withSq(s, dir)
     val probes = sq.filter(QuerySet)
       .selectExpr("vec_id as src", "embedding as ea", "sq as sa")
-    val truth = exactTopk(s, dir)
-      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
-        col("rk").as("erk"))
-    val nRow = sq.agg(count(lit(1)).as("nc"))
-    // the walk's entry seeds are graph-independent — identical text to
-    // beamWalkTrace's, shared across the three degrees by construction
+    val s10 = graft.queries.ExactRank.withGlobalRank(
+        sq.filter("vec_id % 10 = 0"), Seq(col("vec_id")))
+      .selectExpr("rank - 1 as vec_id", "vec_id as orig_id",
+        "embedding", "sq")
+      .localCheckpoint() // shared by all three legs — force once
+    val s10c = s10.select("vec_id", "embedding", "sq")
+    // a probe divisible by 10 meets its own vector in the slice: the
+    // self hit is dropped on BOTH sides (truth here, answers below)
+    val smap = s10.selectExpr("vec_id as dst", "orig_id")
+    val truth = graft.plans.TopKPerKey.topKDesc(
+        s10.selectExpr("vec_id as dst", "orig_id", "embedding as eb",
+            "sq as sb")
+          .crossJoin(broadcast(probes))
+          .filter(col("orig_id") =!= col("src"))
+          .selectExpr("src", "dst", s"${sCosIn(s)} as cos_sim"),
+        Seq("src"), "cos_sim", Seq("dst"), TopK)
+      .select(col("src"), col("dst"), col("rk").as("erk"))
+      .localCheckpoint()
+    val nRow = s10c.agg(count(lit(1)).as("nc"))
+    // the walk's entry seeds are graph-independent — one frame shared
+    // across the three degrees. hash % |slice| in the DENSE domain:
+    // src is an original id, dst a dense slice index, so there is no
+    // self-avoid case (identity is not equality across domains —
+    // x129's coarse entries)
     val entries = probes.select(col("src")).crossJoin(broadcast(nRow))
       .selectExpr("src",
         s"explode(transform(sequence(1, 8), j -> " +
-          s"${sH("concat(src, ':entry:', j)")} % nc)) as d0", "nc")
-      .selectExpr("src",
-        "case when d0 = src then (d0 + 1) % nc else d0 end as dst")
+          s"${sH("concat(src, ':entry:', j)")} % nc)) as dst")
       .distinct()
       .localCheckpoint() // shared by all three legs — force once
+    // sc.setJobGroup is thread-local: without re-pinning it inside
+    // each Future the legs' jobs escape Bench's per-query group and
+    // BENCH_DETAIL undercounts x134's jobs/stages
+    val jobGroup = s.sparkContext.getLocalProperty("spark.jobGroup.id")
+    val jobDesc = s.sparkContext.getLocalProperty("spark.job.description")
     val legs = Seq(5, 10, 20).map { k => Future {
-      val edges = nndescentEdgesOn(s, sq, iters = 3, k = k)
+      if (jobGroup != null)
+        s.sparkContext.setJobGroup(jobGroup,
+          if (jobDesc == null) jobGroup else jobDesc)
+      val edges = nndescentEdgesOn(s, s10c, iters = 3, k = k)
       val udRaw = edges.select("src", "dst").unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       // ρ-cap at THIS graph's 2K (the structural per-hop bound scales
@@ -1880,9 +1915,13 @@ object Similarity {
         udRaw.selectExpr("src", "dst",
           s"${sH("concat(src, ':', dst)")} as hk"),
         Seq("src"), "hk", Seq("dst"), 2 * k).select("src", "dst")
-      val visited = walkFrom(s, sq, ud, probes, entries, hops = 2, b = 5)
-      graft.plans.TopKPerKey.topKDesc(visited, Seq("src"), "cos",
-          Seq("dst"), TopK)
+      val visited = walkFrom(s, s10c, ud, probes, entries, hops = 2,
+        b = 5, excludeSelf = false)
+      graft.plans.TopKPerKey.topKDesc(
+          visited.join(broadcast(smap), "dst")
+            .filter(col("orig_id") =!= col("src"))
+            .select("src", "dst", "cos"),
+          Seq("src"), "cos", Seq("dst"), TopK)
         .join(truth, Seq("src", "dst"), "left")
         .agg(
           sum(when(col("rk") <= 5, 1L).otherwise(0L)).as("n5"),
@@ -2660,10 +2699,15 @@ object Similarity {
          |  ${dRound6("CAST(SUM(CAST(s AS DECIMAL(24,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS mean_silhouette,
          |  ${dRound6("CAST(SUM(CAST(sa AS DECIMAL(24,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS mean_dist
          |FROM sil GROUP BY cl ORDER BY cluster_id""".stripMargin,
+    // `ct` MUST be MATERIALIZED: DuckDB 1.0 inlines a CTE once per
+    // reference, and ct is read 4× — without the hint the whole Lloyd
+    // replay behind `fin` is duplicated per reference and the 32-thread
+    // harness OOMs (the round-12 driver's 43-cell ERR cascade started
+    // exactly here). Same rows either way; this only pins the plan.
     "x112_cluster_purity" ->
       s"""WITH $dKm2Cte,
          |${dKmAsg("fin", "c2")},
-         |ct AS (SELECT f.cl, e.label, COUNT(*) AS n
+         |ct AS MATERIALIZED (SELECT f.cl, e.label, COUNT(*) AS n
          |       FROM fin f JOIN embeddings e USING (vec_id)
          |       GROUP BY f.cl, e.label),
          |nc AS (SELECT cl, SUM(n) AS n_c FROM ct GROUP BY cl),
@@ -3344,27 +3388,30 @@ object Similarity {
        |ORDER BY beam""".stripMargin
   }
 
-  /** x134's oracle: three FULL construction chains (K ∈ {5, 10, 20},
-    * 3 local-join rounds — dNndChain's k/t knobs), each with its own
-    * 2K-capped adjacency and its own prefixed entry/walk chain (the
-    * entry text is identical across degrees — the seeds are graph-
-    * independent, exactly the Scala side's one shared `entries`
-    * frame), dual-graded at recall@5 and recall@10 against the shared
-    * exact list. */
+  /** x134's oracle: three construction chains (K ∈ {5, 10, 20}, 3
+    * local-join rounds — dNndChain's k/t knobs) on the 1/10 TUNING
+    * SLICE under dense ROW_NUMBER ids (the Scala side's ExactRank
+    * sample), each with its own 2K-capped adjacency and walk. The
+    * entry chain is emitted ONCE (seeds are graph-independent — the
+    * Scala side's one shared `entries` frame) and aliased into each
+    * leg's hop-0 CTE names; src is an original id and dst a dense
+    * slice index, so the walks run with the self-guard off and the
+    * grade drops orig_id = src rows on both the answer and truth
+    * sides (a probe divisible by 10 meets its own vector). Truth is
+    * the slice's OWN brute-force top-k (`sxt`) — see degreeSweep's
+    * doc for why full-corpus truth would erase the K-signal. */
   private def dX134Sql: String = {
     val e = 8; val b = 5; val h = 2
     val degrees = Seq(5, 10, 20)
-    val chains = degrees.zipWithIndex.map { case (k, i) =>
+    val chains = degrees.map { k =>
       val p = f"k$k%02d"
-      // chain 0 owns the shared corpus-count CTE name `n0` the entry
-      // seeding references; later chains get throwaway count names
-      val n0 = if (i == 0) "n0" else s"${p}n0"
       s""",
-         |${dNndChain("sq", n0, p, k = k, t = 3)},
+         |${dNndChain("s10", s"${p}n0", p, k = k, t = 3)},
          |${dUdCap(s"${p}e3", s"${p}ud", s"${p}udc", cap = 2 * k)},
-         |${dWalkEntries(e, b, p)}
-         |${dBeamHops(h, b, "sq", "vec_id", pfx = p, udcName = s"${p}udc")}"""
-        .stripMargin
+         |${p}v0 AS (SELECT * FROM swv0),
+         |${p}f0 AS (SELECT * FROM swf0)
+         |${dBeamHops(h, b, "sq", "vec_id", pfx = p, udcName = s"${p}udc",
+            dstTbl = "s10", excludeSelf = false)}""".stripMargin
     }.mkString
     val grades = degrees.map { k =>
       val p = f"k$k%02d"
@@ -3378,14 +3425,37 @@ object Similarity {
          |    CAST(SUM(CASE WHEN e.rk IS NOT NULL THEN 1 ELSE 0 END)
          |      AS BIGINT) AS n_hits_10
          |  FROM (SELECT src, dst, rk FROM (
-         |      SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
-         |        ORDER BY cos DESC, dst) AS rk FROM ${p}v$h WHERE src < 8)
+         |      SELECT v.src, v.dst, ROW_NUMBER() OVER (PARTITION BY v.src
+         |        ORDER BY v.cos DESC, v.dst) AS rk
+         |      FROM ${p}v$h v JOIN s10 m ON v.dst = m.vec_id
+         |      WHERE v.src < 8 AND m.orig_id <> v.src)
          |    WHERE rk <= $TopK) f
-         |  LEFT JOIN exact e
-         |    ON f.src = e.query_id AND f.dst = e.neighbor_id)""".stripMargin
+         |  LEFT JOIN sxt e ON f.src = e.src AND f.dst = e.dst)""".stripMargin
     }.mkString
-    s"""$dSq$chains
-       |, exact AS (SELECT query_id, neighbor_id, rk FROM ($dX11Sql))
+    s"""$dSq,
+       |s10 AS MATERIALIZED (SELECT
+       |       ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS vec_id,
+       |       vec_id AS orig_id, embedding, sq
+       |     FROM sq WHERE vec_id % 10 = 0),
+       |s10n AS (SELECT COUNT(*) AS nc FROM s10),
+       |swentq AS (SELECT vec_id, ${dH("concat(vec_id, ':entry:', j)")} % nc AS dst
+       |         FROM sq, s10n, UNNEST(range(1, $e + 1)) AS u(j)
+       |         WHERE vec_id < 8),
+       |swentp AS (SELECT DISTINCT vec_id AS src, dst FROM swentq),
+       |swv0 AS MATERIALIZED (SELECT src, dst, $dCos AS cos
+       |       FROM swentp JOIN sq a ON swentp.src = a.vec_id
+       |                   JOIN s10 b ON swentp.dst = b.vec_id),
+       |swf0 AS (SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rk FROM swv0) WHERE rk <= $b),
+       |sxt AS MATERIALIZED (SELECT src, dst, rk FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rk
+       |    FROM (SELECT a.vec_id AS src, b.vec_id AS dst, $dCos AS cos
+       |          FROM sq a JOIN s10 b ON b.orig_id <> a.vec_id
+       |          WHERE a.vec_id < 8))
+       |  WHERE rk <= $TopK)
+       |$chains
        |$grades
        |SELECT degree, n_answers_5, n_hits_5,
        |  ${dRound6("CAST(n_hits_5 AS DOUBLE) / CAST(n_answers_5 AS DOUBLE)")} AS recall_at_5,
