@@ -31,10 +31,19 @@ object TextAnalysis {
     * joins and aggregates less data. */
   private def docTf(s: SparkSession, dir: String): DataFrame =
     graft.queries.Shared.shared(s, dir, "doc_tf") {
-      docs(s, dir)
-        .selectExpr("doc_id", s"explode($sTokens) as token")
-        .filter(col("token") =!= "")
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      // the within-doc combine is fused into the scan (tokenize_tf's
+      // map<token,tf> IS the groupBy(doc_id, token) result), so the
+      // tier builds with NO shuffle at all — map keys are unique per
+      // row by construction
+      if (s.catalog.functionExists("tokenize_tf"))
+        docs(s, dir)
+          .selectExpr("doc_id", "explode(tokenize_tf(text)) as (token, tf)")
+          .filter(col("token") =!= "")
+      else // composable twin when the extension isn't installed
+        docs(s, dir)
+          .selectExpr("doc_id", s"explode($sTokens) as token")
+          .filter(col("token") =!= "")
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     }
 
   /** Per-source document counts — the mixture-planning base x31 and x41

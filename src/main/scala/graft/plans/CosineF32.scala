@@ -121,6 +121,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharClassCounts].getName, "charclass_counts"),
       (children: Seq[Expression]) => CharClassCounts(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("tokenize_tf"),
+      new ExpressionInfo(classOf[TokenizeTf].getName, "tokenize_tf"),
+      (children: Seq[Expression]) => TokenizeTf(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_bits"),
       new ExpressionInfo(classOf[BloomBitsAgg].getName, "bloom_bits"),
       (children: Seq[Expression]) => {

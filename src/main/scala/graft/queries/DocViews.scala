@@ -391,8 +391,14 @@ object DocViews {
     // must be bit-identical to the temp DataFrame catalog (the no-drift
     // pin, under the hash gate at every sf).
     "r85_persistent_view" -> { (s, dir) =>
+      // collision-proof scratch path: md5 of the FULL dir string (two
+      // dirs can share a 32-bit hashCode) plus the JVM pid, so two
+      // concurrent processes on the same corpus never overwrite each
+      // other's parquet under the other's registered views
+      val dirTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_r85_${Integer.toHexString(dir.hashCode)}").toString
+        s"graft_r85_${dirTag}_${ProcessHandle.current().pid()}").toString
       landing(s, dir).write.mode("overwrite").parquet(path)
       Views.registerAllPersistent(s, path, docSchema, db = "graft_r85")
       s.table("graft_r85.DOC").orderBy("DOCUMENT_ID")

@@ -222,16 +222,26 @@ object Relational {
           col("event_type"), col("value"))
         .orderBy(col("user_id"))
     },
-    // V6-style flatten applied to text: explode tokens → inverted-index
-    // term statistics. Two-phase aggregation instead of countDistinct:
-    // phase 1 keys on (token, doc_id) — high-cardinality, uniform — so
-    // the skewed 31-token key space only ever sees pre-aggregated rows
-    // (countDistinct's Expand plan funnels the raw explode through the
-    // hot keys; measured 11 s vs 2 s at a 10× corpus)
+    // V6-style flatten applied to text: inverted-index term statistics.
+    // The within-document combine is FUSED into the scan (tokenize_tf
+    // emits one map<token,tf> entry per distinct token per doc — the
+    // codegen'd twin of explode + groupBy(token, doc_id)), so the only
+    // aggregation keys directly on the vocabulary over per-doc
+    // pre-counts; the raw occurrence stream never leaves the row.
+    // countDistinct stays banished for the same reason as before: its
+    // Expand plan would funnel raw rows through the 31 hot token keys
+    // (measured 11 s vs 2 s at a 10× corpus).
     "r23_top_tokens" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .selectExpr("doc_id", "explode(split(trim(lower(text)), '\\\\s+')) as token")
-        .groupBy(col("token"), col("doc_id")).agg(cnt.as("n_in_doc"))
+      val base = t(s, dir, "documents")
+      val perDoc =
+        if (s.catalog.functionExists("tokenize_tf"))
+          base.selectExpr("doc_id",
+            "explode(tokenize_tf(text)) as (token, n_in_doc)")
+        else // composable twin when the extension isn't installed
+          base.selectExpr("doc_id",
+              "explode(split(trim(lower(text)), '\\\\s+')) as token")
+            .groupBy(col("token"), col("doc_id")).agg(cnt.as("n_in_doc"))
+      perDoc
         .groupBy(col("token"))
         .agg(sum(col("n_in_doc")).as("n"), cnt.as("n_docs"))
         .orderBy(col("n").desc, col("token"))
