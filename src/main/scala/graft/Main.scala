@@ -51,7 +51,8 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val pipeline = new SyncPipeline(spark,
+    lazy val pipeline = new SyncPipeline(spark, // lazy: verbs like
+      // compact_index take --corpus/--index-dir and no --landing
       sourceDir = opts.getOrElse("source", ""),
       landingPath = req("landing"),
       stateDir = opts.getOrElse("state", "."),
@@ -103,6 +104,19 @@ object Main {
       case "compact" =>
         pipeline.compact(opts.getOrElse("target-file-mb", "128").toInt)
         println("compacted")
+      case "compact_index" =>
+        // standing-index lifecycle closure: apply one delete+insert
+        // cycle to the resident kNN graph and INSTALL the compacted
+        // G′ = kept ∪ repaired ∪ inserted through Durable, so the next
+        // session walks the post-cycle graph instead of rebuilding.
+        // Batches come from parquet files (--deletes: vec_id;
+        // --inserts: vec_id, embedding) or default to the x131 cycle
+        // (mod-89 tombstones, mod-97 re-crawl batch).
+        val out = compactIndex(spark,
+          corpus = req("corpus"), indexDir = req("index-dir"),
+          deletes = opts.get("deletes"), inserts = opts.get("inserts"),
+          hops = opts.getOrElse("hops", "2").toInt)
+        println(out)
       case "jdbc_push" => // K2: landing store → external JDBC warehouse,
         // all-or-nothing per batch (sqlserver.go:92-200 semantics)
         val p = new java.util.Properties
@@ -117,11 +131,44 @@ object Main {
     spark.stop()
   }
 
+  /** `compact_index`'s testable body: compute the compacted standing
+    * graph and install it as the durable `nnd_edges_compacted` tier
+    * under `indexDir`. Returns a one-line human summary (segment
+    * counts + installed path). */
+  private[graft] def compactIndex(spark: SparkSession, corpus: String,
+      indexDir: String, deletes: Option[String], inserts: Option[String],
+      hops: Int): String = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val vict = deletes match {
+      case Some(p) => broadcast(
+        spark.read.parquet(p).select(col("vec_id").as("v")).localCheckpoint())
+      case None => graft.llm.Similarity.defaultVictims(spark, corpus)
+    }
+    val batch = inserts match {
+      case Some(p) => spark.read.parquet(p)
+        .selectExpr("vec_id as src", "embedding as ea",
+          "aggregate(zip_with(embedding, embedding, (x, y) -> " +
+            "cast(x as double) * cast(y as double)), cast(0 as double), " +
+            "(acc, t) -> acc + t) as sa")
+        .localCheckpoint()
+      case None => graft.llm.Similarity.defaultInsertBatch(spark, corpus)
+    }
+    val g = graft.llm.Similarity
+      .compactedEdges(spark, corpus, vict, batch, hops)
+      .localCheckpoint() // one computation: counted below AND installed
+    val counts = g.groupBy("segment").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    val path = graft.queries.Durable.install(spark, indexDir, corpus,
+      "nnd_edges_compacted", "v1", g)
+    s"compacted standing graph installed at $path ($counts)"
+  }
+
   private def usage(): Unit = System.err.println(
-    "usage: graft.Main sync|push|clone|create_views|prune|compact|jdbc_push|gen|config|version " +
+    "usage: graft.Main sync|push|clone|create_views|prune|compact|compact_index|jdbc_push|gen|config|version " +
       "--source DIR | --url URL [--user U --password P --limit N] " +
       "--landing DIR --state DIR [--schema FILE] " +
       "[--hide-inactive-fields true|false] [--persistent-db DB] " +
       "[--wait SECONDS] [--chunk-size N] [--target-file-mb N] " +
-      "[--jdbc-url URL --jdbc-table T --jdbc-driver CLASS]")
+      "[--jdbc-url URL --jdbc-table T --jdbc-driver CLASS] " +
+      "[--corpus DIR --index-dir DIR [--deletes FILE --inserts FILE --hops N]]")
 }

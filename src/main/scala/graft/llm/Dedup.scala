@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.queries.Shared
+import graft.queries.{Durable, Shared}
 import graft.queries.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -163,7 +163,7 @@ object Dedup {
       // no shuffle. The persist boundary stops projection collapse from
       // inlining (and so re-evaluating) minhash16 into all 16 columns;
       // shared because x06, x07 and x35 all consume the signatures.
-      Shared.shared(s, dir, "minhash_ms") {
+      Durable.tier(s, dir, "minhash_ms", "v1-s16") {
         shingled(s, dir).selectExpr("doc_id", "minhash16(shs) as ms")
       }
         .selectExpr("doc_id" +:
@@ -234,7 +234,7 @@ object Dedup {
     * shape that scales: no per-row megaloop, so a document with 10^6
     * shingles costs the same per-element work as a small one. */
   private def simhashed(s: SparkSession, dir: String): DataFrame =
-      Shared.shared(s, dir, "simhashed") {
+      Durable.tier(s, dir, "simhashed", "v1-b60") {
     if (s.catalog.functionExists("simhash60"))
       // fused native form: narrow map, no shuffle until the chunk join
       shingled(s, dir)
@@ -1029,7 +1029,7 @@ object Dedup {
     * over ordered 3-gram hashes). Shared tier: the x93 candidate scan
     * and payload verify both read it, one cached copy. */
   private def winnowFps(s: SparkSession, dir: String): DataFrame =
-    Shared.shared(s, dir, "winnow_fps") {
+    Durable.tier(s, dir, "winnow_fps", "v1-w4g3") {
       t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .selectExpr("doc_id",
@@ -1077,7 +1077,7 @@ object Dedup {
     * (`Streaming.nearDupGateStream`) and the self-join recall arm
     * reads. Shared tier: built once per corpus. */
   private[graft] def lshBands(s: SparkSession, dir: String): DataFrame =
-    Shared.shared(s, dir, "lsh_bands") {
+    Durable.tier(s, dir, "lsh_bands", "v1-b4") {
       signatures(s, dir).selectExpr("doc_id",
         s"posexplode(array(${(0 until 4).map(sBandHash).mkString(", ")})) as (bi, bh)")
     }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.queries.Shared
+import graft.queries.{Durable, Shared}
 import graft.queries.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -40,6 +40,16 @@ object Similarity {
   private val QuerySet = "vec_id < 8"
   private val TopK = 10
 
+  /** Standing-index construction degree. Round 12's x134 sweep measured
+    * the recall plateau as a K-bound of the graph (recall@10
+    * 0.20→0.36→0.61 for K = 5→10→20 on the tuning slice), so the
+    * standing graph now sits at the K=10 operating point: ~4× the
+    * construction pairs (≤ N·C(2K,2) per local-join round — still
+    * linear in N) buys a materially higher walk ceiling for every
+    * reader (x121/x124/x126/x127/x129/x131/x132). Must stay equal to
+    * the oracle side's [[NndK]]. */
+  private val GraphK = 10
+
   /** x116 per-cluster sample budget — fixed at any corpus size (the
     * balanced-sampling contract: the epoch mix, not the corpus, sets
     * the budget). */
@@ -69,7 +79,7 @@ object Similarity {
     * decimal means per dim, assembled in dim order — identical values
     * in Spark and DuckDB, so centroid-based plans stay oracle-exact. */
   private def centroids(s: SparkSession, dir: String): DataFrame =
-    Shared.shared(s, dir, "centroids") {
+    Durable.tier(s, dir, "centroids", "v1") {
       t(s, dir, "embeddings")
         .selectExpr("label", "posexplode(embedding) as (dim, v)")
         .groupBy("label", "dim")
@@ -86,7 +96,7 @@ object Similarity {
     * the label centroids stand in for the IVF coarse quantizer in x17).
     * Means are exact decimals ⇒ identical across engines. */
   private[graft] def pqCodebook(s: SparkSession, dir: String): DataFrame =
-    Shared.shared(s, dir, "pqCodebook") {
+    Durable.tier(s, dir, "pqCodebook", "v1-ss8") {
       t(s, dir, "embeddings")
         .selectExpr("label", "posexplode(embedding) as (dim, v)")
         .groupBy(col("label"), col("dim"))
@@ -107,7 +117,7 @@ object Similarity {
     * oracle's ORDER BY cosc DESC, clabel tie-break (double negation is
     * an exact sign flip). */
   private[graft] def ivfTop2(s: SparkSession, dir: String): DataFrame =
-    Shared.shared(s, dir, "ivf_top2") {
+    Durable.tier(s, dir, "ivf_top2", "v1-r4") {
       val cent = centroids(s, dir)
       val dotExpr =
         if (s.catalog.functionExists("dot_f32f64")) "dot_f32f64(embedding, cv)"
@@ -125,7 +135,7 @@ object Similarity {
     * broadcast cross-join with the 80-row codebook, collapsed
     * immediately by a map-side min-struct aggregation. */
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
-    Shared.shared(s, dir, "pq_codes") {
+    Durable.tier(s, dir, "pq_codes", "v1-ss8") {
       t(s, dir, "embeddings")
         .crossJoin(broadcast(pqCodebook(s, dir)))
         .selectExpr("vec_id", "ss", "clabel", s"${sSubDist(s)} as d2")
@@ -254,7 +264,7 @@ object Similarity {
     * x102's truncation eval both grade against it — one cached copy
     * instead of three brute-force corpus scans. */
   private def exactTopk(s: SparkSession, dir: String): DataFrame =
-    Shared.shared(s, dir, "exact_topk") {
+    Durable.tier(s, dir, "exact_topk", s"v1-k$TopK") {
       val corpus = withSq(s, dir)
       val probes = corpus.filter(QuerySet)
         .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
@@ -1631,7 +1641,7 @@ object Similarity {
     * hit-flagged against the exact tier. */
   private def gradeWalk(s: SparkSession, dir: String,
       visited: DataFrame): DataFrame = {
-    val K = 5
+    val K = GraphK
     val truth = exactTopk(s, dir).filter(s"rk <= $K")
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
         lit(true).as("hit0"))
@@ -1670,7 +1680,7 @@ object Similarity {
           "embedding", "sq")
     }
     val l1c = l1.select("vec_id", "embedding", "sq")
-    val l1edges = Shared.shared(s, dir, "nnd_l1")(
+    val l1edges = Durable.tier(s, dir, "nnd_l1", s"v1-k$GraphK-t2")(
       nndescentEdgesOn(s, l1c, iters = 2))
     val ud1 = cappedUd(s, dir, l1edges, "nnd_l1_ud")
     val probes = withSq(s, dir).filter(QuerySet)
@@ -1753,8 +1763,8 @@ object Similarity {
     * keeps its own "nnd_l1_ud". */
   private def cappedUd(s: SparkSession, dir: String,
       edges: DataFrame, tier: String): DataFrame = {
-    val cap = 2 * 5
-    Shared.shared(s, dir, tier) {
+    val cap = 2 * GraphK
+    Durable.tier(s, dir, tier, s"v1-cap${2 * GraphK}") {
       val udRaw = edges.select("src", "dst").unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       graft.plans.TopKPerKey.topKDesc(
@@ -1948,7 +1958,7 @@ object Similarity {
     * |probes|·hops·B·2K scorings — corpus-independent. */
   private[graft] def insertEdges(s: SparkSession, dir: String,
       probes: DataFrame, hops: Int): DataFrame = {
-    val K = 5
+    val K = GraphK
     val visited = beamWalk(s, dir, probes, hops)
     graft.plans.TopKPerKey.topKDesc(visited, Seq("src"), "cos",
         Seq("dst"), K)
@@ -1977,12 +1987,29 @@ object Similarity {
     * connections). All victim-side frames are |victims|·K-sized and
     * broadcast; the standing graph is filtered map-side; only the
     * |damaged|·K bridge candidates pay a payload join. */
-  private[graft] def graphDelete(s: SparkSession, dir: String): DataFrame = {
-    val K = 5
-    val edges = nndescentEdges(s, dir, iters = 2)
-    val vict = broadcast(
+  private[graft] def graphDelete(s: SparkSession, dir: String): DataFrame =
+    deleteRepairEdges(s, dir, defaultVictims(s, dir)).orderBy("node", "rk")
+
+  /** x131/x127's deterministic tombstone set (vec_id % 89 — disjoint
+    * from the % 97 insert batch and x115's re-crawl convention),
+    * broadcast-sized by construction. */
+  private[graft] def defaultVictims(s: SparkSession, dir: String): DataFrame =
+    broadcast(
       withSq(s, dir).filter("vec_id % 89 = 0").select(col("vec_id").as("v"))
         .localCheckpoint())
+
+  /** The x124 insert batch (vec_id % 97, re-crawled under +1e9 ids) as
+    * a probe frame (src, ea, sa) — the default cycle the CLI compaction
+    * verb replays when no batch files are given. */
+  private[graft] def defaultInsertBatch(s: SparkSession, dir: String): DataFrame =
+    withSq(s, dir).filter("vec_id % 97 = 0")
+      .selectExpr("vec_id + 1000000000 as src", "embedding as ea",
+        "sq as sa").localCheckpoint()
+
+  private def deleteRepairEdges(s: SparkSession, dir: String,
+      vict: DataFrame): DataFrame = {
+    val K = GraphK
+    val edges = nndescentEdges(s, dir, iters = 2)
     // surviving edges: neither endpoint tombstoned (two map-side
     // anti probes of the broadcast victim set — the graph never
     // shuffles for the delete itself)
@@ -2013,7 +2040,39 @@ object Similarity {
         Seq("dst"), K)
       .selectExpr("src as node", "cast(rk as bigint) as rk",
         "dst as neighbor_id", "cos as cos_sim", "is_bridge")
-      .orderBy("node", "rk")
+  }
+
+  /** The compacted standing graph G′ after one delete+insert cycle —
+    * x131's kept ∪ repaired ∪ inserted segments AS AN EDGE LIST
+    * (segment, src, dst, cos), the structure the `compact_index` CLI
+    * verb installs through [[graft.queries.Durable]] so the next
+    * session walks the post-cycle graph instead of rebuilding from
+    * scratch. `vict` = (v) tombstoned ids (broadcast-sized), `inserts`
+    * = (src, ea, sa) the cycle's new vectors. Cost shape is the
+    * lifecycle's: the standing graph is filtered map-side against the
+    * broadcast victim set; repair pays |damaged|·K bridge scorings;
+    * insertion pays |batch|·hops·B·2K walk scorings — never corpus
+    * work. */
+  private[graft] def compactedEdges(s: SparkSession, dir: String,
+      vict: DataFrame, inserts: DataFrame, hops: Int = 2): DataFrame = {
+    val edges = nndescentEdges(s, dir, iters = 2)
+    val surv = edges
+      .join(vict, col("src") === col("v"), "left_anti")
+      .join(vict, col("dst") === col("v"), "left_anti")
+    val damaged = edges
+      .join(vict, col("src") === col("v"), "left_anti")
+      .join(vict, col("dst") === col("v"), "left_semi")
+      .select("src").distinct()
+    val kept = surv.join(damaged, Seq("src"), "left_anti")
+      .selectExpr("'kept' as segment", "src", "dst", "cos")
+    val repaired = deleteRepairEdges(s, dir, vict)
+      .selectExpr("'repaired' as segment", "node as src",
+        "neighbor_id as dst", "cos_sim as cos")
+    val inserted = insertEdges(s, dir, inserts, hops)
+      .join(vict, col("neighbor_id") === col("v"), "left_anti")
+      .selectExpr("'inserted' as segment", "new_id as src",
+        "neighbor_id as dst", "cos_sim as cos")
+    kept.unionByName(repaired).unionByName(inserted)
   }
 
   /** x131's body: the lifecycle segments and their audit. `kept` =
@@ -2023,29 +2082,10 @@ object Similarity {
     * edge landing on a victim (insert and delete run in the same
     * cycle). Mean cosine is decimal-accumulated over the 6-dp-rounded
     * edge scores, so the audit is bit-exact cross-engine. */
-  private[graft] def graphLifecycle(s: SparkSession, dir: String): DataFrame = {
-    val edges = nndescentEdges(s, dir, iters = 2)
-    val vict = broadcast(
-      withSq(s, dir).filter("vec_id % 89 = 0").select(col("vec_id").as("v"))
-        .localCheckpoint())
-    val surv = edges
-      .join(vict, col("src") === col("v"), "left_anti")
-      .join(vict, col("dst") === col("v"), "left_anti")
-    val damaged = edges
-      .join(vict, col("src") === col("v"), "left_anti")
-      .join(vict, col("dst") === col("v"), "left_semi")
-      .select("src").distinct()
-    val kept = surv.join(damaged, Seq("src"), "left_anti")
-      .selectExpr("'kept' as segment", "src as node", "cos")
-    val repaired = graphDelete(s, dir)
-      .selectExpr("'repaired' as segment", "node", "cos_sim as cos")
-    val probes = withSq(s, dir).filter("vec_id % 97 = 0")
-      .selectExpr("vec_id + 1000000000 as src", "embedding as ea",
-        "sq as sa").localCheckpoint()
-    val inserted = insertEdges(s, dir, probes, hops = 2)
-      .join(vict, col("neighbor_id") === col("v"), "left_anti")
-      .selectExpr("'inserted' as segment", "new_id as node", "cos_sim as cos")
-    kept.unionByName(repaired).unionByName(inserted)
+  private[graft] def graphLifecycle(s: SparkSession, dir: String): DataFrame =
+    compactedEdges(s, dir, defaultVictims(s, dir),
+        defaultInsertBatch(s, dir), hops = 2)
+      .selectExpr("segment", "src as node", "cos")
       .groupBy("segment")
       .agg(countDistinct(col("node")).as("n_nodes"),
         count(lit(1)).as("n_edges"),
@@ -2055,7 +2095,6 @@ object Similarity {
       .selectExpr("segment", "n_nodes", "n_edges",
         sRound6("m0") + " as mean_cos", "min_cos", "max_cos")
       .orderBy("segment")
-  }
 
   /** x128's body: Gonzalez greedy k-center over exact cosine distance
     * (1 − rounded cosine — the 6-dp decimal contract, so argmax ties
@@ -2129,7 +2168,8 @@ object Similarity {
   private[graft] def nndescentEdges(
       s: SparkSession, dir: String, iters: Int): DataFrame =
     if (iters == 2)
-      Shared.shared(s, dir, "nnd_edges")(nndescentEdgesBuild(s, dir, iters))
+      Durable.tier(s, dir, "nnd_edges", s"v1-k$GraphK-t2")(
+        nndescentEdgesBuild(s, dir, iters))
     else nndescentEdgesBuild(s, dir, iters)
 
   private def nndescentEdgesBuild(
@@ -2143,7 +2183,7 @@ object Similarity {
     * dense domain: `hash % n` must land on an existing vector). */
   private def nndescentEdgesOn(
       s: SparkSession, corpus: DataFrame, iters: Int,
-      k: Int = 5): DataFrame = {
+      k: Int = GraphK): DataFrame = {
       val K = k; val T = iters; val R = 2 * K
       val sq = corpus
       val nRow = sq.agg(count(lit(1)).as("nc"))
@@ -2189,7 +2229,7 @@ object Similarity {
     * rounds (iters = 0 grades the raw hash-seeded init). */
   private[graft] def nndescentGraph(
       s: SparkSession, dir: String, iters: Int): DataFrame = {
-      val K = 5
+      val K = GraphK
       val edges = nndescentEdges(s, dir, iters)
       val truth = exactTopk(s, dir).filter(s"rk <= $K")
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
@@ -2943,7 +2983,7 @@ object Similarity {
   // `final val` with a literal is a compile-time constant (inlined at
   // use sites), immune to object-init order: the eagerly-initialized
   // `oracleSql` val above reads these before this line would run.
-  private final val NndK = 5
+  private final val NndK = 10
   private final val NndT = 2
 
   /** The NN-Descent construction CTE chain (ends at `e{NndT}`, the
@@ -3124,7 +3164,7 @@ object Similarity {
        |udc AS MATERIALIZED (SELECT src, dst FROM (
        |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
        |      ORDER BY ${dH("concat(src, ':', dst)")} DESC, dst) AS rn
-       |    FROM ud) WHERE rn <= 10),
+       |    FROM ud) WHERE rn <= ${2 * NndK}),
        |bat AS MATERIALIZED (SELECT vec_id + 1000000000 AS src, embedding, sq
        |       FROM sq WHERE vec_id % 97 = 0),
        |entq AS (SELECT src, nc, ${dH("concat(src, ':entry:', j)")} % nc AS d0

@@ -1,0 +1,147 @@
+package graft.queries
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Durable standing-index tiers: the expensive cross-query structures
+  * (the NN-Descent edge list and its capped adjacency, IVF routing,
+  * PQ codebook/codes, the fingerprint/band stores) persisted as
+  * parquet keyed by (corpus dir, tier key, builder version), loaded
+  * instead of rebuilt when fresh.
+  *
+  * Rationale: [[Shared]] memoizes these per SESSION, so every new
+  * session rebuilds every index from scratch. At 100 TB the index IS
+  * the asset — construction is hours of cluster work, and a session
+  * restart must not discard it. This layer is the same move the r85
+  * persistent catalog views made for the relational surface, applied
+  * to the index tiers.
+  *
+  * Storage root: `spark.graft.indexDir` conf, else the
+  * `GRAFT_INDEX_DIR` environment variable. UNSET ⇒ the layer is
+  * transparent (exact [[Shared.shared]] behavior — build in-session,
+  * cache in-session); nothing about the verified query surface changes
+  * unless an operator opts in. On a cluster the root would be shared
+  * storage (S3/HDFS); locally it is a directory.
+  *
+  * Layout: `<root>/<md5(corpusDir)>/<key>__<version>/` holding the
+  * tier parquet plus `_graft_meta.json` with the corpus fingerprint
+  * (name, length, mtime of every parquet file directly under the
+  * corpus dir). Freshness = fingerprint equality: any corpus rewrite
+  * (new files, appended batch, compaction) invalidates every tier of
+  * that corpus at the next load. `version` carries the builder
+  * parameters (e.g. `k10-t2` for the graph) so a parameter bump never
+  * reads a stale structure built under the old algebra.
+  *
+  * Writes are atomic per tier: build → write parquet to `<dir>.tmp-N`
+  * → move into place (directory rename; readers either see the old
+  * complete tier or the new complete tier). The builds themselves are
+  * deterministic (hash-seeded, decimal-rounded, deterministic
+  * tie-breaks), so a concurrent double-build converges to identical
+  * bytes and last-rename-wins is safe.
+  */
+object Durable {
+
+  /** Per-key load outcome counters, for specs and ops visibility:
+    * key → (diskHits, builds). */
+  val stats = new ConcurrentHashMap[String, (Long, Long)]()
+
+  private def bump(key: String, hit: Boolean): Unit =
+    stats.merge(key, if (hit) (1L, 0L) else (0L, 1L),
+      (a, b) => (a._1 + b._1, a._2 + b._2))
+
+  def root(s: SparkSession): Option[String] = {
+    val conf = s.conf.getOption("spark.graft.indexDir")
+      .orElse(sys.env.get("GRAFT_INDEX_DIR"))
+    conf.filter(_.nonEmpty)
+  }
+
+  private def md5(x: String): String =
+    MessageDigest.getInstance("MD5").digest(x.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Corpus fingerprint: every parquet file directly under `dir`
+    * (the same immutability contract [[Tables.t]] caches under). */
+  private[graft] def fingerprint(dir: String): String = {
+    val d = new File(dir)
+    val files = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("\n")
+  }
+
+  private def tierDir(rootDir: String, corpus: String, key: String,
+      version: String): Path =
+    Paths.get(rootDir, md5(new File(corpus).getAbsolutePath),
+      s"${key}__$version")
+
+  /** The durable tier: memoized in-session via [[Shared.shared]] (one
+    * cached plan per session, selective eviction preserved), loaded
+    * from the index root when a fresh copy exists, built + persisted
+    * to the root otherwise. With no root configured this IS
+    * `Shared.shared(s, dir, key)(build)`. */
+  def tier(s: SparkSession, dir: String, key: String, version: String)(
+      build: => DataFrame): DataFrame =
+    root(s) match {
+      case None => Shared.shared(s, dir, key)(build)
+      case Some(r) =>
+        Shared.shared(s, dir, key) { loadOrBuild(s, r, dir, key, version)(build) }
+    }
+
+  private def loadOrBuild(s: SparkSession, rootDir: String, dir: String,
+      key: String, version: String)(build: => DataFrame): DataFrame = {
+    val td = tierDir(rootDir, dir, key, version)
+    val meta = td.resolve("_graft_meta.json")
+    val fp = fingerprint(dir)
+    if (Files.isRegularFile(meta) &&
+        new String(Files.readAllBytes(meta), StandardCharsets.UTF_8) == fp) {
+      bump(key, hit = true)
+      s.read.parquet(td.resolve("data.parquet").toString)
+    } else {
+      bump(key, hit = false)
+      val df = build
+      write(s, df, td, fp)
+      s.read.parquet(td.resolve("data.parquet").toString)
+    }
+  }
+
+  /** Atomic tier write: parquet to a tmp sibling, fingerprint meta
+    * alongside, then directory move into place. Also the write path
+    * the `compact_index` CLI verb uses to install a compacted graph. */
+  def write(s: SparkSession, df: DataFrame, td: Path, fp: String): Unit = {
+    Files.createDirectories(td.getParent)
+    val tmp = td.getParent.resolve(
+      td.getFileName.toString + ".tmp-" + ProcessHandle.current().pid())
+    deleteRecursive(tmp)
+    df.write.mode("overwrite").parquet(tmp.resolve("data.parquet").toString)
+    Files.write(tmp.resolve("_graft_meta.json"),
+      fp.getBytes(StandardCharsets.UTF_8))
+    deleteRecursive(td)
+    try Files.move(tmp, td, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, td) }
+  }
+
+  /** Install `df` as tier (dir, key, version) regardless of current
+    * freshness — the compaction verb's entry point. Returns the tier
+    * path. */
+  def install(s: SparkSession, rootDir: String, dir: String, key: String,
+      version: String, df: DataFrame): String = {
+    val td = tierDir(rootDir, dir, key, version)
+    write(s, df, td, fingerprint(dir))
+    // a session that already memoized the old tier must see the new one
+    Shared.invalidate(dir)
+    td.toString
+  }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+}

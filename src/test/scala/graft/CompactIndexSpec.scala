@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions.col
+
+/** `compact_index` (round 13): the lifecycle loop closes in OPERATIONS,
+  * not just in queries — one delete+insert cycle's compacted graph
+  * G′ = kept ∪ repaired ∪ inserted is computed by the CLI verb's body
+  * and INSTALLED as a durable tier, and a beam walk over the installed
+  * copy is bit-identical to walking the in-memory compaction. Also
+  * ties the edge list to x131's audit (same segments, same counts). */
+class CompactIndexSpec extends SparkSpec {
+
+  private lazy val root = Files.createTempDirectory("graft_index_ci").toString
+
+  test("compactIndex installs G' as a durable tier; segments match x131's audit") {
+    val out = Main.compactIndex(spark, corpus = sf001, indexDir = root,
+      deletes = None, inserts = None, hops = 2)
+    assert(out.contains("nnd_edges_compacted"), out)
+    // read the installed tier back off disk
+    val tierDir = Files.list(java.nio.file.Paths.get(root)).iterator().next()
+    val g = spark.read.parquet(s"$tierDir/nnd_edges_compacted__v1/data.parquet")
+    assert(g.columns.sorted.sameElements(Array("cos", "dst", "segment", "src")))
+    // segment counts must equal x131's audit rows (n_edges per segment)
+    val audit = SparkEntry.queries("x131_graph_lifecycle")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val counts = g.groupBy("segment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == audit,
+      s"installed G' disagrees with x131: tier=$counts audit=$audit")
+    // structural invariants: no victim endpoint anywhere, inserted ids
+    // are the +1e9 batch, per-node degree <= K on every segment
+    assert(g.filter("src % 89 = 0 and src < 1000000000").count() == 0)
+    assert(g.filter("dst % 89 = 0").count() == 0)
+    assert(g.filter("segment = 'inserted' and src < 1000000000").count() == 0)
+    val maxDeg = g.groupBy("segment", "src").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxDeg <= 10, s"a node exceeds the standing degree: $maxDeg")
+  }
+
+  test("a beam walk over the installed G' is bit-identical to walking the in-memory compaction") {
+    val gDisk = spark.read.parquet(Files.list(java.nio.file.Paths.get(root))
+      .iterator().next().toString + "/nnd_edges_compacted__v1/data.parquet")
+      .select("src", "dst", "cos")
+    val gMem = graft.llm.Similarity.compactedEdges(spark, sf001,
+        graft.llm.Similarity.defaultVictims(spark, sf001),
+        graft.llm.Similarity.defaultInsertBatch(spark, sf001), hops = 2)
+      .select("src", "dst", "cos")
+    def walk(edges: org.apache.spark.sql.DataFrame): Array[String] = {
+      // undirected 1-hop neighborhood walk from the surviving probes:
+      // deterministic (sorted), graph-only — proves the installed copy
+      // IS the graph, independent of Shared/Durable caching
+      val ud = edges.select("src", "dst").unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      ud.filter("src < 8 and src % 89 != 0")
+        .collect().map(r => s"${r.getLong(0)}->${r.getLong(1)}").sorted
+    }
+    val a = walk(gDisk); val b = walk(gMem)
+    assert(a.nonEmpty && a.sameElements(b),
+      s"disk walk (${a.length} edges) != memory walk (${b.length} edges)")
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.queries.Durable
+
+/** Durable standing-index tiers (round 13): the expensive cross-query
+  * structures persist to an index root keyed by (corpus dir, tier key,
+  * builder version) and a NEW SESSION loads them bit-identically
+  * instead of rebuilding — the "index IS the asset" contract. Also
+  * pins the opt-in boundary (no root configured ⇒ byte-for-byte the
+  * old in-session behavior) and fingerprint invalidation (a rewritten
+  * corpus never serves a stale tier). */
+class DurableTiersSpec extends SparkSpec {
+
+  private def freshRoot(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_index_$tag")
+    d.toString
+  }
+
+  test("new session loads the standing graph from the index root, bit-identical, no rebuild") {
+    val root = freshRoot("nnd")
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.indexDir", root)
+    Durable.stats.clear()
+    val built = graft.llm.Similarity.nndescentEdges(s1, sf001, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(identity)
+    val m0 = Durable.stats.get("nnd_edges")
+    assert(m0 != null && m0._2 >= 1, s"first session must BUILD: $m0")
+    // the tier dir exists with data + meta
+    val tierDirs = Files.list(Paths.get(root)).iterator()
+    assert(tierDirs.hasNext, "index root is empty after the build")
+
+    // fresh session: Shared's per-session memo can't serve it — only
+    // the durable copy can avoid a rebuild
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.indexDir", root)
+    Durable.stats.clear()
+    val loaded = graft.llm.Similarity.nndescentEdges(s2, sf001, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(identity)
+    val m1 = Durable.stats.get("nnd_edges")
+    assert(m1 != null && m1._1 >= 1 && m1._2 == 0,
+      s"second session must LOAD, never rebuild: $m1")
+    assert(loaded.sameElements(built),
+      "durable standing graph is not bit-identical to the built one")
+  }
+
+  test("queries over durable tiers stay bit-identical to the in-session build (IVF + PQ + minhash riders)") {
+    val root = freshRoot("q")
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.indexDir", root)
+    for (q <- Seq("x17_ivf_topk", "x49_pq_ann", "x06_minhash_sigs")) {
+      if (SparkEntry.queries.contains(q)) {
+        val a = SparkEntry.queries(q)(s1, sf001).collect().map(_.toString).sorted
+        val b = SparkEntry.queries(q)(spark, sf001).collect().map(_.toString).sorted
+        assert(a.sameElements(b), s"$q drifted under the durable index root")
+      }
+    }
+    // and a second fresh session serves them from disk
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.indexDir", root)
+    Durable.stats.clear()
+    val again = SparkEntry.queries("x17_ivf_topk")(s2, sf001)
+      .collect().map(_.toString).sorted
+    val base = SparkEntry.queries("x17_ivf_topk")(spark, sf001)
+      .collect().map(_.toString).sorted
+    assert(again.sameElements(base))
+    val iv = Durable.stats.get("ivf_top2")
+    assert(iv != null && iv._1 >= 1 && iv._2 == 0,
+      s"ivf routing must come from disk in a fresh session: $iv")
+  }
+
+  test("corpus rewrite invalidates the fingerprint and forces a rebuild") {
+    val root = freshRoot("fp")
+    val corpus = Files.createTempDirectory("graft_corpus").toString
+    for (t <- Seq("documents", "embeddings"))
+      Files.copy(Paths.get(s"$sf001/$t.parquet"),
+        Paths.get(s"$corpus/$t.parquet"))
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.indexDir", root)
+    Durable.stats.clear()
+    graft.llm.Similarity.nndescentEdges(s1, corpus, iters = 2).count()
+    assert(Durable.stats.get("nnd_edges")._2 == 1)
+    // rewrite the corpus (mtime + size change)
+    val f = Paths.get(s"$corpus/embeddings.parquet")
+    Files.copy(f, Paths.get(s"$corpus/embeddings.parquet.bak"))
+    Files.delete(f)
+    Files.copy(Paths.get(s"$corpus/embeddings.parquet.bak"), f)
+    Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5000))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.indexDir", root)
+    Durable.stats.clear()
+    graft.llm.Similarity.nndescentEdges(s2, corpus, iters = 2).count()
+    val m = Durable.stats.get("nnd_edges")
+    assert(m._2 == 1 && m._1 == 0,
+      s"stale tier served after a corpus rewrite: $m")
+  }
+
+  test("no index root configured: the layer is transparent (in-session build, nothing written)") {
+    val s1 = spark.newSession() // no spark.graft.indexDir
+    Durable.stats.clear()
+    val rows = graft.llm.Similarity.nndescentEdges(s1, sf001, iters = 2).count()
+    assert(rows > 0)
+    // stats may record the build, but nothing may be on disk: root(s)
+    // is None so loadOrBuild never ran
+    assert(Durable.root(s1).isEmpty)
+  }
+}

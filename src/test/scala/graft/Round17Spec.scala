@@ -108,8 +108,8 @@ class Round17Spec extends SparkSpec {
     val byProbe = rows.groupBy(_.getLong(0))
     assert(byProbe.keySet == (0L until 8L).toSet)
     byProbe.values.foreach { g =>
-      assert(g.map(_.getLong(1)).sorted.sameElements(1L to 5L), "ranks 1..K")
-      assert(g.map(_.getLong(2)).distinct.length == 5, "distinct neighbors")
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to 10L), "ranks 1..K")
+      assert(g.map(_.getLong(2)).distinct.length == 10, "distinct neighbors")
       assert(g.forall(r => r.getLong(2) != r.getLong(0)), "no self edges")
       // ranked by cos desc with id tiebreak
       val ord = g.sortBy(_.getLong(1)).map(r => (-r.getDouble(3), r.getLong(2)))
@@ -140,8 +140,8 @@ class Round17Spec extends SparkSpec {
     val byProbe = rows.groupBy(_.getLong(0))
     assert(byProbe.keySet == (0L until 8L).toSet)
     byProbe.values.foreach { g =>
-      assert(g.map(_.getLong(1)).sorted.sameElements(1L to 5L), "ranks 1..K")
-      assert(g.map(_.getLong(2)).distinct.length == 5, "distinct neighbors")
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to 10L), "ranks 1..K")
+      assert(g.map(_.getLong(2)).distinct.length == 10, "distinct neighbors")
       assert(g.forall(r => r.getLong(2) != r.getLong(0)), "no self answers")
       val ord = g.sortBy(_.getLong(1)).map(r => (-r.getDouble(3), r.getLong(2)))
       assert(ord.sameElements(ord.sorted), "list ordered by (cos desc, id)")
@@ -178,7 +178,7 @@ class Round17Spec extends SparkSpec {
     // bound held only through incidental candidate overlap — a latent
     // flake). Without the hash-order cap on reverse edges a hub node's
     // fan-out would be its in-degree — corpus-dependent (x123's tail).
-    val E = 8; val B = 5; val cap = 10; val hops = 2
+    val E = 8; val B = 5; val cap = 20; val hops = 2
     val probes = spark.read.parquet(s"$sf001/embeddings.parquet")
       .filter("vec_id < 8")
       .selectExpr("vec_id as src", "embedding as ea",
@@ -228,8 +228,8 @@ class Round17Spec extends SparkSpec {
     val byNew = rows.groupBy(_.getLong(0))
     assert(byNew.keySet == expectedBatch.toSet, "one edge list per batch vector")
     byNew.values.foreach { g =>
-      assert(g.map(_.getLong(1)).sorted.sameElements(1L to 5L), "ranks 1..K")
-      assert(g.map(_.getLong(2)).distinct.length == 5, "distinct neighbors")
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to 10L), "ranks 1..K")
+      assert(g.map(_.getLong(2)).distinct.length == 10, "distinct neighbors")
     }
     // a re-crawl's original has cos exactly 1 (identical embedding):
     // whenever the walk rediscovers it, the score must say so

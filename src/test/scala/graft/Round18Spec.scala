@@ -86,7 +86,7 @@ class Round18Spec extends SparkSpec {
 
   test("x127: per-cycle work is victim-bounded — bridge candidates never exceed |lost|*K") {
     val lost = edges.count(e => !isVictim(e._1) && isVictim(e._2))
-    val k = 5
+    val k = 10
     val bridges = SparkEntry.queries("x127_graph_delete")(spark, sf001)
       .collect().count(_.getBoolean(4))
     assert(bridges <= lost * k,
@@ -151,8 +151,8 @@ class Round18Spec extends SparkSpec {
     assert(rows.map(_.getLong(0)).distinct.sorted.sameElements(0L until 8L),
       "one ranked list per probe")
     rows.groupBy(_.getLong(0)).values.foreach { g =>
-      assert(g.map(_.getLong(1)).sorted.sameElements(1L to 5L), "ranks 1..K")
-      assert(g.map(_.getLong(2)).distinct.length == 5, "distinct neighbors")
+      assert(g.map(_.getLong(1)).sorted.sameElements(1L to 10L), "ranks 1..K")
+      assert(g.map(_.getLong(2)).distinct.length == 10, "distinct neighbors")
     }
   }
 
@@ -236,7 +236,7 @@ class Round18Spec extends SparkSpec {
       .collect().sortBy(_.getLong(0))
     assert(rows.map(_.getLong(0)).sameElements(Array(1L, 5L, 10L)))
     rows.foreach { r =>
-      assert(r.getLong(1) == 40L, "8 probes x K answers")
+      assert(r.getLong(1) == 80L, "8 probes x K answers")
       val rec = r.getLong(2).toDouble / r.getLong(1)
       assert(math.abs(round6(rec) - r.getDouble(3)) == 0.0,
         s"recall inconsistent with counts: $r")
