@@ -1730,6 +1730,39 @@ object Similarity {
     beamWalkTrace(s, dir, probes, hops, b, e).last
 
   /** beamWalk with per-depth visited frames (see walkFromTrace). */
+  /** Scratch measurement for the standing-T decision: the x126-style
+    * depth-2 walk graded @K over a fresh iters-T graph (no shared
+    * tiers touched). Returns (recall@K at depth 2, B=10 variant). */
+  private[graft] def walkRecallExperiment(s: SparkSession, dir: String,
+      iters: Int, k: Int = GraphK): String = {
+    val sq = withSq(s, dir)
+    val edges = nndescentEdgesOn(s, sq, iters, k).localCheckpoint()
+    val udRaw = edges.select("src", "dst").unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val ud = graft.plans.TopKPerKey.topKDesc(
+      udRaw.selectExpr("src", "dst", s"${sH("concat(src, ':', dst)")} as hk"),
+      Seq("src"), "hk", Seq("dst"), 2 * k)
+      .select("src", "dst").localCheckpoint()
+    val probes = sq.filter(QuerySet)
+      .selectExpr("vec_id as src", "embedding as ea", "sq as sa")
+    val nRow = sq.agg(count(lit(1)).as("nc"))
+    val entries = probes.select(col("src")).crossJoin(broadcast(nRow))
+      .selectExpr("src",
+        s"explode(transform(sequence(1, 8), j -> " +
+          s"${sH("concat(src, ':entry:', j)")} % nc)) as d0", "nc")
+      .selectExpr("src",
+        "case when d0 = src then (d0 + 1) % nc else d0 end as dst")
+      .distinct()
+    def rec(b: Int): Double = {
+      val vis = walkFrom(s, sq, ud, probes, entries, hops = 2, b = b)
+      val g = gradeWalk(s, dir, vis)
+        .agg((sum(when(col("hit"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("r")).head().getDouble(0)
+      g
+    }
+    s"depth2/B5 recall@$GraphK = ${rec(5)}; B10 = ${rec(10)}"
+  }
+
   private def beamWalkTrace(s: SparkSession, dir: String,
       probes: DataFrame, hops: Int, b: Int = 5,
       e: Int = 8): Seq[DataFrame] = {

@@ -355,4 +355,21 @@ class Round18Spec extends SparkSpec {
     assert(got == comp,
       s"component map mismatch: got ${got.size} comps, expected ${comp.size}")
   }
+
+  // ── round 13: the K=10 standing-degree decision, evidence-locked ──
+
+  test("standing degree K=10 materially outperforms the K=5 predecessor on the identical walk") {
+    // walkRecallExperiment builds a FRESH graph at (k, T) and grades
+    // the standard depth-2 walk @GraphK against the exact tier — the
+    // apples-to-apples comparison behind the round-13 degree bump
+    // (sf0.1 measured: K=5 13.75%@10 vs K=10 26.25%@10 at B=10).
+    def at(k: Int): Double = {
+      val r = graft.llm.Similarity
+        .walkRecallExperiment(spark, sf001, iters = 2, k = k)
+      r.split("B10 = ").last.toDouble
+    }
+    val k5 = at(5); val k10 = at(10)
+    assert(k10 > k5,
+      s"K=10 standing graph must beat K=5 on the same walk: $k10 vs $k5")
+  }
 }
