@@ -117,6 +117,18 @@ object Main {
           deletes = opts.get("deletes"), inserts = opts.get("inserts"),
           hops = opts.getOrElse("hops", "2").toInt)
         println(out)
+      case "ann_search" =>
+        // query the standing kNN index from the CLI: probes are either
+        // corpus rows (--ids "0,5,9") or a parquet file of new vectors
+        // (--probes: vec_id, embedding); with --index-dir the durable
+        // tiers serve the walk (no rebuild in a fresh session).
+        opts.get("index-dir").foreach(d =>
+          spark.conf.set("spark.graft.indexDir", d))
+        annSearch(spark, corpus = req("corpus"),
+          ids = opts.get("ids"), probesFile = opts.get("probes"),
+          hops = opts.getOrElse("hops", "2").toInt,
+          k = opts.getOrElse("k", "10").toInt)
+          .foreach(println)
       case "jdbc_push" => // K2: landing store → external JDBC warehouse,
         // all-or-nothing per batch (sqlserver.go:92-200 semantics)
         val p = new java.util.Properties
@@ -163,12 +175,39 @@ object Main {
     s"compacted standing graph installed at $path ($counts)"
   }
 
+  /** `ann_search`'s testable body: resolve probes (corpus ids or a
+    * vector parquet), walk the standing index, return printable
+    * "query_id rk neighbor_id cos_sim" lines. */
+  private[graft] def annSearch(spark: SparkSession, corpus: String,
+      ids: Option[String], probesFile: Option[String], hops: Int,
+      k: Int): Seq[String] = {
+    val sq = "aggregate(zip_with(embedding, embedding, (x, y) -> " +
+      "cast(x as double) * cast(y as double)), cast(0 as double), " +
+      "(acc, t) -> acc + t)"
+    val probes = probesFile match {
+      case Some(p) => spark.read.parquet(p)
+        .selectExpr("vec_id as src", "embedding as ea", s"$sq as sa")
+      case None =>
+        val idList = ids.getOrElse("0").split(",").map(_.trim.toLong)
+        graft.queries.Tables.t(spark, corpus, "embeddings")
+          .filter(org.apache.spark.sql.functions.col("vec_id")
+            .isin(idList: _*))
+          .selectExpr("vec_id as src", "embedding as ea", s"$sq as sa")
+    }
+    graft.llm.Similarity
+      .annSearch(spark, corpus, probes.localCheckpoint(), hops, k)
+      .collect()
+      .map(r => f"${r.getLong(0)}%d ${r.getLong(1)}%d ${r.getLong(2)}%d ${r.getDouble(3)}%.6f")
+      .toSeq
+  }
+
   private def usage(): Unit = System.err.println(
-    "usage: graft.Main sync|push|clone|create_views|prune|compact|compact_index|jdbc_push|gen|config|version " +
+    "usage: graft.Main sync|push|clone|create_views|prune|compact|compact_index|ann_search|jdbc_push|gen|config|version " +
       "--source DIR | --url URL [--user U --password P --limit N] " +
       "--landing DIR --state DIR [--schema FILE] " +
       "[--hide-inactive-fields true|false] [--persistent-db DB] " +
       "[--wait SECONDS] [--chunk-size N] [--target-file-mb N] " +
       "[--jdbc-url URL --jdbc-table T --jdbc-driver CLASS] " +
-      "[--corpus DIR --index-dir DIR [--deletes FILE --inserts FILE --hops N]]")
+      "[--corpus DIR --index-dir DIR [--deletes FILE --inserts FILE --hops N]] " +
+      "[--ids \"0,5,9\" | --probes FILE] [--k N]")
 }

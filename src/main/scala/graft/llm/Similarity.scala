@@ -1999,6 +1999,20 @@ object Similarity {
         "dst as neighbor_id", "cos as cos_sim")
   }
 
+  /** User-facing ANN search over the standing index (the `ann_search`
+    * CLI verb): beam-walk the durable kNN graph with arbitrary probe
+    * vectors and return each probe's top-k. Identical engine to x121
+    * (same entries, same per-hop ≤ B·2K bound); `k` may differ from
+    * the construction degree — the walk's visited set is what's
+    * ranked. Probes: (src, ea, sa). */
+  private[graft] def annSearch(s: SparkSession, dir: String,
+      probes: DataFrame, hops: Int, k: Int): DataFrame =
+    graft.plans.TopKPerKey.topKDesc(
+        beamWalk(s, dir, probes, hops), Seq("src"), "cos", Seq("dst"), k)
+      .selectExpr("src as query_id", "cast(rk as bigint) as rk",
+        "dst as neighbor_id", "cos as cos_sim")
+      .orderBy("query_id", "rk")
+
   /** x124's body with the hop count explicit so the spec can grade the
     * insertion walk (found-original count must be monotone in hops). */
   private[graft] def graphInsert(

@@ -1,0 +1,50 @@
+package graft
+
+/** `ann_search` (round 13): the user-facing CLI search over the
+  * standing kNN index is the SAME engine x121 grades — identical
+  * ranked lists for corpus probes — and serves arbitrary probe sets
+  * at any k. */
+class AnnSearchSpec extends SparkSpec {
+
+  test("ann_search over corpus probes equals x121's ranked lists (grading column aside)") {
+    val probes = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter("vec_id < 8")
+      .selectExpr("vec_id as src", "embedding as ea",
+        "aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, t) -> acc + t) as sa")
+    val mine = graft.llm.Similarity
+      .annSearch(spark, sf001, probes, hops = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val x121 = SparkEntry.queries("x121_graph_beam_search")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(mine.sorted.sameElements(x121.sorted),
+      s"ann_search diverged from x121: ${mine.length} vs ${x121.length} rows")
+  }
+
+  test("CLI body: --ids probes return k ranked lines per probe; k is a free knob") {
+    val lines = Main.annSearch(spark, sf001, ids = Some("0, 3"),
+      probesFile = None, hops = 2, k = 3)
+    assert(lines.length == 6, s"2 probes x k=3: $lines")
+    val byProbe = lines.map(_.split(" ")).groupBy(_(0))
+    assert(byProbe.keySet == Set("0", "3"))
+    byProbe.values.foreach { g =>
+      assert(g.map(_(1)).sorted.sameElements(Array("1", "2", "3")))
+      // ranked by cos desc
+      val cs = g.sortBy(_(1)).map(_(3).toDouble)
+      assert(cs.sameElements(cs.sorted.reverse), s"not ranked: ${g.toSeq.map(_.mkString(" "))}")
+    }
+  }
+
+  test("CLI body: a probes parquet (new vectors, not in the corpus) searches the frozen index") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_probes").toString
+    spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter("vec_id % 97 = 0")
+      .selectExpr("vec_id + 5000000000 as vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/p.parquet")
+    val lines = Main.annSearch(spark, sf001, ids = None,
+      probesFile = Some(s"$tmp/p.parquet"), hops = 2, k = 5)
+    assert(lines.nonEmpty && lines.forall(_.split(" ")(0).toLong >= 5000000000L))
+    // a re-crawled duplicate must surface its original at cos 1.0
+    assert(lines.exists(_.endsWith("1.000000")),
+      "an identical probe should find its original at cosine 1.0")
+  }
+}
