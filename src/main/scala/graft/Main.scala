@@ -144,35 +144,49 @@ object Main {
   }
 
   /** `compact_index`'s testable body: compute the compacted standing
-    * graph and install it as the durable `nnd_edges_compacted` tier
-    * under `indexDir`. Returns a one-line human summary (segment
-    * counts + installed path). */
+    * graph and install it under `indexDir` — through the EXACT tier
+    * keys the walk resolves (`nnd_edges` + recomputed `nnd_ud` +
+    * `tombstones`, via Similarity.installCompacted), plus the segment-
+    * labeled audit copy as `nnd_edges_compacted`. The index root conf
+    * is pointed at `indexDir` for the duration (and restored), so the
+    * resident graph being compacted is LOADED from the durable tier
+    * under that very root instead of rebuilt in-session. Returns a
+    * one-line human summary (segment counts + installed path). */
   private[graft] def compactIndex(spark: SparkSession, corpus: String,
       indexDir: String, deletes: Option[String], inserts: Option[String],
       hops: Int): String = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val vict = deletes match {
-      case Some(p) => broadcast(
-        spark.read.parquet(p).select(col("vec_id").as("v")).localCheckpoint())
-      case None => graft.llm.Similarity.defaultVictims(spark, corpus)
+    val prevRoot = spark.conf.getOption("spark.graft.indexDir")
+    spark.conf.set("spark.graft.indexDir", indexDir)
+    try {
+      val vict = deletes match {
+        case Some(p) => broadcast(
+          spark.read.parquet(p).select(col("vec_id").as("v")).localCheckpoint())
+        case None => graft.llm.Similarity.defaultVictims(spark, corpus)
+      }
+      val batch = inserts match {
+        case Some(p) => spark.read.parquet(p)
+          .selectExpr("vec_id as src", "embedding as ea",
+            "aggregate(zip_with(embedding, embedding, (x, y) -> " +
+              "cast(x as double) * cast(y as double)), cast(0 as double), " +
+              "(acc, t) -> acc + t) as sa")
+          .localCheckpoint()
+        case None => graft.llm.Similarity.defaultInsertBatch(spark, corpus)
+      }
+      val g = graft.llm.Similarity
+        .compactedEdges(spark, corpus, vict, batch, hops)
+        .localCheckpoint() // one computation: counted below AND installed
+      val counts = g.groupBy("segment").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      val path = graft.queries.Durable.install(spark, indexDir, corpus,
+        "nnd_edges_compacted", "v1", g)
+      graft.llm.Similarity.installCompacted(spark, corpus, indexDir, g,
+        vict, batch)
+      s"compacted standing graph installed at $path ($counts)"
+    } finally prevRoot match {
+      case Some(r) => spark.conf.set("spark.graft.indexDir", r)
+      case None    => spark.conf.unset("spark.graft.indexDir")
     }
-    val batch = inserts match {
-      case Some(p) => spark.read.parquet(p)
-        .selectExpr("vec_id as src", "embedding as ea",
-          "aggregate(zip_with(embedding, embedding, (x, y) -> " +
-            "cast(x as double) * cast(y as double)), cast(0 as double), " +
-            "(acc, t) -> acc + t) as sa")
-        .localCheckpoint()
-      case None => graft.llm.Similarity.defaultInsertBatch(spark, corpus)
-    }
-    val g = graft.llm.Similarity
-      .compactedEdges(spark, corpus, vict, batch, hops)
-      .localCheckpoint() // one computation: counted below AND installed
-    val counts = g.groupBy("segment").count().collect()
-      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
-    val path = graft.queries.Durable.install(spark, indexDir, corpus,
-      "nnd_edges_compacted", "v1", g)
-    s"compacted standing graph installed at $path ($counts)"
   }
 
   /** `ann_search`'s testable body: resolve probes (corpus ids or a

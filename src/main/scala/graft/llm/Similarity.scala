@@ -46,9 +46,18 @@ object Similarity {
     * standing graph now sits at the K=10 operating point: ~4× the
     * construction pairs (≤ N·C(2K,2) per local-join round — still
     * linear in N) buys a materially higher walk ceiling for every
-    * reader (x121/x124/x126/x127/x129/x131/x132). Must stay equal to
-    * the oracle side's [[NndK]]. */
-  private val GraphK = 10
+    * reader (x121/x124/x126/x127/x129/x131/x132). The oracle side's
+    * [[NndK]] is DERIVED from this constant (both are compile-time
+    * literals, so object-init order cannot bite) — bumping the degree
+    * moves both engines together. */
+  private final val GraphK = 10
+
+  /** Durable-tier version strings for the standing graph and its
+    * ρ-capped adjacency — the exact keys the walk resolves, shared
+    * with `compact_index`'s install path so a compacted graph lands
+    * where the next session's walk actually reads. */
+  private[graft] def standingGraphVersion: String = s"v1-k$GraphK-t2"
+  private[graft] def standingUdVersion: String = s"v1-cap${2 * GraphK}"
 
   /** x116 per-cluster sample budget — fixed at any corpus size (the
     * balanced-sampling contract: the epoch mix, not the corpus, sets
@@ -1797,7 +1806,7 @@ object Similarity {
   private def cappedUd(s: SparkSession, dir: String,
       edges: DataFrame, tier: String): DataFrame = {
     val cap = 2 * GraphK
-    Durable.tier(s, dir, tier, s"v1-cap${2 * GraphK}") {
+    Durable.tier(s, dir, tier, standingUdVersion) {
       val udRaw = edges.select("src", "dst").unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       graft.plans.TopKPerKey.topKDesc(
@@ -2004,14 +2013,58 @@ object Similarity {
     * vectors and return each probe's top-k. Identical engine to x121
     * (same entries, same per-hop ≤ B·2K bound); `k` may differ from
     * the construction degree — the walk's visited set is what's
-    * ranked. Probes: (src, ea, sa). */
+    * ranked. Probes: (src, ea, sa).
+    *
+    * Tombstone-aware: after a `compact_index` cycle the installed
+    * graph has no edge INTO a victim, but the walk's hash-seeded entry
+    * points are drawn from the whole corpus payload and can still land
+    * on (and score) a tombstoned vector — so the visited set is
+    * anti-joined against the durable `tombstones` tier when one is
+    * fresh under the session's index root. Victims-only and broadcast-
+    * sized, the same shape as the delete itself. */
   private[graft] def annSearch(s: SparkSession, dir: String,
-      probes: DataFrame, hops: Int, k: Int): DataFrame =
-    graft.plans.TopKPerKey.topKDesc(
-        beamWalk(s, dir, probes, hops), Seq("src"), "cos", Seq("dst"), k)
+      probes: DataFrame, hops: Int, k: Int): DataFrame = {
+    val vis0 = beamWalk(s, dir, probes, hops)
+    val vis = (for {
+      r <- Durable.root(s)
+      tomb <- Durable.load(s, r, dir, "tombstones", "v1")
+    } yield vis0.join(broadcast(tomb.select(col("v"))),
+        col("dst") === col("v"), "left_anti")).getOrElse(vis0)
+    graft.plans.TopKPerKey.topKDesc(vis, Seq("src"), "cos", Seq("dst"), k)
       .selectExpr("src as query_id", "cast(rk as bigint) as rk",
         "dst as neighbor_id", "cos as cos_sim")
       .orderBy("query_id", "rk")
+  }
+
+  /** Install one compaction cycle's G′ under the EXACT tier keys the
+    * standing walk resolves — `nnd_edges`/[[standingGraphVersion]] and
+    * the recomputed ρ-capped adjacency `nnd_ud`/[[standingUdVersion]] —
+    * plus the cycle's victim set as the `tombstones` tier (merged with
+    * any prior cycle's tombstones, less ids this cycle re-inserted).
+    * Without this, a compacted graph installed under a side key is
+    * never read: the next session's walk would resolve the still-
+    * fingerprint-fresh ORIGINAL tiers and happily return tombstoned
+    * vectors. */
+  private[graft] def installCompacted(s: SparkSession, dir: String,
+      indexDir: String, g: DataFrame, vict: DataFrame,
+      inserts: DataFrame): Unit = {
+    val edges = g.select("src", "dst", "cos")
+    Durable.install(s, indexDir, dir, "nnd_edges", standingGraphVersion,
+      edges)
+    val udRaw = edges.select("src", "dst").unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val ud = graft.plans.TopKPerKey.topKDesc(
+        udRaw.selectExpr("src", "dst",
+          s"${sH("concat(src, ':', dst)")} as hk"),
+        Seq("src"), "hk", Seq("dst"), 2 * GraphK)
+      .select("src", "dst")
+    Durable.install(s, indexDir, dir, "nnd_ud", standingUdVersion, ud)
+    val prior = Durable.load(s, indexDir, dir, "tombstones", "v1")
+      .map(_.select("v")).toSeq
+    val tomb = prior.foldLeft(vict.select("v"))(_ unionByName _).distinct()
+      .join(inserts.select(col("src").as("v")), Seq("v"), "left_anti")
+    Durable.install(s, indexDir, dir, "tombstones", "v1", tomb)
+  }
 
   /** x124's body with the hop count explicit so the spec can grade the
     * insertion walk (found-original count must be monotone in hops). */
@@ -2215,7 +2268,7 @@ object Similarity {
   private[graft] def nndescentEdges(
       s: SparkSession, dir: String, iters: Int): DataFrame =
     if (iters == 2)
-      Durable.tier(s, dir, "nnd_edges", s"v1-k$GraphK-t2")(
+      Durable.tier(s, dir, "nnd_edges", standingGraphVersion)(
         nndescentEdgesBuild(s, dir, iters))
     else nndescentEdgesBuild(s, dir, iters)
 
@@ -3027,10 +3080,12 @@ object Similarity {
        |      ORDER BY cos DESC, dst) AS rk FROM ${pfx}m$i) WHERE rk <= $k)""".stripMargin
   }
 
-  // `final val` with a literal is a compile-time constant (inlined at
-  // use sites), immune to object-init order: the eagerly-initialized
-  // `oracleSql` val above reads these before this line would run.
-  private final val NndK = 10
+  // `final val` assigned a constant expression is itself a compile-time
+  // constant (inlined at use sites), immune to object-init order: the
+  // eagerly-initialized `oracleSql` val above reads these before this
+  // line would run. Deriving NndK from GraphK makes the "must stay
+  // equal" contract structural instead of a doc comment.
+  private final val NndK = GraphK
   private final val NndT = 2
 
   /** The NN-Descent construction CTE chain (ends at `e{NndT}`, the

@@ -63,15 +63,34 @@ object Durable {
     MessageDigest.getInstance("MD5").digest(x.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
-  /** Corpus fingerprint: every parquet file directly under `dir`
-    * (the same immutability contract [[Tables.t]] caches under). */
-  private[graft] def fingerprint(dir: String): String = {
-    val d = new File(dir)
-    val files = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("\n")
+  /** Corpus fingerprint: every parquet file under `dir`, recursively
+    * (the same immutability contract [[Tables.t]] caches under, but
+    * also covering Spark-written table DIRECTORIES of part files).
+    * Listed through the Hadoop FileSystem of the path, so a remote
+    * corpus (S3/HDFS) fingerprints the same way a local one does.
+    *
+    * FAIL-CLOSED: a path that cannot be listed, or that contains no
+    * parquet files at all, yields a unique never-fresh marker — it can
+    * never equal a stored meta, so the tier rebuilds rather than
+    * serving a stale copy against a corpus we cannot see. (The old
+    * java.io.File form returned "" for both cases, which always
+    * MATCHED an empty stored meta — a remote corpus rewrite would have
+    * served stale tiers forever.) */
+  private[graft] def fingerprint(s: SparkSession, dir: String): String = {
+    def neverFresh = "UNFRESH:" + java.util.UUID.randomUUID().toString
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return neverFresh
+      val it = fs.listFiles(p, true)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          entries += s"${f.getPath.toUri.getPath}:${f.getLen}:${f.getModificationTime}"
+      }
+      if (entries.isEmpty) neverFresh else entries.sorted.mkString("\n")
+    } catch { case scala.util.control.NonFatal(_) => neverFresh }
   }
 
   private def tierDir(rootDir: String, corpus: String, key: String,
@@ -95,10 +114,8 @@ object Durable {
   private def loadOrBuild(s: SparkSession, rootDir: String, dir: String,
       key: String, version: String)(build: => DataFrame): DataFrame = {
     val td = tierDir(rootDir, dir, key, version)
-    val meta = td.resolve("_graft_meta.json")
-    val fp = fingerprint(dir)
-    if (Files.isRegularFile(meta) &&
-        new String(Files.readAllBytes(meta), StandardCharsets.UTF_8) == fp) {
+    val fp = fingerprint(s, dir)
+    if (isFresh(td, fp)) {
       bump(key, hit = true)
       s.read.parquet(td.resolve("data.parquet").toString)
     } else {
@@ -109,21 +126,60 @@ object Durable {
     }
   }
 
+  private def isFresh(td: Path, fp: String): Boolean = {
+    val meta = td.resolve("_graft_meta.json")
+    Files.isRegularFile(meta) &&
+      new String(Files.readAllBytes(meta), StandardCharsets.UTF_8) == fp
+  }
+
+  /** Load tier (dir, key, version) ONLY if present and fingerprint-
+    * fresh — never builds. The read path for optional tiers (e.g. the
+    * `tombstones` set `compact_index` installs: absent on a corpus
+    * that never compacted, and absence means "nothing deleted"). */
+  def load(s: SparkSession, rootDir: String, dir: String, key: String,
+      version: String): Option[DataFrame] = {
+    val td = tierDir(rootDir, dir, key, version)
+    if (isFresh(td, fingerprint(s, dir))) {
+      bump(key, hit = true)
+      Some(s.read.parquet(td.resolve("data.parquet").toString))
+    } else None
+  }
+
   /** Atomic tier write: parquet to a tmp sibling, fingerprint meta
     * alongside, then directory move into place. Also the write path
-    * the `compact_index` CLI verb uses to install a compacted graph. */
+    * the `compact_index` CLI verb uses to install a compacted graph.
+    *
+    * The LIVE tier dir is never deleted before the new one is in
+    * place: the old copy is renamed ASIDE first, then tmp moves in,
+    * then the aside copy is removed — a concurrent reader that passed
+    * the freshness check either has the old dir's inode open (renames
+    * don't invalidate open reads on POSIX) or finds the new complete
+    * tier. A concurrent double-install is last-writer-wins: if our
+    * move finds the target recreated by the other writer, our copy is
+    * discarded (the builds are deterministic — both copies are
+    * byte-identical in content). */
   def write(s: SparkSession, df: DataFrame, td: Path, fp: String): Unit = {
     Files.createDirectories(td.getParent)
-    val tmp = td.getParent.resolve(
-      td.getFileName.toString + ".tmp-" + ProcessHandle.current().pid())
+    val tag = ProcessHandle.current().pid() + "-" + java.lang.System.nanoTime()
+    val tmp = td.getParent.resolve(td.getFileName.toString + ".tmp-" + tag)
     deleteRecursive(tmp)
     df.write.mode("overwrite").parquet(tmp.resolve("data.parquet").toString)
     Files.write(tmp.resolve("_graft_meta.json"),
       fp.getBytes(StandardCharsets.UTF_8))
-    deleteRecursive(td)
-    try Files.move(tmp, td, StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-      Files.move(tmp, td) }
+    val aside = td.getParent.resolve(td.getFileName.toString + ".old-" + tag)
+    def move(from: Path, to: Path): Unit =
+      try Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(from, to) }
+    try {
+      if (Files.exists(td))
+        try move(td, aside)
+        catch { case _: java.nio.file.NoSuchFileException => () } // raced
+      move(tmp, td)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        deleteRecursive(tmp) // the concurrent writer won; keep theirs
+    } finally deleteRecursive(aside)
   }
 
   /** Install `df` as tier (dir, key, version) regardless of current
@@ -132,7 +188,7 @@ object Durable {
   def install(s: SparkSession, rootDir: String, dir: String, key: String,
       version: String, df: DataFrame): String = {
     val td = tierDir(rootDir, dir, key, version)
-    write(s, df, td, fingerprint(dir))
+    write(s, df, td, fingerprint(s, dir))
     // a session that already memoized the old tier must see the new one
     Shared.invalidate(dir)
     td.toString

@@ -59,4 +59,40 @@ class CompactIndexSpec extends SparkSpec {
     assert(a.nonEmpty && a.sameElements(b),
       s"disk walk (${a.length} edges) != memory walk (${b.length} edges)")
   }
+
+  test("a NEXT-SESSION ann_search through the ENGINE path walks the post-cycle graph: tiers load (no rebuild) and no tombstoned id is returned") {
+    // the round-13 gap: G' was installed under a side key no reader
+    // resolved, so the next session walked the PRE-cycle graph. The
+    // verb now installs nnd_edges/nnd_ud under the walk's own keys and
+    // a tombstones tier; this drives annSearch end-to-end through
+    // Durable and asserts the contract the verb's doc makes.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.indexDir", root)
+    graft.queries.Durable.stats.clear()
+    val probes = graft.queries.Tables.t(s2, sf001, "embeddings")
+      .filter("vec_id in (1, 5, 9)")
+      .selectExpr("vec_id as src", "embedding as ea",
+        "aggregate(zip_with(embedding, embedding, (x, y) -> " +
+          "cast(x as double) * cast(y as double)), cast(0 as double), " +
+          "(acc, t) -> acc + t) as sa").localCheckpoint()
+    val hits = graft.llm.Similarity.annSearch(s2, sf001, probes,
+      hops = 2, k = 10).collect()
+    assert(hits.nonEmpty)
+    // the default cycle tombstones vec_id % 89 == 0: none may surface
+    val victims = hits.map(_.getLong(2)).filter(v =>
+      v % 89 == 0 && v < 1000000000L)
+    assert(victims.isEmpty,
+      s"tombstoned vectors returned by the post-compaction walk: ${victims.toSeq}")
+    // and the graph must have come from the installed tiers, not a rebuild
+    val eg = graft.queries.Durable.stats.get("nnd_edges")
+    val ud = graft.queries.Durable.stats.get("nnd_ud")
+    assert(eg != null && eg._1 >= 1 && eg._2 == 0,
+      s"post-cycle session rebuilt nnd_edges instead of loading: $eg")
+    assert(ud != null && ud._1 >= 1 && ud._2 == 0,
+      s"post-cycle session rebuilt nnd_ud instead of loading: $ud")
+    // the loaded standing graph IS the compacted one: no edge touches a victim
+    val g = graft.llm.Similarity.nndescentEdges(s2, sf001, iters = 2)
+    assert(g.filter("dst % 89 = 0").count() == 0,
+      "engine-resolved standing graph still has edges into victims")
+  }
 }
