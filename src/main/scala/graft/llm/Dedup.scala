@@ -132,20 +132,27 @@ object Dedup {
   private def dMin(seed: Int) =
     s"MIN(${dDerive("h", seed)}) AS m$seed"
 
-  /** Shared DuckDB CTE: per-doc shingle list over exact-dup reps. */
+  /** Shared DuckDB CTE: per-doc shingle list over exact-dup reps.
+    * The multiply-referenced stages are MATERIALIZED: DuckDB's default
+    * CTE inlining otherwise re-computes the whole md5-groupBy +
+    * shingle chain once per reference, and at the 100× decade that
+    * inflation was a hard OOM at every thread level for the heaviest
+    * riders (x63/x67) — with the hints both run in ~4 s there,
+    * bit-identical output (the hint changes evaluation, not values). */
   private val dShingled =
-    s"""WITH dreps AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5($dNorm)),
-       |du AS (SELECT d.* FROM documents d JOIN dreps USING (doc_id)),
+    s"""WITH dreps AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5($dNorm)),
+       |du AS MATERIALIZED (SELECT d.* FROM documents d JOIN dreps USING (doc_id)),
        |tkn AS (SELECT doc_id, $dTokens AS tk FROM du),
        |shd0 AS (SELECT doc_id, $dShingles AS shs FROM tkn),
-       |shd AS (SELECT * FROM shd0 WHERE len(shs) > 0)""".stripMargin
+       |shd AS MATERIALIZED (SELECT * FROM shd0 WHERE len(shs) > 0)""".stripMargin
 
   /** DuckDB minhash signature CTE (appended to dShingled): one md5 per
-    * shingle, then the 16 derived-seed minima. */
+    * shingle, then the 16 derived-seed minima. MATERIALIZED for the
+    * same inlining reason as [[dShingled]]. */
   private val dSig =
-    s""", ex AS (SELECT doc_id, unnest(shs) AS sh FROM shd),
-       |ex2 AS (SELECT doc_id, ${dH("sh")} AS h FROM ex),
-       |sig AS (SELECT doc_id, ${(0 until Seeds).map(dMin).mkString(", ")} FROM ex2 GROUP BY doc_id)""".stripMargin
+    s""", ex AS MATERIALIZED (SELECT doc_id, unnest(shs) AS sh FROM shd),
+       |ex2 AS MATERIALIZED (SELECT doc_id, ${dH("sh")} AS h FROM ex),
+       |sig AS MATERIALIZED (SELECT doc_id, ${(0 until Seeds).map(dMin).mkString(", ")} FROM ex2 GROUP BY doc_id)""".stripMargin
 
   private def sBandHash(b: Int) =
     sH(s"concat_ws(',', m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3})")
@@ -648,11 +655,16 @@ object Dedup {
     // threshold the inverted-index joins (x10/x46/x48) run with. Two
     // keyed aggregations (shingle → df, df → histogram) + a one-row
     // total — the second aggregate and everything after are bounded by
-    // max(df), not data volume.
+    // max(df), not data volume. The shingle keys cross the exchange as
+    // 60-bit HASHES (shingles3_h / the sShinglesH twin): one 8-byte
+    // long per instance instead of a raw ~20-byte token triple — at
+    // the 100× decade this exchange IS the query's cost, and the df
+    // histogram only ever compares keys for equality, which the shared
+    // md5 hash preserves in both engines.
     "x64_dedup_pressure" -> { (s, dir) =>
       val ex = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .selectExpr("doc_id", s"${sLet(sTokens, "tk", sShingles)} as shs")
+        .selectExpr(s"${sShinglesHashed(s)} as shs")
         .selectExpr("explode(shs) as sh")
       val byDf = ex.groupBy("sh").agg(count(lit(1)).as("df"))
         .groupBy("df").agg(count(lit(1)).as("n_shingles"))
@@ -770,11 +782,15 @@ object Dedup {
     // list (≤ #sources) expands to pairs locally — the same bounded
     // posting-list pattern as rareShingleCandidates, with the bound
     // being the source count, never data volume. Pure integer counts
-    // into one double division ⇒ trivially oracle-exact.
+    // into one double division ⇒ trivially oracle-exact. The shingle
+    // keys are 60-bit hashes (shingles3_h): the distinct + groupBy
+    // exchanges carry 8-byte longs, not raw token triples — the set
+    // sizes and pair counts are equality-only consumers, invariant
+    // under the shared hash.
     "x48_source_overlap" -> { (s, dir) =>
       val ss = Shared.temp(t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .selectExpr("source", s"${sLet(sTokens, "tk", sShingles)} as shs")
+        .selectExpr("source", s"${sShinglesHashed(s)} as shs")
         .selectExpr("source", "explode(shs) as sh")
         .distinct())
       val totals = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
@@ -1250,7 +1266,7 @@ object Dedup {
          |WHERE bucket >= 90 ORDER BY g0.doc_id""".stripMargin,
     "x64_dedup_pressure" ->
       s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
-         |shd AS (SELECT doc_id, $dShingles AS shs FROM tkn),
+         |shd AS (SELECT doc_id, $dShinglesH AS shs FROM tkn),
          |ex AS (SELECT unnest(shs) AS sh FROM shd),
          |dfs AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY sh),
          |bydf AS (SELECT df, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM dfs GROUP BY df),
@@ -1295,16 +1311,16 @@ object Dedup {
          |bands AS (
          |${(0 until 4).map(b => s"  SELECT doc_id, $b AS bi, ${dBandHash(b)} AS bh FROM sig")
              .mkString("\n  UNION ALL\n")}),
-         |lcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |lcand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bh = b.bh
          |               AND a.doc_id < b.doc_id),
          |rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh) WHERE df <= 8),
-         |rex AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare ON ex.sh = rare.sh),
-         |ecand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |rex AS MATERIALIZED (SELECT ex.doc_id, ex.sh FROM ex JOIN rare ON ex.sh = rare.sh),
+         |ecand AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM rex a JOIN rex b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         |cand AS (SELECT doc_a, doc_b FROM lcand UNION SELECT doc_a, doc_b FROM ecand),
-         |st AS (SELECT doc_a, doc_b,
+         |cand AS MATERIALIZED (SELECT doc_a, doc_b FROM lcand UNION SELECT doc_a, doc_b FROM ecand),
+         |st AS MATERIALIZED (SELECT doc_a, doc_b,
          |         len(list_intersect(x.shs, y.shs)) AS inter,
          |         len(x.shs) AS na, len(y.shs) AS nb
          |       FROM cand JOIN shd x ON cand.doc_a = x.doc_id
@@ -1352,16 +1368,16 @@ object Dedup {
          |bands AS (
          |${(0 until 4).map(b => s"  SELECT doc_id, $b AS bi, ${dBandHash(b)} AS bh FROM sig")
              .mkString("\n  UNION ALL\n")}),
-         |lcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |lcand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM bands a JOIN bands b ON a.bi = b.bi AND a.bh = b.bh
          |               AND a.doc_id < b.doc_id),
          |rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh) WHERE df <= 8),
-         |rex AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare ON ex.sh = rare.sh),
-         |ecand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |rex AS MATERIALIZED (SELECT ex.doc_id, ex.sh FROM ex JOIN rare ON ex.sh = rare.sh),
+         |ecand AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM rex a JOIN rex b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         |cand AS (SELECT doc_a, doc_b FROM lcand UNION SELECT doc_a, doc_b FROM ecand),
-         |st AS (SELECT doc_a, doc_b,
+         |cand AS MATERIALIZED (SELECT doc_a, doc_b FROM lcand UNION SELECT doc_a, doc_b FROM ecand),
+         |st AS MATERIALIZED (SELECT doc_a, doc_b,
          |         ${dRound6("CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / CAST(len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)) AS DOUBLE)")} AS jaccard
          |       FROM cand JOIN shd x ON cand.doc_a = x.doc_id
          |                 JOIN shd y ON cand.doc_b = y.doc_id),
@@ -1554,7 +1570,7 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin,
     "x48_source_overlap" ->
       s"""WITH tkn AS (SELECT source, $dTokens AS tk FROM documents),
-         |sh0 AS (SELECT source, unnest($dShingles) AS sh FROM tkn),
+         |sh0 AS (SELECT source, unnest($dShinglesH) AS sh FROM tkn),
          |ss AS (SELECT DISTINCT source, sh FROM sh0),
          |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ss GROUP BY source),
          |shared AS (SELECT a.source AS source_a, b.source AS source_b,

@@ -42,6 +42,24 @@ object Frag {
     """list_distinct(list_transform(range(1, greatest(len(tk)-2,0)+1),
       |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))""".stripMargin
 
+  /** 60-bit hashed distinct 3-word shingles (over a token-array column
+    * named `tk`) — the INTEGER shuffle keys for the cross-document
+    * shingle operators (x48/x57/x64). A shingle-keyed exchange over
+    * raw strings ships one ~20-byte token triple per shingle instance;
+    * these ship an 8-byte long, and every consumer only compares keys
+    * for equality, which the shared md5 hash preserves bit-for-bit in
+    * both engines (a 2^-60 collision would merge the same pair on both
+    * sides). Composable fallback of the fused `shingles3_h(text)`. */
+  val sShinglesH: String = s"transform($sShingles, s3 -> ${sH("s3")})"
+  val dShinglesH: String = s"list_transform($dShingles, s3 -> ${dH("s3")})"
+
+  /** The hashed-shingle projection over a `text` column: the fused
+    * native kernel when GraftExtensions is installed, the composable
+    * HOF twin otherwise (identical output, oracle-checked). */
+  def sShinglesHashed(s: org.apache.spark.sql.SparkSession): String =
+    if (s.catalog.functionExists("shingles3_h")) "shingles3_h(text)"
+    else sLet(sTokens, "tk", sShinglesH)
+
   /** SQL let-binding: evaluate `bind` ONCE per row and reference it as
     * lambda variable `v` in `body`. Catalyst's CollapseProject inlines
     * projection aliases into their consumers, and inside interpreted

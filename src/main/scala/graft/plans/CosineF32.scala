@@ -104,6 +104,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
       (children: Seq[Expression]) => Shingles3(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("hrw_assign"),
+      new ExpressionInfo(classOf[HrwAssign].getName, "hrw_assign"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 && children(1).foldable,
+          "hrw_assign(key, n) — n must be a literal")
+        HrwAssign(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles3_h"),
+      new ExpressionInfo(classOf[Shingles3H].getName, "shingles3_h"),
+      (children: Seq[Expression]) => Shingles3H(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("sign_bands_f32"),
       new ExpressionInfo(classOf[SignBandsF32].getName, "sign_bands_f32"),
       (children: Seq[Expression]) =>
