@@ -129,6 +129,12 @@ object Main {
           hops = opts.getOrElse("hops", "2").toInt,
           k = opts.getOrElse("k", "10").toInt)
           .foreach(println)
+      case "index_status" =>
+        // ops visibility for the durable index layer: which tiers are
+        // installed for this corpus, which are fresh vs stale against
+        // the corpus's current fingerprint, and their on-disk size.
+        graft.queries.Durable.status(spark, req("index-dir"), req("corpus"))
+          .foreach(println)
       case "jdbc_push" => // K2: landing store → external JDBC warehouse,
         // all-or-nothing per batch (sqlserver.go:92-200 semantics)
         val p = new java.util.Properties
@@ -216,7 +222,7 @@ object Main {
   }
 
   private def usage(): Unit = System.err.println(
-    "usage: graft.Main sync|push|clone|create_views|prune|compact|compact_index|ann_search|jdbc_push|gen|config|version " +
+    "usage: graft.Main sync|push|clone|create_views|prune|compact|compact_index|ann_search|index_status|jdbc_push|gen|config|version " +
       "--source DIR | --url URL [--user U --password P --limit N] " +
       "--landing DIR --state DIR [--schema FILE] " +
       "[--hide-inactive-fields true|false] [--persistent-db DB] " +

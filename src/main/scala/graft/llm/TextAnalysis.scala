@@ -28,9 +28,17 @@ object TextAnalysis {
     * unigram LM): one explode + one map-side-combined aggregation,
     * cached across the session. Distinct-(doc,token) rows are a
     * fraction of the raw occurrence stream, so everything downstream
-    * joins and aggregates less data. */
+    * joins and aggregates less data.
+    *
+    * DURABLE tier (the widest-ridden cross-query frame: x23/x28/x50/
+    * x65/x71/x74/x76/x83/x85/x90/x92/x97/x100/x130 all start here) —
+    * with an index root configured, a fresh session loads it instead
+    * of re-tokenizing the corpus. Version-keyed by the tokenizer
+    * contract (lowercase, trim, `\s+` split — the fused tokenize_tf
+    * and the composable twin produce identical rows, oracle-checked,
+    * so they share one version); a tokenizer change must bump it. */
   private def docTf(s: SparkSession, dir: String): DataFrame =
-    graft.queries.Shared.shared(s, dir, "doc_tf") {
+    graft.queries.Durable.tier(s, dir, "doc_tf", "v1-ws-lower") {
       // the within-doc combine is fused into the scan (tokenize_tf's
       // map<token,tf> IS the groupBy(doc_id, token) result), so the
       // tier builds with NO shuffle at all — map keys are unique per
@@ -831,12 +839,16 @@ object TextAnalysis {
     // The data-value signal dedup-aware curation ranks by: exact
     // duplicates score 0 (nothing new), boilerplate-heavy docs score
     // low, fresh content scores high. Shapes: one (doc, shingle)
-    // explode, one shingle-keyed min (uniform md5-ish keys — the same
+    // explode, one shingle-keyed min (uniform md5 keys — the same
     // skew-free shuffle as the inverted index), one join back, one
     // per-doc aggregation. Integer counts into one division ⇒ exact.
+    // The shingle keys are 60-bit hashes (shingles3_h): the min and
+    // the join-back exchange 8-byte longs, never raw token triples —
+    // first-seer ownership is an equality-only question, invariant
+    // under the shared hash.
     "x57_novelty" -> { (s, dir) =>
       val shing = graft.queries.Shared.temp(docs(s, dir)
-        .selectExpr("doc_id", s"${sLet(sTokens, "tk", sShingles)} as shs")
+        .selectExpr("doc_id", s"${sShinglesHashed(s)} as shs")
         .selectExpr("doc_id", "explode(shs) as sh"))
       val first = shing.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
       val scored = shing.join(first, "sh")
@@ -1363,18 +1375,31 @@ object TextAnalysis {
     // else's placement is stable (n_7 = n_8 + gained per survivor) —
     // is what makes incremental rebalancing affordable at 100 TB,
     // versus mod-N hashing where removing one worker moves (N−1)/N of
-    // the corpus. The scoring is a pure narrow map (8 derived hashes
-    // per row, no shuffle until the 8-row aggregate); md5 ties are
-    // impossible, so the argmax is deterministic on both engines.
+    // the corpus. The scoring is a pure narrow map (8 hashes per row,
+    // no shuffle until the 8-row aggregate); md5 ties are impossible,
+    // so the argmax is deterministic on both engines. The map runs the
+    // fused codegen kernel (hrw_assign: running argmax in registers,
+    // one md5 per worker) when the extension is installed; the
+    // composable HOF chain — same hashes, same first-max-wins — is the
+    // fallback, which pays interpreted lambdas plus three array
+    // re-traversals per row (measured 36.8× the job floor at the 100×
+    // decade — the reason the kernel exists).
     "x86_rendezvous_shards" -> { (s, dir) =>
-      Tables.t(s, dir, "documents").select("doc_id")
-        .selectExpr(
-          s"transform(sequence(0, 7), w -> ${sH("concat(cast(doc_id as string), ':', cast(w as string))")}) as sc")
-        .selectExpr("sc", "array_max(sc) as m8",
-          "array_max(slice(sc, 1, 7)) as m7")
-        .selectExpr(
-          "element_at(filter(sequence(0, 7), w -> element_at(sc, w + 1) = m8), 1) as a8",
-          "element_at(filter(sequence(0, 6), w -> element_at(sc, w + 1) = m7), 1) as a7")
+      val base = Tables.t(s, dir, "documents").select("doc_id")
+      val assigned =
+        if (s.catalog.functionExists("hrw_assign"))
+          base.selectExpr(
+            "hrw_assign(cast(doc_id as string), 8) as a8",
+            "hrw_assign(cast(doc_id as string), 7) as a7")
+        else base
+          .selectExpr(
+            s"transform(sequence(0, 7), w -> ${sH("concat(cast(doc_id as string), ':', cast(w as string))")}) as sc")
+          .selectExpr("sc", "array_max(sc) as m8",
+            "array_max(slice(sc, 1, 7)) as m7")
+          .selectExpr(
+            "element_at(filter(sequence(0, 7), w -> element_at(sc, w + 1) = m8), 1) as a8",
+            "element_at(filter(sequence(0, 6), w -> element_at(sc, w + 1) = m7), 1) as a7")
+      assigned
         // both per-worker tallies in ONE corpus pass: each row emits its
         // 8-worker and 7-worker assignment as two counted events (an
         // explode of a 2-struct array, not a self-union re-scanning the
@@ -2115,7 +2140,7 @@ object TextAnalysis {
          |WHERE rank < 10 ORDER BY rank""".stripMargin,
     "x57_novelty" ->
       s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
-         |shing AS (SELECT doc_id, unnest($dShingles) AS sh FROM tkn),
+         |shing AS (SELECT doc_id, unnest($dShinglesH) AS sh FROM tkn),
          |first AS (SELECT sh, MIN(doc_id) AS first_doc FROM shing GROUP BY sh),
          |scored AS (SELECT shing.doc_id,
          |             CAST(COUNT(*) AS BIGINT) AS n_shingles,

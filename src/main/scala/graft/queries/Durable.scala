@@ -194,6 +194,36 @@ object Durable {
     td.toString
   }
 
+  /** Human-readable tier inventory for (rootDir, corpus) — the
+    * `index_status` CLI verb's body: one line per installed tier with
+    * key__version, FRESH/STALE against the corpus's CURRENT
+    * fingerprint, on-disk bytes, and this session's load/build
+    * counters. The ops-visibility complement of build / ann_search /
+    * compact_index. */
+  def status(s: SparkSession, rootDir: String, dir: String): Seq[String] = {
+    val corpusDir = Paths.get(rootDir, md5(new File(dir).getAbsolutePath))
+    if (!Files.isDirectory(corpusDir))
+      return Seq(s"no tiers installed for $dir under $rootDir")
+    val fp = fingerprint(s, dir)
+    import scala.jdk.CollectionConverters._
+    val tiers = Files.list(corpusDir).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p) &&
+        !p.getFileName.toString.contains(".tmp-") &&
+        !p.getFileName.toString.contains(".old-"))
+      .sortBy(_.getFileName.toString)
+    val lines = tiers.map { td =>
+      val name = td.getFileName.toString
+      val fresh = isFresh(td, fp)
+      val bytes = Files.walk(td).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size(_)).sum
+      val key = name.split("__", 2).head
+      val st = Option(stats.get(key))
+        .map { case (h, b) => s"loads=$h builds=$b" }.getOrElse("loads=0 builds=0")
+      f"$name%-28s ${if (fresh) "FRESH" else "STALE"}%-6s $bytes%10d bytes  $st"
+    }
+    s"index root $rootDir corpus $dir (${tiers.size} tiers)" +: lines
+  }
+
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._

@@ -95,4 +95,19 @@ class CompactIndexSpec extends SparkSpec {
     assert(g.filter("dst % 89 = 0").count() == 0,
       "engine-resolved standing graph still has edges into victims")
   }
+
+  test("index_status lists the installed tiers with freshness (the ops-visibility verb)") {
+    val lines = graft.queries.Durable.status(spark, root, sf001)
+    assert(lines.head.contains("index root"), lines.head)
+    val body = lines.tail.mkString("\n")
+    for (t <- Seq("nnd_edges__", "nnd_ud__", "tombstones__",
+        "nnd_edges_compacted__"))
+      assert(body.contains(t), s"missing tier $t in:\n$body")
+    // the corpus is unchanged since the install: every tier is FRESH
+    assert(!body.contains("STALE"), s"unexpected stale tier:\n$body")
+    // and an empty root reports cleanly instead of throwing
+    val none = graft.queries.Durable.status(spark,
+      java.nio.file.Files.createTempDirectory("graft_empty").toString, sf001)
+    assert(none.head.startsWith("no tiers installed"), none.head)
+  }
 }

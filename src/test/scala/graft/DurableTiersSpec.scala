@@ -71,6 +71,32 @@ class DurableTiersSpec extends SparkSpec {
       s"ivf routing must come from disk in a fresh session: $iv")
   }
 
+  test("doc_tf is a durable tier: a fresh session serves the tf-riders from disk, bit-identical") {
+    val root = freshRoot("tf")
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.indexDir", root)
+    Durable.stats.clear()
+    val built = graft.llm.TextAnalysis.queries("x23_tfidf_topterms")(s1, sf001)
+      .collect().map(_.toString).sorted
+    val m0 = Durable.stats.get("doc_tf")
+    assert(m0 != null && m0._2 >= 1, s"first session must BUILD doc_tf: $m0")
+    // fresh session: only the durable copy can serve it
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.indexDir", root)
+    Durable.stats.clear()
+    val loaded = graft.llm.TextAnalysis.queries("x23_tfidf_topterms")(s2, sf001)
+      .collect().map(_.toString).sorted
+    val m1 = Durable.stats.get("doc_tf")
+    assert(m1 != null && m1._1 >= 1 && m1._2 == 0,
+      s"second session must LOAD doc_tf, never rebuild: $m1")
+    assert(loaded.sameElements(built),
+      "tf-rider over the durable doc_tf tier is not bit-identical")
+    // and the no-root path stays transparent (baseline equality)
+    val base = graft.llm.TextAnalysis.queries("x23_tfidf_topterms")(spark, sf001)
+      .collect().map(_.toString).sorted
+    assert(base.sameElements(built))
+  }
+
   test("corpus rewrite invalidates the fingerprint and forces a rebuild") {
     val root = freshRoot("fp")
     val corpus = Files.createTempDirectory("graft_corpus").toString
