@@ -74,6 +74,38 @@ object Similarity {
         .selectExpr("vec_id", "embedding", s"${sSumSq("embedding")} as sq")
     }
 
+  /** CLUSTERED synthetic geometry — the second evaluation fixture for
+    * the ANN operating-point decisions. The corpus's `embedding`
+    * column is hash-derived and therefore ~isotropic: the regime where
+    * graph/IVF recall is inherently poor and every tuning curve
+    * (x106/x126/x132/x134) is measured at its hardest. Real embedding
+    * corpora are CLUSTERED, so the knobs frozen on hash vectors need a
+    * second reading on clustered geometry before anyone trusts them at
+    * 100 TB. This derives one deterministically from the same table:
+    * center_l = a random ±1 hypercube vertex per label (md5 sign of
+    * ('cent:', label, dim) — 8 mutually near-orthogonal centers), plus
+    * uniform per-(vec, dim) hash-noise scaled by 0.6. Within-label
+    * cosine ≈ 0.8, cross-label ≈ 0 — a realistic mixture. Every term
+    * is the shared md5 primitive + IEEE double ops in one fixed
+    * expression tree, so the DuckDB twin ([[dSqC]]) reproduces the
+    * vectors bit-for-bit (float32 final cast on both sides). */
+  private def sClusteredEmb: String =
+    s"""transform(sequence(0, ${Frag.Dim - 1}), i -> cast(
+       |  (case when ${sH("concat('cent:', cast(label as string), ':', cast(i as string))")} % 2 = 0
+       |     then cast(-1 as double) else cast(1 as double) end)
+       |  + cast(0.6 as double) * ((cast(${sH("concat('cn:', cast(vec_id as string), ':', cast(i as string))")} as double)
+       |      / cast(1152921504606846976 as double)) * cast(2 as double) - cast(1 as double))
+       |  as float))""".stripMargin
+
+  /** The clustered twin of [[withSq]] (vec_id, embedding, sq). */
+  private def withSqClustered(s: SparkSession, dir: String): DataFrame =
+    Shared.shared(s, dir, "withSqC") {
+      t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("vec_id", s"$sClusteredEmb as embedding")
+        .selectExpr("vec_id", "embedding", s"${sSumSq("embedding")} as sq")
+    }
+
   /** Exact cosine between two (embedding, sq) sides, 6-dp bit-exact.
     * Uses the native codegen'd CosineF32 when graft.plans
     * .GraftExtensions is installed (identical IEEE fold order), else
@@ -1570,6 +1602,18 @@ object Similarity {
     // walk fan-out ≤ |probes|·B·2K stays structural. 3 rows out at any
     // corpus size.
     "x134_degree_sweep" -> { (s, dir) => degreeSweep(s, dir) },
+
+    // CLUSTERED-GEOMETRY DEGREE SWEEP — x134 re-graded on the second
+    // fixture (withSqClustered: 8 ±1-vertex label centers + 0.6 hash
+    // noise, the shape of a real embedding corpus). The frozen
+    // standing-index knobs were tuned on ~isotropic hash vectors where
+    // recall@10 sits near its floor; this curve is the evidence that
+    // the K ordering (and the K=10 choice) holds — or moves — when the
+    // data has the cluster structure production embeddings have. Same
+    // tuning slice, same probe ids, same walk, same grade: geometry is
+    // the only variable between x134 and this report.
+    "x135_clustered_degree_sweep" -> { (s, dir) =>
+      degreeSweepClustered(s, dir) },
   )
 
   /** x122's body: min-label propagation to the FIXPOINT (converge-or-
@@ -1743,8 +1787,8 @@ object Similarity {
     * depth-2 walk graded @K over a fresh iters-T graph (no shared
     * tiers touched). Returns (recall@K at depth 2, B=10 variant). */
   private[graft] def walkRecallExperiment(s: SparkSession, dir: String,
-      iters: Int, k: Int = GraphK): String = {
-    val sq = withSq(s, dir)
+      iters: Int, k: Int = GraphK, clustered: Boolean = false): String = {
+    val sq = if (clustered) withSqClustered(s, dir) else withSq(s, dir)
     val edges = nndescentEdgesOn(s, sq, iters, k).localCheckpoint()
     val udRaw = edges.select("src", "dst").unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
@@ -1762,10 +1806,24 @@ object Similarity {
       .selectExpr("src",
         "case when d0 = src then (d0 + 1) % nc else d0 end as dst")
       .distinct()
+    // self-contained ground truth (brute-force top-K within THIS
+    // geometry) — grading a clustered walk against the hash-geometry
+    // exact tier would be a category error, and the harness must stay
+    // tier-independent anyway (it builds fresh graphs per (k, T))
+    val truth = graft.plans.TopKPerKey.topKDesc(
+        sq.selectExpr("vec_id as dst", "embedding as eb", "sq as sb")
+          .crossJoin(broadcast(probes))
+          .filter(col("dst") =!= col("src"))
+          .selectExpr("src", "dst", s"${sCosIn(s)} as cos"),
+        Seq("src"), "cos", Seq("dst"), GraphK)
+      .select(col("src"), col("dst"), lit(true).as("hit0"))
+      .localCheckpoint()
     def rec(b: Int): Double = {
       val vis = walkFrom(s, sq, ud, probes, entries, hops = 2, b = b)
-      val g = gradeWalk(s, dir, vis)
-        .agg((sum(when(col("hit"), 1L).otherwise(0L)).cast("double") /
+      val g = graft.plans.TopKPerKey.topKDesc(vis, Seq("src"), "cos",
+          Seq("dst"), GraphK)
+        .join(truth, Seq("src", "dst"), "left")
+        .agg((sum(when(col("hit0"), 1L).otherwise(0L)).cast("double") /
           count(lit(1)).cast("double")).as("r")).head().getDouble(0)
       g
     }
@@ -1912,11 +1970,25 @@ object Similarity {
     * (measured: 21.0 → 8.6 s at sf0.1). The legs are independent by
     * construction — they share only immutable parent frames — and job
     * results are deterministic regardless of interleaving. */
-  private[graft] def degreeSweep(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def degreeSweep(s: SparkSession, dir: String): DataFrame =
+    degreeSweepOn(s, withSq(s, dir))
+
+  /** x135's body: the identical degree sweep on the CLUSTERED twin
+    * geometry ([[withSqClustered]]) — same slice, same probes-by-id,
+    * same K legs, same dual grade — so the two operating curves
+    * (isotropic hash vectors vs a realistic label mixture) differ in
+    * exactly one variable: the data geometry. */
+  private[graft] def degreeSweepClustered(
+      s: SparkSession, dir: String): DataFrame =
+    degreeSweepOn(s, withSqClustered(s, dir))
+
+  /** The sweep generic over the (vec_id, embedding, sq) corpus frame —
+    * x134 passes the hash geometry, x135 the clustered twin. */
+  private def degreeSweepOn(s: SparkSession, corpus: DataFrame): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val sq = withSq(s, dir)
+    val sq = corpus
     val probes = sq.filter(QuerySet)
       .selectExpr("vec_id as src", "embedding as ea", "sq as sa")
     val s10 = graft.queries.ExactRank.withGlobalRank(
@@ -3048,6 +3120,7 @@ object Similarity {
     "x131_graph_lifecycle" -> dX131Sql,
     "x132_beam_width_curve" -> dX132Sql,
     "x134_degree_sweep" -> dX134Sql,
+    "x135_clustered_degree_sweep" -> dX135Sql,
     "x133_bitext_margin" -> dX133Sql,
   )
 
@@ -3542,7 +3615,27 @@ object Similarity {
     * sides (a probe divisible by 10 meets its own vector). Truth is
     * the slice's OWN brute-force top-k (`sxt`) — see degreeSweep's
     * doc for why full-corpus truth would erase the K-signal. */
-  private def dX134Sql: String = {
+  private def dX134Sql: String = dDegreeSweepSql(dSq)
+
+  /** x135's oracle: the identical sweep text over the CLUSTERED vector
+    * CTE — [[dSqC]] re-derives the mixture vectors from the same md5 +
+    * IEEE-double expression tree the Spark side evaluates, final
+    * float32 cast on both, so the twin geometries stay hash-exact. */
+  private def dX135Sql: String = dDegreeSweepSql(dSqC)
+
+  /** The clustered twin of [[dSq]]: same CTE name (`sq`), so every
+    * parametrized chain builder runs unchanged over it. */
+  private def dSqC: String =
+    s"""WITH ce AS (SELECT vec_id, list_transform(range(0, ${Frag.Dim}), i -> CAST(
+       |    (CASE WHEN ${dH("concat('cent:', CAST(label AS VARCHAR), ':', CAST(i AS VARCHAR))")} % 2 = 0
+       |       THEN CAST(-1 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END)
+       |    + CAST(0.6 AS DOUBLE) * ((CAST(${dH("concat('cn:', CAST(vec_id AS VARCHAR), ':', CAST(i AS VARCHAR))")} AS DOUBLE)
+       |        / CAST(1152921504606846976 AS DOUBLE)) * CAST(2 AS DOUBLE) - CAST(1 AS DOUBLE))
+       |    AS FLOAT)) AS embedding
+       |  FROM embeddings),
+       |sq AS (SELECT vec_id, embedding, ${dSumSq("embedding")} AS sq FROM ce)""".stripMargin
+
+  private def dDegreeSweepSql(base: String): String = {
     val e = 8; val b = 5; val h = 2
     val degrees = Seq(5, 10, 20)
     val chains = degrees.map { k =>
@@ -3574,7 +3667,7 @@ object Similarity {
          |    WHERE rk <= $TopK) f
          |  LEFT JOIN sxt e ON f.src = e.src AND f.dst = e.dst)""".stripMargin
     }.mkString
-    s"""$dSq,
+    s"""$base,
        |s10 AS MATERIALIZED (SELECT
        |       ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS vec_id,
        |       vec_id AS orig_id, embedding, sq
