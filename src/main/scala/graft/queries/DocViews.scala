@@ -410,7 +410,11 @@ object DocViews {
     // incremental fold must be bit-identical to the full recompute,
     // which is exactly the associativity claim under the hash gate.
     "r69_incremental_latest" -> { (s, dir) =>
-      val land = landing(s, dir)
+      // reads the BUCKETED landing store (r74's path): the refresh fold
+      // is (type,id)-keyed, so both the prev materialization and the
+      // incremental merge run exchange-free off the bucketed scans —
+      // at 100 TB the per-cycle refresh inherits the store's clustering
+      val land = bucketedStore(s, dir)
       val prev = Views.latest(land.filter(s"batch_date = $ts1"))
       val inc = Views.latestIncremental(prev, land.filter(s"batch_date = $ts2"))
       Views.typedView(inc, "DOC", docSchema("DOC")).orderBy("DOCUMENT_ID")

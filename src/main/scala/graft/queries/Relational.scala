@@ -103,9 +103,16 @@ object Relational {
         .orderBy(asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus"))
     },
+    // r10/r11 (set ops), r16 (fact join), r34 (keyed scalar subquery)
+    // and r72 (cohort) read their fact tables through Tables.bucketed —
+    // the one-time hash-bucketed store copies (r68's ingest-time
+    // clustering generalized): the custkey/orderkey/user_id exchanges
+    // that dominated these sub-second cells disappear because the scan
+    // itself reports the required HashPartitioning. Same rows, same
+    // oracles — bucketing must never change a result.
     "r10_setops_custkeys" -> { (s, dir) =>
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val c = Tables.bucketed(s, dir, "customer", "c_custkey")
+      val o = Tables.bucketed(s, dir, "orders", "o_custkey")
       val building = c.filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("custkey"))
       val big = o.filter(col("o_totalprice") > 150000.0d)
@@ -115,8 +122,8 @@ object Relational {
       building.union(big).distinct().except(negative).orderBy(col("custkey"))
     },
     "r11_intersect_custkeys" -> { (s, dir) =>
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val c = Tables.bucketed(s, dir, "customer", "c_custkey")
+      val o = Tables.bucketed(s, dir, "orders", "o_custkey")
       o.select(col("o_custkey").as("custkey"))
         .intersect(c.filter(col("c_acctbal") > 5000.0d)
           .select(col("c_custkey").as("custkey")))
@@ -168,8 +175,10 @@ object Relational {
       val r = t(s, dir, "region")
       val n = t(s, dir, "nation")
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
+      // the one non-broadcast join: both fact sides bucketed on the
+      // order key, so the big l ⋈ o runs exchange-free off the scans
+      val o = Tables.bucketed(s, dir, "orders", "o_orderkey")
+      val l = Tables.bucketed(s, dir, "lineitem", "l_orderkey")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -251,8 +260,10 @@ object Relational {
     // Exact decimal arithmetic end-to-end so the correlated average is
     // engine-independent.
     "r34_scalar_subquery" -> { (s, dir) =>
-      t(s, dir, "orders").createOrReplaceTempView("v_orders2")
-      t(s, dir, "customer").createOrReplaceTempView("v_customer2")
+      Tables.bucketed(s, dir, "orders", "o_custkey")
+        .createOrReplaceTempView("v_orders2")
+      Tables.bucketed(s, dir, "customer", "c_custkey")
+        .createOrReplaceTempView("v_customer2")
       s.sql(Relational.r34Sql("v_orders2", "v_customer2"))
     },
     // explicit window frame: 4-row moving average per user (decimal
@@ -691,7 +702,7 @@ object Relational {
     // against a weeks-sized frame. date_trunc('week') is ISO-Monday in
     // both engines; the offset is integer day arithmetic.
     "r72_cohort_retention" -> { (s, dir) =>
-      val ev = t(s, dir, "events")
+      val ev = Tables.bucketed(s, dir, "events", "user_id")
         .selectExpr("user_id", "cast(date_trunc('week', ts) as date) as wk")
       val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
       val n = cohort.groupBy("cohort_week").agg(cnt.as("n_cohort"))

@@ -99,6 +99,41 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("round 14: custkey/orderkey/user_id cells read the bucketed fact stores exchange-free; results unchanged") {
+    val R = graft.queries.Relational.queries
+    def plan(name: String): String =
+      R(name)(spark, sf001).queryExecution.executedPlan.toString
+    // r16: the one non-broadcast join must not shuffle either fact side
+    val p16 = plan("r16_nation_revenue")
+    assert(!p16.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p16.contains("Exchange hashpartitioning(o_orderkey"),
+      s"r16 still shuffles a bucketed fact side:\n${p16.take(3000)}")
+    // r11: the whole intersect rides the custkey buckets
+    val p11 = plan("r11_intersect_custkeys")
+    assert(!p11.contains("Exchange hashpartitioning"),
+      s"r11 still hash-shuffles over bucketed custkey scans:\n${p11.take(3000)}")
+    // r34: the per-customer aggregate + join must not shuffle on custkey
+    val p34 = plan("r34_scalar_subquery")
+    assert(!p34.contains("Exchange hashpartitioning(o_custkey") &&
+      !p34.contains("Exchange hashpartitioning(c_custkey"),
+      s"r34 still shuffles on custkey:\n${p34.take(3000)}")
+    // r72: distinct/cohort/join all ride the user_id buckets
+    val p72 = plan("r72_cohort_retention")
+    assert(!p72.contains("Exchange hashpartitioning(user_id"),
+      s"r72 still shuffles on user_id:\n${p72.take(3000)}")
+    // results invariance: the bucketed read is a pure storage change
+    val a = R("r11_intersect_custkeys")(spark, sf001)
+      .collect().map(_.getLong(0)).toSeq
+    val plain = graft.queries.Tables.t(spark, sf001, "orders")
+      .select(col("o_custkey").as("custkey"))
+      .intersect(graft.queries.Tables.t(spark, sf001, "customer")
+        .filter(col("c_acctbal") > 5000.0d)
+        .select(col("c_custkey").as("custkey")))
+      .orderBy(col("custkey")).collect().map(_.getLong(0)).toSeq
+    assert(a.nonEmpty && a == plain,
+      "bucketed r11 diverges from the plain-parquet form")
+  }
+
   test("r68_bucketed_latest: public query runs R1/R2 exchange-free and matches r24") {
     try {
       val r68 = graft.queries.DocViews.queries("r68_bucketed_latest")(spark, sf001)
