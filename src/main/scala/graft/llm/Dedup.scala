@@ -655,16 +655,15 @@ object Dedup {
     // threshold the inverted-index joins (x10/x46/x48) run with. Two
     // keyed aggregations (shingle → df, df → histogram) + a one-row
     // total — the second aggregate and everything after are bounded by
-    // max(df), not data volume. The shingle keys cross the exchange as
-    // 60-bit HASHES (shingles3_h / the sShinglesH twin): one 8-byte
-    // long per instance instead of a raw ~20-byte token triple — at
-    // the 100× decade this exchange IS the query's cost, and the df
-    // histogram only ever compares keys for equality, which the shared
-    // md5 hash preserves in both engines.
+    // max(df), not data volume. Shingling runs the fused kernel
+    // (Frag.sShinglesText); keys stay RAW STRINGS — hashing them was
+    // measured and rejected (see sShinglesText's decision record: the
+    // partial agg collapses this exchange before it ships, so per-
+    // instance md5 is pure added CPU).
     "x64_dedup_pressure" -> { (s, dir) =>
       val ex = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .selectExpr(s"${sShinglesHashed(s)} as shs")
+        .selectExpr(s"${sShinglesText(s)} as shs")
         .selectExpr("explode(shs) as sh")
       val byDf = ex.groupBy("sh").agg(count(lit(1)).as("df"))
         .groupBy("df").agg(count(lit(1)).as("n_shingles"))
@@ -782,15 +781,13 @@ object Dedup {
     // list (≤ #sources) expands to pairs locally — the same bounded
     // posting-list pattern as rareShingleCandidates, with the bound
     // being the source count, never data volume. Pure integer counts
-    // into one double division ⇒ trivially oracle-exact. The shingle
-    // keys are 60-bit hashes (shingles3_h): the distinct + groupBy
-    // exchanges carry 8-byte longs, not raw token triples — the set
-    // sizes and pair counts are equality-only consumers, invariant
-    // under the shared hash.
+    // into one double division ⇒ trivially oracle-exact. Shingling
+    // runs the fused kernel; keys stay raw strings (the measured
+    // decision — Frag.sShinglesText).
     "x48_source_overlap" -> { (s, dir) =>
       val ss = Shared.temp(t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .selectExpr("source", s"${sShinglesHashed(s)} as shs")
+        .selectExpr("source", s"${sShinglesText(s)} as shs")
         .selectExpr("source", "explode(shs) as sh")
         .distinct())
       val totals = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
@@ -1266,7 +1263,7 @@ object Dedup {
          |WHERE bucket >= 90 ORDER BY g0.doc_id""".stripMargin,
     "x64_dedup_pressure" ->
       s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
-         |shd AS (SELECT doc_id, $dShinglesH AS shs FROM tkn),
+         |shd AS (SELECT doc_id, $dShingles AS shs FROM tkn),
          |ex AS (SELECT unnest(shs) AS sh FROM shd),
          |dfs AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY sh),
          |bydf AS (SELECT df, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM dfs GROUP BY df),
@@ -1570,7 +1567,7 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin,
     "x48_source_overlap" ->
       s"""WITH tkn AS (SELECT source, $dTokens AS tk FROM documents),
-         |sh0 AS (SELECT source, unnest($dShinglesH) AS sh FROM tkn),
+         |sh0 AS (SELECT source, unnest($dShingles) AS sh FROM tkn),
          |ss AS (SELECT DISTINCT source, sh FROM sh0),
          |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ss GROUP BY source),
          |shared AS (SELECT a.source AS source_a, b.source AS source_b,

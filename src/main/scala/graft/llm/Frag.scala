@@ -42,23 +42,23 @@ object Frag {
     """list_distinct(list_transform(range(1, greatest(len(tk)-2,0)+1),
       |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))""".stripMargin
 
-  /** 60-bit hashed distinct 3-word shingles (over a token-array column
-    * named `tk`) — the INTEGER shuffle keys for the cross-document
-    * shingle operators (x48/x57/x64). A shingle-keyed exchange over
-    * raw strings ships one ~20-byte token triple per shingle instance;
-    * these ship an 8-byte long, and every consumer only compares keys
-    * for equality, which the shared md5 hash preserves bit-for-bit in
-    * both engines (a 2^-60 collision would merge the same pair on both
-    * sides). Composable fallback of the fused `shingles3_h(text)`. */
-  val sShinglesH: String = s"transform($sShingles, s3 -> ${sH("s3")})"
-  val dShinglesH: String = s"list_transform($dShingles, s3 -> ${dH("s3")})"
-
-  /** The hashed-shingle projection over a `text` column: the fused
-    * native kernel when GraftExtensions is installed, the composable
-    * HOF twin otherwise (identical output, oracle-checked). */
-  def sShinglesHashed(s: org.apache.spark.sql.SparkSession): String =
-    if (s.catalog.functionExists("shingles3_h")) "shingles3_h(text)"
-    else sLet(sTokens, "tk", sShinglesH)
+  /** The shingle projection over a `text` column: the fused native
+    * kernel (plans.Shingles3) when GraftExtensions is installed, the
+    * composable HOF twin otherwise (identical output, oracle-checked).
+    * Shared by the equality-only shingle consumers (x48/x57/x64).
+    *
+    * DECISION RECORD (round 14, graft.ShingleProbe at the 100× decade,
+    * interleaved A/B ×3): keys cross these exchanges as RAW STRINGS,
+    * not 60-bit hashes. Hashing-at-generation was measured and
+    * REJECTED — x64 19.3 s (fused strings) vs 26.0 s (fused hashes),
+    * x48 22.4 vs 28.8 — because on a duplication-heavy corpus the
+    * map-side partial aggregation collapses the shingle exchange
+    * before it ships, so the md5 per instance is pure added CPU with
+    * nothing left to save. The fused STRING shingler is the part that
+    * pays (22.4 s HOF → 19.3 s fused on x64). */
+  def sShinglesText(s: org.apache.spark.sql.SparkSession): String =
+    if (s.catalog.functionExists("shingles3")) "shingles3(text)"
+    else sLet(sTokens, "tk", sShingles)
 
   /** SQL let-binding: evaluate `bind` ONCE per row and reference it as
     * lambda variable `v` in `body`. Catalyst's CollapseProject inlines

@@ -1787,7 +1787,8 @@ object Similarity {
     * depth-2 walk graded @K over a fresh iters-T graph (no shared
     * tiers touched). Returns (recall@K at depth 2, B=10 variant). */
   private[graft] def walkRecallExperiment(s: SparkSession, dir: String,
-      iters: Int, k: Int = GraphK, clustered: Boolean = false): String = {
+      iters: Int, k: Int = GraphK, clustered: Boolean = false,
+      entriesN: Int = 8): String = {
     val sq = if (clustered) withSqClustered(s, dir) else withSq(s, dir)
     val edges = nndescentEdgesOn(s, sq, iters, k).localCheckpoint()
     val udRaw = edges.select("src", "dst").unionByName(
@@ -1801,7 +1802,7 @@ object Similarity {
     val nRow = sq.agg(count(lit(1)).as("nc"))
     val entries = probes.select(col("src")).crossJoin(broadcast(nRow))
       .selectExpr("src",
-        s"explode(transform(sequence(1, 8), j -> " +
+        s"explode(transform(sequence(1, $entriesN), j -> " +
           s"${sH("concat(src, ':entry:', j)")} % nc)) as d0", "nc")
       .selectExpr("src",
         "case when d0 = src then (d0 + 1) % nc else d0 end as dst")

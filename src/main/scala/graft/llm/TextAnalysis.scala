@@ -842,13 +842,11 @@ object TextAnalysis {
     // explode, one shingle-keyed min (uniform md5 keys — the same
     // skew-free shuffle as the inverted index), one join back, one
     // per-doc aggregation. Integer counts into one division ⇒ exact.
-    // The shingle keys are 60-bit hashes (shingles3_h): the min and
-    // the join-back exchange 8-byte longs, never raw token triples —
-    // first-seer ownership is an equality-only question, invariant
-    // under the shared hash.
+    // Shingling runs the fused kernel; keys stay raw strings (the
+    // measured decision — Frag.sShinglesText).
     "x57_novelty" -> { (s, dir) =>
       val shing = graft.queries.Shared.temp(docs(s, dir)
-        .selectExpr("doc_id", s"${sShinglesHashed(s)} as shs")
+        .selectExpr("doc_id", s"${sShinglesText(s)} as shs")
         .selectExpr("doc_id", "explode(shs) as sh"))
       val first = shing.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
       val scored = shing.join(first, "sh")
@@ -2140,7 +2138,7 @@ object TextAnalysis {
          |WHERE rank < 10 ORDER BY rank""".stripMargin,
     "x57_novelty" ->
       s"""WITH tkn AS (SELECT doc_id, $dTokens AS tk FROM documents),
-         |shing AS (SELECT doc_id, unnest($dShinglesH) AS sh FROM tkn),
+         |shing AS (SELECT doc_id, unnest($dShingles) AS sh FROM tkn),
          |first AS (SELECT sh, MIN(doc_id) AS first_doc FROM shing GROUP BY sh),
          |scored AS (SELECT shing.doc_id,
          |             CAST(COUNT(*) AS BIGINT) AS n_shingles,

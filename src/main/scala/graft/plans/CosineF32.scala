@@ -112,10 +112,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HrwAssign(children(0), children(1))
       }))
     ext.injectFunction((
-      new FunctionIdentifier("shingles3_h"),
-      new ExpressionInfo(classOf[Shingles3H].getName, "shingles3_h"),
-      (children: Seq[Expression]) => Shingles3H(children.head)))
-    ext.injectFunction((
       new FunctionIdentifier("sign_bands_f32"),
       new ExpressionInfo(classOf[SignBandsF32].getName, "sign_bands_f32"),
       (children: Seq[Expression]) =>

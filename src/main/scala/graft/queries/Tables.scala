@@ -75,9 +75,18 @@ object Tables {
     * table name is dir-hashed so two corpora never share a store.
     * Results are invariant (same rows, same types — BucketingSpec and
     * the oracle gate both pin this); only the scan's reported
-    * partitioning changes. */
+    * partitioning changes.
+    *
+    * Bucket count: a bucketed scan reads ONE task per bucket (Spark
+    * never splits inside a bucket), so the count is also the scan's
+    * parallelism ceiling — it must be ≥ the core count (32 here,
+    * matching local[32] and spark.sql.shuffle.partitions; measured at
+    * the 100× decade, 16 buckets halved the scan parallelism and cost
+    * more than the exchange it saved). On a real cluster you size it
+    * to ~(table size / 128 MB), the same rule appendBatchBucketed
+    * documents. */
   def bucketed(s: SparkSession, dir: String, name: String, key: String,
-      nBuckets: Int = 16): DataFrame = {
+      nBuckets: Int = 32): DataFrame = {
     val dirTag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val table = s"graft_bk_${name}_${key}_$dirTag"

@@ -3,34 +3,20 @@ package graft
 import graft.llm.Frag._
 import org.apache.spark.sql.functions.col
 
-/** Round-14 regressions: integer-keyed shingle shuffles (x48/x57/x64)
-  * and the fused HRW kernel (x86).
+/** Round-14 regressions: the fused HRW kernel (x86) and the shingle
+  * pipeline decision.
   *
   * The load-bearing claims:
-  *  - `shingles3_h(text)` ≡ element-wise h60 of the distinct string
-  *    shingles (fused vs composable parity), so the hashed rewiring of
-  *    x48/x57/x64 is a pure key-representation change — the query
-  *    RESULTS are invariant because every consumer is equality-only;
   *  - `hrw_assign(key, n)` ≡ the HOF argmax chain, so x86's fused
   *    narrow map assigns identically;
-  *  - x86's plan stays one narrow map + a single exchange.
+  *  - x86's plan stays one narrow map + a single exchange;
+  *  - the equality-only shingle consumers (x48/x57/x64) run the FUSED
+  *    STRING shingler (shingles3) — hashed keys were measured and
+  *    rejected (graft.ShingleProbe, decision record in
+  *    Frag.sShinglesText), and the fused form must equal the
+  *    composable HOF chain it replaced.
   */
 class Round20Spec extends SparkSpec {
-
-  test("shingles3_h (fused) == hashed composable form == h60 of shingles3, element-wise") {
-    val d = graft.queries.Tables.t(spark, sf001, "documents")
-    val fused = d.selectExpr("doc_id", "shingles3_h(text) as hs")
-    val composable = d.selectExpr("doc_id",
-      s"${sLet(sTokens, "tk", sShinglesH)} as hs")
-    val viaStrings = d.selectExpr("doc_id",
-      s"transform(shingles3(text), s3 -> ${sH("s3")}) as hs")
-    val a = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    val b = composable.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    val c = viaStrings.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    assert(a.nonEmpty && a.values.exists(_.nonEmpty))
-    assert(a == b, "fused shingles3_h != composable HOF twin")
-    assert(a == c, "fused shingles3_h != h60 over shingles3 strings")
-  }
 
   test("hrw_assign (fused) == composable HOF argmax, both n=8 and n=7") {
     val d = graft.queries.Tables.t(spark, sf001, "documents")
@@ -66,27 +52,32 @@ class Round20Spec extends SparkSpec {
       "x86 hot path still evaluates the interpreted HOF chain")
   }
 
-  test("hashed shingle keys: the x48/x57/x64 exchanges carry bigints, results unchanged vs the string-keyed forms") {
-    // x64 df histogram, recomputed with RAW STRING shingle keys —
-    // the representation change must be invisible in the output
+  test("x48/x57/x64 ride the fused string shingler; fused == composable HOF chain") {
+    // the fused kernel must be in the analyzed plans (extensions are
+    // installed in the spec session), and the HOF fallback must be
+    // value-identical so extension-less sessions stay oracle-green
+    for (q <- Seq("x48_source_overlap", "x57_novelty", "x64_dedup_pressure")) {
+      val plan = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.analyzed.toString
+      assert(plan.contains("shingles3"), s"$q lost the fused shingler")
+    }
+    val d = graft.queries.Tables.t(spark, sf001, "documents")
+    val fused = d.selectExpr("doc_id", "shingles3(text) as shs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val hof = d.selectExpr("doc_id", s"${sLet(sTokens, "tk", sShingles)} as shs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fused.nonEmpty && fused == hof,
+      "fused shingles3 != composable HOF chain")
+    // and the df histogram the fused pipeline feeds is unchanged
     import org.apache.spark.sql.functions.{count, lit}
-    val strForm = graft.queries.Tables.t(spark, sf001, "documents")
-      .selectExpr(s"${sLet(sTokens, "tk", sShingles)} as shs")
+    val viaFused = SparkEntry.queries("x64_dedup_pressure")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaHof = d.selectExpr(s"${sLet(sTokens, "tk", sShingles)} as shs")
       .selectExpr("explode(shs) as sh")
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .groupBy("df").agg(count(lit(1)).as("n"))
-      .collect()
-    val strHist = strForm.map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val hashed = SparkEntry.queries("x64_dedup_pressure")(spark, sf001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(hashed == strHist,
-      s"x64 df histogram changed under hashed keys: $hashed vs $strHist")
-    // and the exchanged key column is a bigint, not a string
-    val x57 = SparkEntry.queries("x57_novelty")(spark, sf001)
-    assert(x57.collect().length > 0)
-    val x48plan = SparkEntry.queries("x48_source_overlap")(spark, sf001)
-      .queryExecution.analyzed.toString
-    assert(!x48plan.contains("concat(element_at(tk"),
-      "x48 still shuffles raw concatenated shingle strings")
+    assert(viaFused == viaHof,
+      s"x64 df histogram drifted under the fused shingler: $viaFused vs $viaHof")
   }
 }
