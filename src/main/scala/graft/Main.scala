@@ -124,10 +124,18 @@ object Main {
         // tiers serve the walk (no rebuild in a fresh session).
         opts.get("index-dir").foreach(d =>
           spark.conf.set("spark.graft.indexDir", d))
+        // --entries and --beam are the two MEASURED recall levers
+        // (SCALE.md round-14 recall study: on clustered corpora the
+        // standing graph fragments into islands and recall is
+        // ENTRY-limited — E=8→64 lifted recall@10 from 0.20 to 0.84
+        // at fixed degree); serving cost stays structural
+        // (E + hops·B·2K scorings per probe).
         annSearch(spark, corpus = req("corpus"),
           ids = opts.get("ids"), probesFile = opts.get("probes"),
           hops = opts.getOrElse("hops", "2").toInt,
-          k = opts.getOrElse("k", "10").toInt)
+          k = opts.getOrElse("k", "10").toInt,
+          b = opts.getOrElse("beam", "5").toInt,
+          e = opts.getOrElse("entries", "8").toInt)
           .foreach(println)
       case "index_status" =>
         // ops visibility for the durable index layer: which tiers are
@@ -200,7 +208,7 @@ object Main {
     * "query_id rk neighbor_id cos_sim" lines. */
   private[graft] def annSearch(spark: SparkSession, corpus: String,
       ids: Option[String], probesFile: Option[String], hops: Int,
-      k: Int): Seq[String] = {
+      k: Int, b: Int = 5, e: Int = 8): Seq[String] = {
     val sq = "aggregate(zip_with(embedding, embedding, (x, y) -> " +
       "cast(x as double) * cast(y as double)), cast(0 as double), " +
       "(acc, t) -> acc + t)"
@@ -215,7 +223,7 @@ object Main {
           .selectExpr("vec_id as src", "embedding as ea", s"$sq as sa")
     }
     graft.llm.Similarity
-      .annSearch(spark, corpus, probes.localCheckpoint(), hops, k)
+      .annSearch(spark, corpus, probes.localCheckpoint(), hops, k, b, e)
       .collect()
       .map(r => f"${r.getLong(0)}%d ${r.getLong(1)}%d ${r.getLong(2)}%d ${r.getDouble(3)}%.6f")
       .toSeq
@@ -229,5 +237,5 @@ object Main {
       "[--wait SECONDS] [--chunk-size N] [--target-file-mb N] " +
       "[--jdbc-url URL --jdbc-table T --jdbc-driver CLASS] " +
       "[--corpus DIR --index-dir DIR [--deletes FILE --inserts FILE --hops N]] " +
-      "[--ids \"0,5,9\" | --probes FILE] [--k N]")
+      "[--ids \"0,5,9\" | --probes FILE] [--k N] [--beam B] [--entries E]")
 }

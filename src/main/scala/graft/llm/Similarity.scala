@@ -1614,6 +1614,18 @@ object Similarity {
     // the only variable between x134 and this report.
     "x135_clustered_degree_sweep" -> { (s, dir) =>
       degreeSweepClustered(s, dir) },
+
+    // IVF-SEEDED WALK — the SEEDING lever the clustered-geometry
+    // recall study exposed: on a label-clustered corpus the kNN graph
+    // fragments into islands and walk recall is bounded by where the
+    // entries land, not by degree or width. At the SAME 8-entry
+    // budget, route each query through the IVF coarse quantizer (x17's
+    // exact machinery — 8-row broadcast centroids) and seed inside its
+    // top-2 cells, vs x121's uniform hash seeds — one fixed
+    // standing-knob graph, two walks, two graded rows. The coarse
+    // layer costs one broadcast cross-join; the walk bounds are
+    // identical across seedings, so the rows isolate the lever.
+    "x136_ivf_seeded_walk" -> { (s, dir) => ivfSeededWalk(s, dir) },
   )
 
   /** x122's body: min-label propagation to the FIXPOINT (converge-or-
@@ -2066,6 +2078,134 @@ object Similarity {
       .reduce(_ unionByName _).orderBy("degree")
   }
 
+  /** x136's body: the SEEDING lever at a FIXED graph. The round-14
+    * walk-recall study (RecallStudy, SCALE.md) found that on clustered
+    * geometry the standing graph fragments into label islands, so
+    * recall is ENTRY-limited — uniform hash seeds land in the wrong
+    * island and no amount of walking escapes it (E=8→64 lifted
+    * recall@10 from 0.20 to 0.84 at fixed K=10). The principled fix at
+    * a FIXED entry budget is semantic placement: route each query
+    * through the IVF coarse quantizer (the exact x17 machinery) and
+    * seed inside its top-nprobe cells — IVF as the coarse layer of a
+    * graph walk, the hybrid DiskANN/HNSW deployments run in practice.
+    *
+    * One standing-knob (K=[[GraphK]], T=2) NN-Descent graph on the
+    * 1/10 clustered slice; two hops-2/B=10 walks that differ ONLY in
+    * their 8-entry seed set — `hash` (uniform, x121's seeding text) vs
+    * `ivf` (top-2 cells × 4 deterministic cell representatives); one
+    * grade each against the slice's brute-force truth. Everything else
+    * (graph, adjacency cap, walk bounds, probe set) is shared, so the
+    * two rows isolate the seeding variable. Scale shape: quantizer =
+    * 8-row broadcast; assignment = one slice×8 narrow pass; per-probe
+    * walk cost identical across seedings (same E/B/2K bounds). */
+  private[graft] def ivfSeededWalk(s: SparkSession, dir: String): DataFrame = {
+    val full = withSqClustered(s, dir)
+    val probes = full.filter(QuerySet)
+      .selectExpr("vec_id as src", "embedding as ea", "sq as sa")
+      .localCheckpoint()
+    // 1/10 slice under dense ids, WITH label (the quantizer is learned
+    // on the indexed slice, in the indexed geometry)
+    val s10 = graft.queries.ExactRank.withGlobalRank(
+        full.join(t(s, dir, "embeddings").select("vec_id", "label"),
+          "vec_id").filter("vec_id % 10 = 0"),
+        Seq(col("vec_id")))
+      .selectExpr("rank - 1 as vec_id", "vec_id as orig_id", "label",
+        "embedding", "sq")
+      .localCheckpoint()
+    val s10c = s10.select("vec_id", "embedding", "sq")
+    val smap = s10.selectExpr("vec_id as dst", "orig_id")
+    val truth = graft.plans.TopKPerKey.topKDesc(
+        s10.selectExpr("vec_id as dst", "orig_id", "embedding as eb",
+            "sq as sb")
+          .crossJoin(broadcast(probes))
+          .filter(col("orig_id") =!= col("src"))
+          .selectExpr("src", "dst", s"${sCosIn(s)} as cos_sim"),
+        Seq("src"), "cos_sim", Seq("dst"), TopK)
+      .select(col("src"), col("dst"), col("rk").as("erk"))
+      .localCheckpoint()
+    val edges = nndescentEdgesOn(s, s10c, iters = 2, k = GraphK)
+    val udRaw = edges.select("src", "dst").unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val ud = graft.plans.TopKPerKey.topKDesc(
+        udRaw.selectExpr("src", "dst",
+          s"${sH("concat(src, ':', dst)")} as hk"),
+        Seq("src"), "hk", Seq("dst"), 2 * GraphK)
+      .select("src", "dst").localCheckpoint()
+    val nRow = s10c.agg(count(lit(1)).as("nc"))
+    val entH = probes.select(col("src")).crossJoin(broadcast(nRow))
+      .selectExpr("src",
+        s"explode(transform(sequence(1, 8), j -> " +
+          s"${sH("concat(src, ':entry:', j)")} % nc)) as dst")
+      .distinct()
+    val entI = ivfEntries(s, s10, probes)
+    def grade(entries: DataFrame, tag: String): DataFrame = {
+      val visited = walkFrom(s, s10c, ud, probes, entries, hops = 2,
+        b = 10, excludeSelf = false)
+      graft.plans.TopKPerKey.topKDesc(
+          visited.join(broadcast(smap), "dst")
+            .filter(col("orig_id") =!= col("src"))
+            .select("src", "dst", "cos"),
+          Seq("src"), "cos", Seq("dst"), TopK)
+        .join(truth, Seq("src", "dst"), "left")
+        .agg(
+          sum(when(col("rk") <= 5, 1L).otherwise(0L)).as("n5"),
+          sum(when(col("rk") <= 5 && col("erk") <= 5, 1L).otherwise(0L))
+            .as("h5"),
+          count(lit(1)).as("n10"),
+          sum(when(col("erk").isNotNull, 1L).otherwise(0L)).as("h10"))
+        .selectExpr(s"'$tag' as seeding",
+          "n5 as n_answers_5", "h5 as n_hits_5",
+          sRound6("cast(h5 as double) / cast(n5 as double)") +
+            " as recall_at_5",
+          "n10 as n_answers_10", "h10 as n_hits_10",
+          sRound6("cast(h10 as double) / cast(n10 as double)") +
+            " as recall_at_10")
+    }
+    grade(entH, "hash").unionByName(grade(entI, "ivf"))
+      .orderBy("seeding")
+  }
+
+  /** x136's IVF entry construction, factored for the spec: per-label
+    * exact-decimal centroids of the slice (8-row broadcast quantizer),
+    * each slice vector assigned to its argmax-cosine cell, 4
+    * deterministic (hash-ranked) representatives kept per cell, and
+    * each probe routed to its top-2 cells — entries = routed cells'
+    * representatives, ≤ 8 per probe (the hash seeding's exact budget).
+    * `s10` = (vec_id DENSE, orig_id, label, embedding, sq); `probes` =
+    * (src, ea, sa). Returns (src, dst). */
+  private[graft] def ivfEntries(s: SparkSession, s10: DataFrame,
+      probes: DataFrame): DataFrame = {
+    val cent = s10.selectExpr("label", "posexplode(embedding) as (dim, v)")
+      .groupBy("label", "dim")
+      .agg((sum(col("v").cast("double").cast(DecimalType(20, 8))).cast("double") /
+        count(lit(1)).cast("double")).as("c"))
+      .groupBy(col("label").as("cl"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)").as("cv"))
+      .selectExpr("cl", "cv",
+        "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x) as csq")
+      .localCheckpoint()
+    def dotE(vec: String) =
+      if (s.catalog.functionExists("dot_f32f64")) s"dot_f32f64($vec, cv)"
+      else s"aggregate(zip_with($vec, cv, (x, w) -> cast(x as double) * w), cast(0 as double), (acc, t) -> acc + t)"
+    val asg = s10.select("vec_id", "embedding", "sq")
+      .crossJoin(broadcast(cent))
+      .selectExpr("vec_id", "cl", s"${dotE("embedding")} / sqrt(sq * csq) as cosc")
+      .groupBy("vec_id")
+      .agg(expr("min(struct(-cosc as nc, cl))").as("m"))
+      .selectExpr("vec_id", "m.cl as cell")
+    val cell4 = graft.plans.TopKPerKey.topKDesc(
+        asg.selectExpr("cell", "vec_id as dst",
+          s"${sH("concat(cell, ':', vec_id)")} as hk"),
+        Seq("cell"), "hk", Seq("dst"), 4)
+      .select("cell", "dst")
+    val rout = graft.plans.TopKPerKey.topKDesc(
+        probes.crossJoin(broadcast(cent))
+          .selectExpr("src", "cl", s"${dotE("ea")} / sqrt(sa * csq) as cosc"),
+        Seq("src"), "cosc", Seq("cl"), 2)
+      .selectExpr("src", "cl as cell")
+    rout.join(broadcast(cell4), "cell").select("src", "dst").distinct()
+  }
+
   /** The insertion primitive shared by x124 and the streaming
     * maintenance gate: beam-search the FROZEN standing index with the
     * new vectors as probes, each new vector's edge list = top-K of its
@@ -2096,8 +2236,9 @@ object Similarity {
     * fresh under the session's index root. Victims-only and broadcast-
     * sized, the same shape as the delete itself. */
   private[graft] def annSearch(s: SparkSession, dir: String,
-      probes: DataFrame, hops: Int, k: Int): DataFrame = {
-    val vis0 = beamWalk(s, dir, probes, hops)
+      probes: DataFrame, hops: Int, k: Int, b: Int = 5,
+      e: Int = 8): DataFrame = {
+    val vis0 = beamWalk(s, dir, probes, hops, b, e)
     val vis = (for {
       r <- Durable.root(s)
       tomb <- Durable.load(s, r, dir, "tombstones", "v1")
@@ -3122,6 +3263,7 @@ object Similarity {
     "x132_beam_width_curve" -> dX132Sql,
     "x134_degree_sweep" -> dX134Sql,
     "x135_clustered_degree_sweep" -> dX135Sql,
+    "x136_ivf_seeded_walk" -> dX136Sql,
     "x133_bitext_margin" -> dX133Sql,
   )
 
@@ -3623,6 +3765,104 @@ object Similarity {
     * IEEE-double expression tree the Spark side evaluates, final
     * float32 cast on both, so the twin geometries stay hash-exact. */
   private def dX135Sql: String = dDegreeSweepSql(dSqC)
+
+  /** x136's oracle: one standing-knob construction chain (K=[[NndK]],
+    * T=2) on the clustered 1/10 slice, then TWO walks over the SAME
+    * capped adjacency — `h*` seeded by the uniform hash text, `i*`
+    * seeded through the IVF quantizer replay (x17's exact-decimal
+    * centroid CTEs learned on the slice, argmax-cosine assignment,
+    * hash-ranked 4 representatives per cell, top-2 routing per probe)
+    * — each graded against the slice's own brute-force truth. Every
+    * piece is the shared parametrized builder; the two seeding CTE
+    * families are the only divergent text, mirroring the Scala side's
+    * one-graph/two-entry-frames shape. */
+  private def dX136Sql: String = {
+    val e = 8; val b = 10; val h = 2; val k = NndK
+    s"""$dSqC,
+       |s10 AS MATERIALIZED (SELECT
+       |       ROW_NUMBER() OVER (ORDER BY q.vec_id) - 1 AS vec_id,
+       |       q.vec_id AS orig_id, e.label AS label, q.embedding, q.sq
+       |     FROM sq q JOIN embeddings e ON q.vec_id = e.vec_id
+       |     WHERE q.vec_id % 10 = 0),
+       |s10c AS (SELECT vec_id, embedding, sq FROM s10),
+       |${dNndChain("s10c", "zn0", "z", k = k, t = 2)},
+       |${dUdCap("ze2", "zud", "zudc", cap = 2 * k)},
+       |sxt AS MATERIALIZED (SELECT src, dst, rk FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rk
+       |    FROM (SELECT a.vec_id AS src, b.vec_id AS dst, $dCos AS cos
+       |          FROM sq a JOIN s10 b ON b.orig_id <> a.vec_id
+       |          WHERE a.vec_id < 8))
+       |  WHERE rk <= $TopK),
+       |hentq AS (SELECT vec_id, ${dH("concat(vec_id, ':entry:', j)")} % nc AS dst
+       |         FROM sq, zn0, UNNEST(range(1, $e + 1)) AS u(j)
+       |         WHERE vec_id < 8),
+       |hentp AS (SELECT DISTINCT vec_id AS src, dst FROM hentq),
+       |hv0 AS MATERIALIZED (SELECT src, dst, $dCos AS cos
+       |       FROM hentp JOIN sq a ON hentp.src = a.vec_id
+       |                  JOIN s10 b ON hentp.dst = b.vec_id),
+       |hf0 AS (SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rk FROM hv0) WHERE rk <= $b)
+       |${dBeamHops(h, b, "sq", "vec_id", pfx = "h", dstTbl = "s10",
+          excludeSelf = false, udcName = "zudc")},
+       |cm AS (SELECT label, dim,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) AS c
+       |       FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+       |               unnest(embedding) AS v FROM s10)
+       |       GROUP BY label, dim),
+       |cent AS (SELECT cl, cv, ${dSumSq64("cv")} AS csq FROM (
+       |       SELECT label AS cl, list(c ORDER BY dim) AS cv
+       |       FROM cm GROUP BY label)),
+       |asg AS MATERIALIZED (SELECT vec_id, cl AS cell FROM (
+       |    SELECT s.vec_id, c.cl,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |        ORDER BY (${dDotF64("s.embedding", "c.cv")}) / sqrt(s.sq * c.csq) DESC, c.cl) AS rn
+       |    FROM s10c s CROSS JOIN cent c) WHERE rn = 1),
+       |cell4 AS (SELECT cell, dst FROM (
+       |    SELECT cell, vec_id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY cell
+       |        ORDER BY ${dH("concat(cell, ':', vec_id)")} DESC, vec_id) AS rn
+       |    FROM asg) WHERE rn <= 4),
+       |rout AS (SELECT src, cell FROM (
+       |    SELECT p.vec_id AS src, c.cl AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY (${dDotF64("p.embedding", "c.cv")}) / sqrt(p.sq * c.csq) DESC, c.cl) AS rn
+       |    FROM sq p CROSS JOIN cent c WHERE p.vec_id < 8) WHERE rn <= 2),
+       |ientp AS (SELECT DISTINCT src, dst FROM rout JOIN cell4 USING (cell)),
+       |iv0 AS MATERIALIZED (SELECT src, dst, $dCos AS cos
+       |       FROM ientp JOIN sq a ON ientp.src = a.vec_id
+       |                  JOIN s10 b ON ientp.dst = b.vec_id),
+       |if0 AS (SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rk FROM iv0) WHERE rk <= $b)
+       |${dBeamHops(h, b, "sq", "vec_id", pfx = "i", dstTbl = "s10",
+          excludeSelf = false, udcName = "zudc")},
+       |${Seq("h" -> "hash", "i" -> "ivf").map { case (p, tag) =>
+          s"""${p}g AS (SELECT '$tag' AS seeding,
+             |    CAST(SUM(CASE WHEN f.rk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_answers_5,
+             |    CAST(SUM(CASE WHEN f.rk <= 5 AND e.rk <= 5 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_hits_5,
+             |    CAST(COUNT(*) AS BIGINT) AS n_answers_10,
+             |    CAST(SUM(CASE WHEN e.rk IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_hits_10
+             |  FROM (SELECT src, dst, rk FROM (
+             |      SELECT v.src, v.dst, ROW_NUMBER() OVER (PARTITION BY v.src
+             |        ORDER BY v.cos DESC, v.dst) AS rk
+             |      FROM ${p}v$h v JOIN s10 m ON v.dst = m.vec_id
+             |      WHERE v.src < 8 AND m.orig_id <> v.src)
+             |    WHERE rk <= $TopK) f
+             |  LEFT JOIN sxt e ON f.src = e.src AND f.dst = e.dst)""".stripMargin
+        }.mkString(",\n")}
+       |SELECT seeding, n_answers_5, n_hits_5,
+       |  ${dRound6("CAST(n_hits_5 AS DOUBLE) / CAST(n_answers_5 AS DOUBLE)")} AS recall_at_5,
+       |  n_answers_10, n_hits_10,
+       |  ${dRound6("CAST(n_hits_10 AS DOUBLE) / CAST(n_answers_10 AS DOUBLE)")} AS recall_at_10
+       |FROM (SELECT * FROM hg UNION ALL SELECT * FROM ig)
+       |ORDER BY seeding""".stripMargin
+  }
 
   /** The clustered twin of [[dSq]]: same CTE name (`sq`), so every
     * parametrized chain builder runs unchanged over it. */

@@ -34,6 +34,26 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("CLI body: --entries saturates to exact search (E >= N seeds every node)") {
+    // the entry-count lever (round-14 recall study): hash seeds are
+    // drawn mod N, so E far above N visits every node at hop 0 and the
+    // walk's rank-1 answer MUST equal the brute-force best — the knob
+    // demonstrably reaches the walk, and its limit is exact search
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count().toInt
+    val lines = Main.annSearch(spark, sf001, ids = Some("0,3"),
+      probesFile = None, hops = 2, k = 1, b = 5, e = 20 * n)
+      .map(_.split(" ")).map(a => a(0).toLong -> a(3).toDouble).toMap
+    val exact = SparkEntry.queries("x11_ann_topk")(spark, sf001)
+      .filter("query_id in (0, 3) and rk = 1")
+      .selectExpr("query_id", "cos_sim")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lines.keySet == Set(0L, 3L))
+    lines.foreach { case (p, c) =>
+      assert(math.abs(c - exact(p)) < 1e-6,
+        s"probe $p: saturated walk best $c != brute-force best ${exact(p)}")
+    }
+  }
+
   test("CLI body: a probes parquet (new vectors, not in the corpus) searches the frozen index") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_probes").toString
     spark.read.parquet(s"$sf001/embeddings.parquet")
