@@ -135,7 +135,8 @@ object Main {
           hops = opts.getOrElse("hops", "2").toInt,
           k = opts.getOrElse("k", "10").toInt,
           b = opts.getOrElse("beam", "5").toInt,
-          e = opts.getOrElse("entries", "8").toInt)
+          e = opts.getOrElse("entries", "8").toInt,
+          seed = opts.getOrElse("seed", "hash"))
           .foreach(println)
       case "index_status" =>
         // ops visibility for the durable index layer: which tiers are
@@ -208,7 +209,8 @@ object Main {
     * "query_id rk neighbor_id cos_sim" lines. */
   private[graft] def annSearch(spark: SparkSession, corpus: String,
       ids: Option[String], probesFile: Option[String], hops: Int,
-      k: Int, b: Int = 5, e: Int = 8): Seq[String] = {
+      k: Int, b: Int = 5, e: Int = 8,
+      seed: String = "hash"): Seq[String] = {
     val sq = "aggregate(zip_with(embedding, embedding, (x, y) -> " +
       "cast(x as double) * cast(y as double)), cast(0 as double), " +
       "(acc, t) -> acc + t)"
@@ -223,7 +225,8 @@ object Main {
           .selectExpr("vec_id as src", "embedding as ea", s"$sq as sa")
     }
     graft.llm.Similarity
-      .annSearch(spark, corpus, probes.localCheckpoint(), hops, k, b, e)
+      .annSearch(spark, corpus, probes.localCheckpoint(), hops, k, b, e,
+        seed)
       .collect()
       .map(r => f"${r.getLong(0)}%d ${r.getLong(1)}%d ${r.getLong(2)}%d ${r.getDouble(3)}%.6f")
       .toSeq
@@ -237,5 +240,5 @@ object Main {
       "[--wait SECONDS] [--chunk-size N] [--target-file-mb N] " +
       "[--jdbc-url URL --jdbc-table T --jdbc-driver CLASS] " +
       "[--corpus DIR --index-dir DIR [--deletes FILE --inserts FILE --hops N]] " +
-      "[--ids \"0,5,9\" | --probes FILE] [--k N] [--beam B] [--entries E]")
+      "[--ids \"0,5,9\" | --probes FILE] [--k N] [--beam B] [--entries E] [--seed hash|ivf]")
 }

@@ -1626,6 +1626,18 @@ object Similarity {
     // layer costs one broadcast cross-join; the walk bounds are
     // identical across seedings, so the rows isolate the lever.
     "x136_ivf_seeded_walk" -> { (s, dir) => ivfSeededWalk(s, dir) },
+
+    // ENTRY-COUNT OPERATING CURVE — the FOURTH walk knob, completing
+    // the tuning set (x126 depth, x132 width, x134 degree, this:
+    // entries), isolated on the same fixed clustered-slice index x136
+    // uses. Per E ∈ {4, 8, 16, 32}: the uniform hash entry frame at
+    // that budget, the standard hops-2/B=10 walk, the dual grade.
+    // This is the operating curve behind `ann_search --entries`: on
+    // clustered corpora recall is ENTRY-limited (the graph fragments
+    // into label islands), so E — not degree or width — is the knob
+    // that buys recall, at serving cost E + hops·B·2K per probe with
+    // NO index rebuild.
+    "x137_entry_curve" -> { (s, dir) => entryCurve(s, dir) },
   )
 
   /** x122's body: min-label propagation to the FIXPOINT (converge-or-
@@ -2098,13 +2110,20 @@ object Similarity {
     * two rows isolate the seeding variable. Scale shape: quantizer =
     * 8-row broadcast; assignment = one slice×8 narrow pass; per-probe
     * walk cost identical across seedings (same E/B/2K bounds). */
-  private[graft] def ivfSeededWalk(s: SparkSession, dir: String): DataFrame = {
+  /** The shared evaluation index for x136/x137: the clustered 1/10
+    * slice under dense ids (label carried — the IVF quantizer is
+    * learned on the indexed slice), one standing-knob (K=[[GraphK]],
+    * T=2) graph + its 2K ρ-capped adjacency, the full-geometry probe
+    * set, and the slice's brute-force truth. Everything
+    * localCheckpointed once and shared by every walk leg. */
+  private final case class SliceIndex(s10: DataFrame, s10c: DataFrame,
+      smap: DataFrame, probes: DataFrame, truth: DataFrame, ud: DataFrame)
+
+  private def clusteredSliceIndex(s: SparkSession, dir: String): SliceIndex = {
     val full = withSqClustered(s, dir)
     val probes = full.filter(QuerySet)
       .selectExpr("vec_id as src", "embedding as ea", "sq as sa")
       .localCheckpoint()
-    // 1/10 slice under dense ids, WITH label (the quantizer is learned
-    // on the indexed slice, in the indexed geometry)
     val s10 = graft.queries.ExactRank.withGlobalRank(
         full.join(t(s, dir, "embeddings").select("vec_id", "label"),
           "vec_id").filter("vec_id % 10 = 0"),
@@ -2131,38 +2150,115 @@ object Similarity {
           s"${sH("concat(src, ':', dst)")} as hk"),
         Seq("src"), "hk", Seq("dst"), 2 * GraphK)
       .select("src", "dst").localCheckpoint()
-    val nRow = s10c.agg(count(lit(1)).as("nc"))
-    val entH = probes.select(col("src")).crossJoin(broadcast(nRow))
+    SliceIndex(s10, s10c, smap, probes, truth, ud)
+  }
+
+  /** The x136/x137 grade: walk the shared slice index from `entries`,
+    * top-[[TopK]] the visited set (self dropped on the orig-id map),
+    * dual-grade against the slice truth, one labeled row out. */
+  private def gradeWalk(s: SparkSession, ix: SliceIndex,
+      entries: DataFrame, b: Int, tagCol: String,
+      tagExpr: String): DataFrame = {
+    val visited = walkFrom(s, ix.s10c, ix.ud, ix.probes, entries,
+      hops = 2, b = b, excludeSelf = false)
+    graft.plans.TopKPerKey.topKDesc(
+        visited.join(broadcast(ix.smap), "dst")
+          .filter(col("orig_id") =!= col("src"))
+          .select("src", "dst", "cos"),
+        Seq("src"), "cos", Seq("dst"), TopK)
+      .join(ix.truth, Seq("src", "dst"), "left")
+      .agg(
+        sum(when(col("rk") <= 5, 1L).otherwise(0L)).as("n5"),
+        sum(when(col("rk") <= 5 && col("erk") <= 5, 1L).otherwise(0L))
+          .as("h5"),
+        count(lit(1)).as("n10"),
+        sum(when(col("erk").isNotNull, 1L).otherwise(0L)).as("h10"))
+      .selectExpr(s"$tagExpr as $tagCol",
+        "n5 as n_answers_5", "h5 as n_hits_5",
+        sRound6("cast(h5 as double) / cast(n5 as double)") +
+          " as recall_at_5",
+        "n10 as n_answers_10", "h10 as n_hits_10",
+        sRound6("cast(h10 as double) / cast(n10 as double)") +
+          " as recall_at_10")
+  }
+
+  /** The uniform hash entry frame over the slice's dense domain —
+    * x134's exact seeding text with the entry count as the knob. */
+  private def hashEntries(s: SparkSession, ix: SliceIndex,
+      e: Int): DataFrame = {
+    val nRow = ix.s10c.agg(count(lit(1)).as("nc"))
+    ix.probes.select(col("src")).crossJoin(broadcast(nRow))
       .selectExpr("src",
-        s"explode(transform(sequence(1, 8), j -> " +
+        s"explode(transform(sequence(1, $e), j -> " +
           s"${sH("concat(src, ':entry:', j)")} % nc)) as dst")
       .distinct()
-    val entI = ivfEntries(s, s10, probes)
-    def grade(entries: DataFrame, tag: String): DataFrame = {
-      val visited = walkFrom(s, s10c, ud, probes, entries, hops = 2,
-        b = 10, excludeSelf = false)
-      graft.plans.TopKPerKey.topKDesc(
-          visited.join(broadcast(smap), "dst")
-            .filter(col("orig_id") =!= col("src"))
-            .select("src", "dst", "cos"),
-          Seq("src"), "cos", Seq("dst"), TopK)
-        .join(truth, Seq("src", "dst"), "left")
-        .agg(
-          sum(when(col("rk") <= 5, 1L).otherwise(0L)).as("n5"),
-          sum(when(col("rk") <= 5 && col("erk") <= 5, 1L).otherwise(0L))
-            .as("h5"),
-          count(lit(1)).as("n10"),
-          sum(when(col("erk").isNotNull, 1L).otherwise(0L)).as("h10"))
-        .selectExpr(s"'$tag' as seeding",
-          "n5 as n_answers_5", "h5 as n_hits_5",
-          sRound6("cast(h5 as double) / cast(n5 as double)") +
-            " as recall_at_5",
-          "n10 as n_answers_10", "h10 as n_hits_10",
-          sRound6("cast(h10 as double) / cast(n10 as double)") +
-            " as recall_at_10")
-    }
-    grade(entH, "hash").unionByName(grade(entI, "ivf"))
+  }
+
+  private[graft] def ivfSeededWalk(s: SparkSession, dir: String): DataFrame = {
+    val ix = clusteredSliceIndex(s, dir)
+    gradeWalk(s, ix, hashEntries(s, ix, 8), b = 10, "seeding", "'hash'")
+      .unionByName(gradeWalk(s, ix, ivfEntries(s, ix.s10, ix.probes),
+        b = 10, "seeding", "'ivf'"))
       .orderBy("seeding")
+  }
+
+  /** x137's body: the FOURTH walk knob — ENTRY COUNT — isolated on the
+    * same fixed index x136 uses (clustered slice, standing K=10/T=2
+    * graph). Per E ∈ {4, 8, 16, 32}: the uniform hash entry frame at
+    * that budget, the standard hops-2/B=10 walk, the dual grade — so
+    * the four rows price the escape-the-wrong-island cost the recall
+    * study measured (on clustered corpora recall is entry-limited; the
+    * E curve is the operating curve behind `ann_search --entries`).
+    * The legs share ONE graph/adjacency/truth and run concurrently
+    * (independent by construction, like x134's K legs); per-leg cost
+    * is the walk's structural E + hops·B·2K bound — the INDEX is not
+    * rebuilt per row, unlike the degree curve where construction IS
+    * the knob. */
+  private[graft] def entryCurve(s: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ix = clusteredSliceIndex(s, dir)
+    val jobGroup = s.sparkContext.getLocalProperty("spark.jobGroup.id")
+    val jobDesc = s.sparkContext.getLocalProperty("spark.job.description")
+    val legs = Seq(4, 8, 16, 32).map { e => Future {
+      if (jobGroup != null)
+        s.sparkContext.setJobGroup(jobGroup,
+          if (jobDesc == null) jobGroup else jobDesc)
+      gradeWalk(s, ix, hashEntries(s, ix, e), b = 10, "entries",
+        s"cast($e as bigint)")
+    } }
+    legs.map(Await.result(_, Duration.Inf))
+      .reduce(_ unionByName _).orderBy("entries")
+  }
+
+  /** The SERVING twin of x136's [[ivfEntries]], over the STANDING
+    * corpus index (hash geometry) — `ann_search --seed ivf`. Routes
+    * each probe to its top-2 centroid cells (the durable 8-row
+    * `centroids` quantizer) and seeds at each routed cell's 4
+    * hash-ranked representatives, taken from the durable routing
+    * tier's own assignment (`ivf_top2`'s top-1 cell). Entry budget
+    * ≤ 8 per probe — the hash seeding's default; all side-structures
+    * (quantizer, 32-row representative table) broadcast-sized. */
+  private def ivfServingEntries(s: SparkSession, dir: String,
+      probes: DataFrame): DataFrame = {
+    val cent = centroids(s, dir)
+    val asg = ivfTop2(s, dir)
+      .selectExpr("vec_id", "element_at(cl2, 1) as cell")
+    val cell4 = graft.plans.TopKPerKey.topKDesc(
+        asg.selectExpr("cell", "vec_id as dst",
+          s"${sH("concat(cell, ':', vec_id)")} as hk"),
+        Seq("cell"), "hk", Seq("dst"), 4)
+      .select("cell", "dst")
+    val dotE =
+      if (s.catalog.functionExists("dot_f32f64")) "dot_f32f64(ea, cv)"
+      else "aggregate(zip_with(ea, cv, (x, w) -> cast(x as double) * w), cast(0 as double), (acc, t) -> acc + t)"
+    val rout = graft.plans.TopKPerKey.topKDesc(
+        probes.crossJoin(broadcast(cent))
+          .selectExpr("src", "clabel", s"$dotE / sqrt(sa * csq) as cosc"),
+        Seq("src"), "cosc", Seq("clabel"), 2)
+      .selectExpr("src", "clabel as cell")
+    rout.join(broadcast(cell4), "cell").select("src", "dst").distinct()
   }
 
   /** x136's IVF entry construction, factored for the spec: per-label
@@ -2237,8 +2333,15 @@ object Similarity {
     * sized, the same shape as the delete itself. */
   private[graft] def annSearch(s: SparkSession, dir: String,
       probes: DataFrame, hops: Int, k: Int, b: Int = 5,
-      e: Int = 8): DataFrame = {
-    val vis0 = beamWalk(s, dir, probes, hops, b, e)
+      e: Int = 8, seed: String = "hash"): DataFrame = {
+    val vis0 =
+      if (seed == "ivf") {
+        val sq = withSq(s, dir)
+        val edges = nndescentEdges(s, dir, iters = 2)
+        val ud = cappedUd(s, dir, edges, "nnd_ud")
+        walkFrom(s, sq, ud, probes,
+          ivfServingEntries(s, dir, probes), hops, b)
+      } else beamWalk(s, dir, probes, hops, b, e)
     val vis = (for {
       r <- Durable.root(s)
       tomb <- Durable.load(s, r, dir, "tombstones", "v1")
@@ -3264,6 +3367,7 @@ object Similarity {
     "x134_degree_sweep" -> dX134Sql,
     "x135_clustered_degree_sweep" -> dX135Sql,
     "x136_ivf_seeded_walk" -> dX136Sql,
+    "x137_entry_curve" -> dX137Sql,
     "x133_bitext_margin" -> dX133Sql,
   )
 
@@ -3862,6 +3966,77 @@ object Similarity {
        |  ${dRound6("CAST(n_hits_10 AS DOUBLE) / CAST(n_answers_10 AS DOUBLE)")} AS recall_at_10
        |FROM (SELECT * FROM hg UNION ALL SELECT * FROM ig)
        |ORDER BY seeding""".stripMargin
+  }
+
+  /** x137's oracle: ONE construction chain (the x136 text — clustered
+    * 1/10 slice, K=[[NndK]], T=2) and FOUR prefixed entry/walk chains
+    * at E ∈ {4, 8, 16, 32}, each the x134 seeding text with the entry
+    * count as the only changed literal, each graded against the shared
+    * slice truth — the one-index/N-walks shape of x132, with the knob
+    * moved from width to entries. */
+  private def dX137Sql: String = {
+    val b = 10; val h = 2; val k = NndK
+    val es = Seq(4, 8, 16, 32)
+    val chains = es.map { e =>
+      val p = f"w$e%02d"
+      s""",
+         |${p}entq AS (SELECT vec_id, ${dH("concat(vec_id, ':entry:', j)")} % nc AS dst
+         |         FROM sq, zn0, UNNEST(range(1, $e + 1)) AS u(j)
+         |         WHERE vec_id < 8),
+         |${p}entp AS (SELECT DISTINCT vec_id AS src, dst FROM ${p}entq),
+         |${p}v0 AS MATERIALIZED (SELECT src, dst, $dCos AS cos
+         |       FROM ${p}entp JOIN sq a ON ${p}entp.src = a.vec_id
+         |                  JOIN s10 b ON ${p}entp.dst = b.vec_id),
+         |${p}f0 AS (SELECT src, dst FROM (
+         |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, dst) AS rk FROM ${p}v0) WHERE rk <= $b)
+         |${dBeamHops(h, b, "sq", "vec_id", pfx = p, dstTbl = "s10",
+            excludeSelf = false, udcName = "zudc")}""".stripMargin
+    }.mkString
+    val grades = es.map { e =>
+      val p = f"w$e%02d"
+      s""",
+         |${p}g AS (SELECT CAST($e AS BIGINT) AS entries,
+         |    CAST(SUM(CASE WHEN f.rk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_answers_5,
+         |    CAST(SUM(CASE WHEN f.rk <= 5 AND e.rk <= 5 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits_5,
+         |    CAST(COUNT(*) AS BIGINT) AS n_answers_10,
+         |    CAST(SUM(CASE WHEN e.rk IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits_10
+         |  FROM (SELECT src, dst, rk FROM (
+         |      SELECT v.src, v.dst, ROW_NUMBER() OVER (PARTITION BY v.src
+         |        ORDER BY v.cos DESC, v.dst) AS rk
+         |      FROM ${p}v$h v JOIN s10 m ON v.dst = m.vec_id
+         |      WHERE v.src < 8 AND m.orig_id <> v.src)
+         |    WHERE rk <= $TopK) f
+         |  LEFT JOIN sxt e ON f.src = e.src AND f.dst = e.dst)""".stripMargin
+    }.mkString
+    s"""$dSqC,
+       |s10 AS MATERIALIZED (SELECT
+       |       ROW_NUMBER() OVER (ORDER BY q.vec_id) - 1 AS vec_id,
+       |       q.vec_id AS orig_id, e.label AS label, q.embedding, q.sq
+       |     FROM sq q JOIN embeddings e ON q.vec_id = e.vec_id
+       |     WHERE q.vec_id % 10 = 0),
+       |s10c AS (SELECT vec_id, embedding, sq FROM s10),
+       |${dNndChain("s10c", "zn0", "z", k = k, t = 2)},
+       |${dUdCap("ze2", "zud", "zudc", cap = 2 * k)},
+       |sxt AS MATERIALIZED (SELECT src, dst, rk FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rk
+       |    FROM (SELECT a.vec_id AS src, b.vec_id AS dst, $dCos AS cos
+       |          FROM sq a JOIN s10 b ON b.orig_id <> a.vec_id
+       |          WHERE a.vec_id < 8))
+       |  WHERE rk <= $TopK)
+       |$chains
+       |$grades
+       |SELECT entries, n_answers_5, n_hits_5,
+       |  ${dRound6("CAST(n_hits_5 AS DOUBLE) / CAST(n_answers_5 AS DOUBLE)")} AS recall_at_5,
+       |  n_answers_10, n_hits_10,
+       |  ${dRound6("CAST(n_hits_10 AS DOUBLE) / CAST(n_answers_10 AS DOUBLE)")} AS recall_at_10
+       |FROM (SELECT * FROM w04g UNION ALL SELECT * FROM w08g
+       |      UNION ALL SELECT * FROM w16g UNION ALL SELECT * FROM w32g)
+       |ORDER BY entries""".stripMargin
   }
 
   /** The clustered twin of [[dSq]]: same CTE name (`sq`), so every

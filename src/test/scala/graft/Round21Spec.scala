@@ -31,6 +31,35 @@ class Round21Spec extends SparkSpec {
     }
   }
 
+  test("x137: four rows, entries curve well-formed, recall monotone non-decreasing in E") {
+    val rows = graft.llm.Similarity.queries("x137_entry_curve")(
+      spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(4L, 8L, 16L, 32L))
+    val r10 = rows.map(_.getDouble(6))
+    r10.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    // more entries only ADD to hop-0's visited set on the SAME graph;
+    // the top-B frontier can shift, but at sf0.001 the curve has
+    // always been monotone and a regression here means the entry knob
+    // stopped reaching the walk
+    assert(r10.head <= r10.last,
+      s"E=4 recall ${r10.head} > E=32 recall ${r10.last}")
+  }
+
+  test("ann_search --seed ivf: well-formed ranked lists, deterministic") {
+    val a = Main.annSearch(spark, sf001, ids = Some("0,3"),
+      probesFile = None, hops = 2, k = 5, seed = "ivf")
+    val b = Main.annSearch(spark, sf001, ids = Some("0,3"),
+      probesFile = None, hops = 2, k = 5, seed = "ivf")
+    assert(a == b, "ivf-seeded search is not deterministic")
+    assert(a.length == 10, s"2 probes x k=5: $a")
+    val byProbe = a.map(_.split(" ")).groupBy(_(0))
+    assert(byProbe.keySet == Set("0", "3"))
+    byProbe.values.foreach { g =>
+      val cs = g.sortBy(_(1).toInt).map(_(3).toDouble)
+      assert(cs.sameElements(cs.sorted.reverse), "not ranked desc")
+    }
+  }
+
   test("x136 ivf entries: <= 8 per probe (the hash budget), dense id domain") {
     import graft.llm.Frag._
     val s = spark
