@@ -129,14 +129,22 @@ object Main {
         // standing graph fragments into islands and recall is
         // ENTRY-limited — E=8→64 lifted recall@10 from 0.20 to 0.84
         // at fixed degree); serving cost stays structural
-        // (E + hops·B·2K scorings per probe).
+        // (E + hops·B·2K scorings per probe). Seeding defaults to the
+        // IVF-routed entries whenever the durable routing tiers are
+        // resident (resolveSeed — the measured 4× recall-per-entry
+        // saving), hash otherwise.
+        val seed =
+          try resolveSeed(spark, req("corpus"), opts.get("seed"),
+            opts.get("entries"))
+          catch { case e: IllegalArgumentException =>
+            System.err.println(e.getMessage); usage(); sys.exit(2) }
         annSearch(spark, corpus = req("corpus"),
           ids = opts.get("ids"), probesFile = opts.get("probes"),
           hops = opts.getOrElse("hops", "2").toInt,
           k = opts.getOrElse("k", "10").toInt,
           b = opts.getOrElse("beam", "5").toInt,
           e = opts.getOrElse("entries", "8").toInt,
-          seed = opts.getOrElse("seed", "hash"))
+          seed = seed)
           .foreach(println)
       case "index_status" =>
         // ops visibility for the durable index layer: which tiers are
@@ -203,6 +211,39 @@ object Main {
       case None    => spark.conf.unset("spark.graft.indexDir")
     }
   }
+
+  /** `--seed` resolution for `ann_search` (round 15). Explicit values
+    * are VALIDATED — hash|ivf only; a typo ('IVF', 'ifv') is a usage
+    * error, never a silent hash fallback. Unset resolves to `ivf`
+    * whenever the durable IVF routing tiers are installed and fresh
+    * for this corpus (the round-14 recall study's measured default:
+    * recall@10 = 1.0 at E=8 on clustered geometry where hash seeding
+    * needs E=32) AND the user did not reach for the hash-only
+    * `--entries` knob; `hash` otherwise (a corpus without resident
+    * tiers keeps the zero-prerequisite path — IVF seeding would
+    * otherwise silently pay two full tier builds inside a point
+    * lookup). Combining explicit `--entries` with explicit
+    * `--seed ivf` is an error: the IVF entry budget is structural
+    * (top-2 cells × 4 representatives ≤ 8 per probe) and the E knob
+    * would be silently ignored. */
+  private[graft] def resolveSeed(spark: SparkSession, corpus: String,
+      seed: Option[String], entries: Option[String]): String =
+    seed match {
+      case Some("hash") => "hash"
+      case Some("ivf") =>
+        if (entries.isDefined)
+          throw new IllegalArgumentException(
+            "--entries only drives hash seeding; with --seed ivf the " +
+              "entry budget is structural (top-2 cells x 4 reps <= 8)")
+        "ivf"
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"--seed must be 'hash' or 'ivf', got '$other'")
+      case None =>
+        if (entries.isEmpty &&
+          graft.llm.Similarity.ivfTiersFresh(spark, corpus)) "ivf"
+        else "hash"
+    }
 
   /** `ann_search`'s testable body: resolve probes (corpus ids or a
     * vector parquet), walk the standing index, return printable

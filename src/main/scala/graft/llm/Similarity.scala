@@ -2090,26 +2090,6 @@ object Similarity {
       .reduce(_ unionByName _).orderBy("degree")
   }
 
-  /** x136's body: the SEEDING lever at a FIXED graph. The round-14
-    * walk-recall study (RecallStudy, SCALE.md) found that on clustered
-    * geometry the standing graph fragments into label islands, so
-    * recall is ENTRY-limited — uniform hash seeds land in the wrong
-    * island and no amount of walking escapes it (E=8→64 lifted
-    * recall@10 from 0.20 to 0.84 at fixed K=10). The principled fix at
-    * a FIXED entry budget is semantic placement: route each query
-    * through the IVF coarse quantizer (the exact x17 machinery) and
-    * seed inside its top-nprobe cells — IVF as the coarse layer of a
-    * graph walk, the hybrid DiskANN/HNSW deployments run in practice.
-    *
-    * One standing-knob (K=[[GraphK]], T=2) NN-Descent graph on the
-    * 1/10 clustered slice; two hops-2/B=10 walks that differ ONLY in
-    * their 8-entry seed set — `hash` (uniform, x121's seeding text) vs
-    * `ivf` (top-2 cells × 4 deterministic cell representatives); one
-    * grade each against the slice's brute-force truth. Everything else
-    * (graph, adjacency cap, walk bounds, probe set) is shared, so the
-    * two rows isolate the seeding variable. Scale shape: quantizer =
-    * 8-row broadcast; assignment = one slice×8 narrow pass; per-probe
-    * walk cost identical across seedings (same E/B/2K bounds). */
   /** The shared evaluation index for x136/x137: the clustered 1/10
     * slice under dense ids (label carried — the IVF quantizer is
     * learned on the indexed slice), one standing-knob (K=[[GraphK]],
@@ -2194,6 +2174,26 @@ object Similarity {
       .distinct()
   }
 
+  /** x136's body: the SEEDING lever at a FIXED graph. The round-14
+    * walk-recall study (RecallStudy, SCALE.md) found that on clustered
+    * geometry the standing graph fragments into label islands, so
+    * recall is ENTRY-limited — uniform hash seeds land in the wrong
+    * island and no amount of walking escapes it (E=8→64 lifted
+    * recall@10 from 0.20 to 0.84 at fixed K=10). The principled fix at
+    * a FIXED entry budget is semantic placement: route each query
+    * through the IVF coarse quantizer (the exact x17 machinery) and
+    * seed inside its top-nprobe cells — IVF as the coarse layer of a
+    * graph walk, the hybrid DiskANN/HNSW deployments run in practice.
+    *
+    * One standing-knob (K=[[GraphK]], T=2) NN-Descent graph on the
+    * 1/10 clustered slice; two hops-2/B=10 walks that differ ONLY in
+    * their 8-entry seed set — `hash` (uniform, x121's seeding text) vs
+    * `ivf` (top-2 cells × 4 deterministic cell representatives); one
+    * grade each against the slice's brute-force truth. Everything else
+    * (graph, adjacency cap, walk bounds, probe set) is shared, so the
+    * two rows isolate the seeding variable. Scale shape: quantizer =
+    * 8-row broadcast; assignment = one slice×8 narrow pass; per-probe
+    * walk cost identical across seedings (same E/B/2K bounds). */
   private[graft] def ivfSeededWalk(s: SparkSession, dir: String): DataFrame = {
     val ix = clusteredSliceIndex(s, dir)
     gradeWalk(s, ix, hashEntries(s, ix, 8), b = 10, "seeding", "'hash'")
@@ -2240,11 +2240,42 @@ object Similarity {
     * tier's own assignment (`ivf_top2`'s top-1 cell). Entry budget
     * ≤ 8 per probe — the hash seeding's default; all side-structures
     * (quantizer, 32-row representative table) broadcast-sized. */
+  /** True iff BOTH durable IVF routing tiers (`centroids` and
+    * `ivf_top2`, under their current builder versions) are installed
+    * and fingerprint-fresh for this corpus under the session's index
+    * root — the condition under which `ann_search` DEFAULTS to IVF
+    * seeding (the round-14 recall study's measured result: IVF-routed
+    * entries reach recall@10 = 1.0 at E=8 on clustered geometry where
+    * hash seeds need E=32 — a 4× serving-cost saving whenever the
+    * tiers are already resident). */
+  private[graft] def ivfTiersFresh(s: SparkSession, dir: String): Boolean =
+    Durable.root(s).exists { r =>
+      Durable.load(s, r, dir, "centroids", "v1").isDefined &&
+        Durable.load(s, r, dir, "ivf_top2", "v1-r4").isDefined
+    }
+
   private def ivfServingEntries(s: SparkSession, dir: String,
       probes: DataFrame): DataFrame = {
-    val cent = centroids(s, dir)
+    val cent = centroids(s, dir).selectExpr("clabel as cl", "cv", "csq")
     val asg = ivfTop2(s, dir)
       .selectExpr("vec_id", "element_at(cl2, 1) as cell")
+    // probe and corpus ids share one domain here (unlike x136's dense
+    // slice): a probe ranked among its own cell's representatives would
+    // seed (src, src) and return itself at cos 1.0 rank-1 — filter self
+    // out, matching the hash path's entry remap and x11's exclusion
+    ivfRoutedEntries(s, cent, asg, probes)
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /** The rep-selection + routing tail shared by [[ivfEntries]] and
+    * [[ivfServingEntries]] (they differ only in where the quantizer
+    * and the assignment come from): 4 hash-ranked representatives per
+    * cell, each probe routed to its top-2 cells by centroid cosine,
+    * entries = routed cells' representatives — ≤ 8 (src, dst) rows per
+    * probe, every side-structure broadcast-sized. `cent` = (cl, cv,
+    * csq); `asg` = (vec_id, cell); `probes` = (src, ea, sa). */
+  private def ivfRoutedEntries(s: SparkSession, cent: DataFrame,
+      asg: DataFrame, probes: DataFrame): DataFrame = {
     val cell4 = graft.plans.TopKPerKey.topKDesc(
         asg.selectExpr("cell", "vec_id as dst",
           s"${sH("concat(cell, ':', vec_id)")} as hk"),
@@ -2255,9 +2286,9 @@ object Similarity {
       else "aggregate(zip_with(ea, cv, (x, w) -> cast(x as double) * w), cast(0 as double), (acc, t) -> acc + t)"
     val rout = graft.plans.TopKPerKey.topKDesc(
         probes.crossJoin(broadcast(cent))
-          .selectExpr("src", "clabel", s"$dotE / sqrt(sa * csq) as cosc"),
-        Seq("src"), "cosc", Seq("clabel"), 2)
-      .selectExpr("src", "clabel as cell")
+          .selectExpr("src", "cl", s"$dotE / sqrt(sa * csq) as cosc"),
+        Seq("src"), "cosc", Seq("cl"), 2)
+      .selectExpr("src", "cl as cell")
     rout.join(broadcast(cell4), "cell").select("src", "dst").distinct()
   }
 
@@ -2289,17 +2320,10 @@ object Similarity {
       .groupBy("vec_id")
       .agg(expr("min(struct(-cosc as nc, cl))").as("m"))
       .selectExpr("vec_id", "m.cl as cell")
-    val cell4 = graft.plans.TopKPerKey.topKDesc(
-        asg.selectExpr("cell", "vec_id as dst",
-          s"${sH("concat(cell, ':', vec_id)")} as hk"),
-        Seq("cell"), "hk", Seq("dst"), 4)
-      .select("cell", "dst")
-    val rout = graft.plans.TopKPerKey.topKDesc(
-        probes.crossJoin(broadcast(cent))
-          .selectExpr("src", "cl", s"${dotE("ea")} / sqrt(sa * csq) as cosc"),
-        Seq("src"), "cosc", Seq("cl"), 2)
-      .selectExpr("src", "cl as cell")
-    rout.join(broadcast(cell4), "cell").select("src", "dst").distinct()
+    // no self filter: src is a full-geometry probe id, dst a DENSE
+    // slice index — equality is a numeric coincidence, not identity
+    // (x129's layer-1 convention); the grade drops orig_id = src rows
+    ivfRoutedEntries(s, cent, asg, probes)
   }
 
   /** The insertion primitive shared by x124 and the streaming

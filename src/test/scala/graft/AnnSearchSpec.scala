@@ -54,6 +54,52 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("seed resolution: ivf is the default iff the durable IVF tiers are resident; explicit values validated") {
+    // no index root configured -> the zero-prerequisite hash path
+    val bare = spark.newSession()
+    assert(Main.resolveSeed(bare, sf001, None, None) == "hash",
+      "without durable tiers the default must stay hash")
+    // root configured and BOTH routing tiers installed -> ivf default
+    val root = java.nio.file.Files.createTempDirectory("graft_seed").toString
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.indexDir", root)
+    graft.llm.Similarity.ivfTop2(s1, sf001).count() // installs centroids + ivf_top2
+    val s2 = spark.newSession() // fresh session: only the DISK copy counts
+    s2.conf.set("spark.graft.indexDir", root)
+    assert(Main.resolveSeed(s2, sf001, None, None) == "ivf",
+      "resident IVF tiers must flip the default to ivf")
+    // the hash-only --entries knob pins the default back to hash
+    assert(Main.resolveSeed(s2, sf001, None, Some("16")) == "hash")
+    // explicit values are honored on both sides
+    assert(Main.resolveSeed(s2, sf001, Some("hash"), Some("16")) == "hash")
+    assert(Main.resolveSeed(bare, sf001, Some("ivf"), None) == "ivf")
+    // typos fail fast, never a silent hash fallback
+    intercept[IllegalArgumentException] {
+      Main.resolveSeed(s2, sf001, Some("IVF"), None)
+    }
+    // --entries is dead weight under ivf routing: error, don't ignore
+    intercept[IllegalArgumentException] {
+      Main.resolveSeed(s2, sf001, Some("ivf"), Some("16"))
+    }
+  }
+
+  test("ivf-seeded search never returns the probe as its own neighbor") {
+    // a probe that is one of its routed cell's 4 hash-ranked
+    // representatives would otherwise seed (src, src) and surface
+    // itself at cos 1.0 rank-1 — sweep enough corpus probes to cover
+    // the representative set and assert the self filter holds
+    val probes = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter("vec_id < 64")
+      .selectExpr("vec_id as src", "embedding as ea",
+        "aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, t) -> acc + t) as sa")
+    val res = graft.llm.Similarity
+      .annSearch(spark, sf001, probes, hops = 2, k = 5, seed = "ivf")
+      .collect()
+    assert(res.nonEmpty)
+    assert(!res.exists(r => r.getLong(0) == r.getLong(2)),
+      "ivf seeding leaked a (probe, probe) self pair into the ranked lists")
+  }
+
   test("CLI body: a probes parquet (new vectors, not in the corpus) searches the frozen index") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_probes").toString
     spark.read.parquet(s"$sf001/embeddings.parquet")
