@@ -186,6 +186,34 @@ object Dedup {
         .agg(minima.head, minima.tail: _*)
     }
 
+  /** DURABLE (shingle → stats) tier over the RAW corpus: per distinct
+    * 3-word shingle, its document frequency, first-seer doc (min
+    * doc_id), and the sorted distinct source list — the ONE corpus-wide
+    * shingle aggregation the equality-only shingle consumers (x64
+    * pressure histogram, x57 novelty, x48 source overlap) all start
+    * from. Version-keyed by the shingle contract (3-word shingles over
+    * ws-lower tokens — [[Frag.sShinglesText]]); a tokenizer or shingler
+    * change must bump it. Rationale (round 15, the `doc_tf` move
+    * applied to shingles): the riders' remaining 100× cost was
+    * RE-GENERATING the corpus-wide shingle stream per run — but the
+    * stream's aggregate is corpus STATE, not query work. Persisted
+    * once (bench prewarm / first touch / index root), every rider
+    * reads a frame bounded by |distinct shingles|, and x64/x48 never
+    * touch the raw text again. Deliberately the RAW corpus, not the
+    * rep-collapsed frame: byte-identical copies are exactly the
+    * pressure x64 measures and both x57/x48 count them too. */
+  private[llm] def shingleDf(s: SparkSession, dir: String): DataFrame =
+    Durable.tier(s, dir, "shingle_df", "v1-w3-ws-lower") {
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("doc_id", "source", s"${sShinglesText(s)} as shs")
+        .selectExpr("doc_id", "source", "explode(shs) as sh")
+        .groupBy("sh")
+        .agg(count(lit(1)).as("df"),
+          min(col("doc_id")).as("first_doc"),
+          sort_array(collect_set(col("source"))).as("srcs"))
+    }
+
   // (simhash assembled from 60 per-bit majority sums; see simhashed)
 
   /** DuckDB simhash CTE: same majority vote via unnest + range join. */
@@ -655,17 +683,16 @@ object Dedup {
     // threshold the inverted-index joins (x10/x46/x48) run with. Two
     // keyed aggregations (shingle → df, df → histogram) + a one-row
     // total — the second aggregate and everything after are bounded by
-    // max(df), not data volume. Shingling runs the fused kernel
-    // (Frag.sShinglesText); keys stay RAW STRINGS — hashing them was
+    // max(df), not data volume. Round 15: the (shingle → df) frame is
+    // the durable `shingle_df` tier (corpus state, built once — the
+    // doc_tf move), so the query itself is ONE aggregation over a
+    // |distinct shingles|-bounded tier read; the raw text is never
+    // re-shingled per run. Keys stay RAW STRINGS — hashing them was
     // measured and rejected (see sShinglesText's decision record: the
-    // partial agg collapses this exchange before it ships, so per-
-    // instance md5 is pure added CPU).
+    // partial agg collapses the tier build's exchange before it
+    // ships, so per-instance md5 is pure added CPU).
     "x64_dedup_pressure" -> { (s, dir) =>
-      val ex = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .selectExpr(s"${sShinglesText(s)} as shs")
-        .selectExpr("explode(shs) as sh")
-      val byDf = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      val byDf = shingleDf(s, dir)
         .groupBy("df").agg(count(lit(1)).as("n_shingles"))
         .selectExpr("df", "n_shingles", "df * n_shingles as mass")
       val tot = byDf.agg(sum(col("mass")).as("total_mass"))
@@ -785,17 +812,17 @@ object Dedup {
     // runs the fused kernel; keys stay raw strings (the measured
     // decision — Frag.sShinglesText).
     "x48_source_overlap" -> { (s, dir) =>
-      val ss = Shared.temp(t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .selectExpr("source", s"${sShinglesText(s)} as shs")
-        .selectExpr("source", "explode(shs) as sh")
-        .distinct())
-      val totals = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
-      val shared = ss.groupBy("sh")
-        .agg(sort_array(collect_list(col("source"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
-        .selectExpr("posexplode(ids) as (i, source_a)", "ids")
-        .selectExpr("source_a", "explode(slice(ids, i + 2, size(ids))) as source_b")
+      // round 15: the per-shingle sorted distinct source list is a
+      // column of the durable shingle_df tier, so BOTH the totals and
+      // the pair expansion are tier reads — the corpus text is never
+      // re-shingled and the distinct-(source, sh) exchange never runs
+      val sd = shingleDf(s, dir)
+      val totals = sd.selectExpr("explode(srcs) as source")
+        .groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val shared = sd
+        .filter(size(col("srcs")) >= 2)
+        .selectExpr("posexplode(srcs) as (i, source_a)", "srcs")
+        .selectExpr("source_a", "explode(slice(srcs, i + 2, size(srcs))) as source_b")
         .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
       shared
         .join(broadcast(totals.selectExpr("source as source_a", "n_sh as n_a")), "source_a")
@@ -941,11 +968,26 @@ object Dedup {
           "doc_id < 100000000, 'x99: doc_id >= 1e8 — re-crawl id offset " +
           "would collide with a real id'), 0) as bigint) as doc_id", "fp")
       val newDocs = fp.filter("doc_id % 5 = 4").unionByName(recrawl)
-      val baseStore = fp.filter("doc_id % 5 != 4")
-        .groupBy("fp").agg(min(col("doc_id")).as("e_of"))
-      val exact = newDocs.join(baseStore, Seq("fp")).select("doc_id", "e_of")
-      val reps = fp.groupBy("fp").agg(min(col("doc_id")).as("rep_id"))
-      val newRep = newDocs.join(reps, Seq("fp")).select("doc_id", "rep_id")
+      // THE STANDING STORE (round 15): (fp → min base doc) as a durable
+      // tier, HASH-BUCKETED on fp — the store is ingest-time state
+      // probed every sync cycle, so it is written pre-shuffled once and
+      // every batch probe joins it with ZERO store-side exchange (only
+      // the batch-sized probe frames ever shuffle; BucketingSpec pins
+      // the plan). The corpus-wide `reps` aggregation retired with it:
+      // a batch fp's representative is min(batch-side min, store e_of),
+      // two batch-sized frames and one store probe.
+      val store = Durable.bucketedTier(s, dir, "fp_store",
+          "v1-base-mod5", "fp") {
+        fp.filter("doc_id % 5 != 4")
+          .groupBy("fp").agg(min(col("doc_id")).as("e_of"))
+      }
+      val exact = newDocs.join(store, Seq("fp")).select("doc_id", "e_of")
+      val batchMin = newDocs.groupBy("fp").agg(min(col("doc_id")).as("b_of"))
+      val newRep = newDocs.join(
+          batchMin.join(store, Seq("fp"), "left")
+            .selectExpr("fp", "least(b_of, coalesce(e_of, b_of)) as rep_id"),
+          Seq("fp"))
+        .select("doc_id", "rep_id")
       val ps = pairStats(s, dir)
         .selectExpr("doc_a", "doc_b", s"$sJaccard as jaccard")
         .filter("jaccard >= 0.5")

@@ -838,27 +838,26 @@ object TextAnalysis {
     // (first-seer = min doc_id per shingle; a stable tie-free owner).
     // The data-value signal dedup-aware curation ranks by: exact
     // duplicates score 0 (nothing new), boilerplate-heavy docs score
-    // low, fresh content scores high. Shapes: one (doc, shingle)
-    // explode, one shingle-keyed min (uniform md5 keys — the same
-    // skew-free shuffle as the inverted index), one join back, one
-    // per-doc aggregation. Integer counts into one division ⇒ exact.
-    // Shingling runs the fused kernel; keys stay raw strings (the
-    // measured decision — Frag.sShinglesText).
+    // low, fresh content scores high. Round 15: both sides are now
+    // cheap projections of standing state — n_novel(d) = |{sh :
+    // first_doc(sh) = d}| is ONE aggregation of the durable shingle_df
+    // tier (a doc owns exactly the shingles it first-saw), and
+    // n_shingles(d) = size of the doc's distinct shingle array is
+    // MAP-SIDE arithmetic on the corpus scan. The corpus-sized
+    // (doc, shingle) join and the shingle-keyed min both retired with
+    // the tier. Integer counts into one division ⇒ exact.
     "x57_novelty" -> { (s, dir) =>
-      val shing = graft.queries.Shared.temp(docs(s, dir)
-        .selectExpr("doc_id", s"${sShinglesText(s)} as shs")
-        .selectExpr("doc_id", "explode(shs) as sh"))
-      val first = shing.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
-      val scored = shing.join(first, "sh")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
-      docs(s, dir).select("doc_id").join(scored, Seq("doc_id"), "left")
+      val novel = graft.llm.Dedup.shingleDf(s, dir)
+        .groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      docs(s, dir)
         .selectExpr("doc_id",
-          "coalesce(n_shingles, cast(0 as bigint)) as n_shingles",
-          "coalesce(n_novel, cast(0 as bigint)) as n_novel",
-          sRound6("case when coalesce(n_shingles, cast(0 as bigint)) > 0 then cast(n_novel as double) / cast(n_shingles as double) else 0.0d end") + " as novelty")
+          s"cast(size(${sShinglesText(s)}) as bigint) as n_shingles")
+        .join(novel, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "n_shingles",
+          "coalesce(n_novel, cast(0 as bigint)) as n_novel")
+        .selectExpr("doc_id", "n_shingles", "n_novel",
+          sRound6("case when n_shingles > 0 then cast(n_novel as double) / cast(n_shingles as double) else 0.0d end") + " as novelty")
         .orderBy("doc_id")
     },
 

@@ -132,6 +132,69 @@ object Durable {
       new String(Files.readAllBytes(meta), StandardCharsets.UTF_8) == fp
   }
 
+  /** HASH-BUCKETED durable tier: like [[tier]], but installed as a
+    * bucketed catalog TABLE (`bucketBy` on `bucketCol` — the only form
+    * of pre-shuffled storage Spark honors), so every consumer that
+    * joins or groups on `bucketCol` reads it EXCHANGE-FREE: the probe
+    * side shuffles to the bucket partitioning (probe-sized work), the
+    * store side never does. This is ingest-time state — the standing
+    * fingerprint store a sync cycle probes per batch is written once
+    * per load, exactly how a warehouse clusters its dedup index.
+    *
+    * Location: under the index root when configured (durable — a NEW
+    * session re-registers the table over the existing bucketed files
+    * via CREATE TABLE … CLUSTERED BY, bucket ids are filename-encoded,
+    * no rewrite), else java.io.tmpdir (session-scoped, the
+    * [[Tables.bucketed]] contract). Freshness = the same corpus
+    * fingerprint as every other tier; stale data rebuilds in place.
+    * Bucket count 32 = the core count (a bucketed scan reads one task
+    * per bucket — see Tables.bucketed's sizing note). */
+  def bucketedTier(s: SparkSession, dir: String, key: String,
+      version: String, bucketCol: String, nBuckets: Int = 32)(
+      build: => DataFrame): DataFrame =
+    Shared.shared(s, dir, key) {
+      val fp = fingerprint(s, dir)
+      val tag = md5(new File(dir).getAbsolutePath + "|" + version).take(8)
+      val table = s"graft_bt_${key}_$tag"
+      val loc = root(s) match {
+        case Some(r) => tierDir(r, dir, key, version).resolve("bucketed.tbl")
+        case None => Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft_bt_${key}_${tag}_${ProcessHandle.current().pid()}")
+      }
+      val metaF = loc.resolve("_graft_meta.json")
+      val fresh = Files.isRegularFile(metaF) &&
+        new String(Files.readAllBytes(metaF), StandardCharsets.UTF_8) == fp
+      bucketedTierLock.synchronized {
+        if (!s.catalog.tableExists(table) || !fresh) {
+          s.sql(s"DROP TABLE IF EXISTS $table") // external: files survive
+          if (fresh) {
+            // fresh files from a previous session: register, don't
+            // rewrite — the durable read path
+            bump(key, hit = true)
+            val schemaDdl = build.schema.toDDL
+            s.sql(s"CREATE TABLE $table ($schemaDdl) USING parquet " +
+              s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
+              s"INTO $nBuckets BUCKETS LOCATION '${loc.toString}'")
+          } else {
+            bump(key, hit = false)
+            deleteRecursive(loc)
+            build.write.mode("overwrite").format("parquet")
+              .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+              .option("path", loc.toString).saveAsTable(table)
+            Files.write(metaF, fp.getBytes(StandardCharsets.UTF_8))
+            // under an index root, also stamp the tier dir itself so
+            // `index_status` reports this tier's freshness like any other
+            if (root(s).isDefined)
+              Files.write(loc.getParent.resolve("_graft_meta.json"),
+                fp.getBytes(StandardCharsets.UTF_8))
+          }
+          s.catalog.refreshTable(table)
+        } else bump(key, hit = true)
+      }
+      s.table(table)
+    }
+  private val bucketedTierLock = new Object
+
   /** Load tier (dir, key, version) ONLY if present and fingerprint-
     * fresh — never builds. The read path for optional tiers (e.g. the
     * `tombstones` set `compact_index` installs: absent on a corpus

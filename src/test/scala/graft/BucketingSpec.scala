@@ -51,6 +51,70 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketedTier fp store: probe joins are exchange-free on the store side; a fresh session re-registers from disk") {
+    val root = Files.createTempDirectory("graft_btier").toString
+    def fpStore(s: org.apache.spark.sql.SparkSession) =
+      graft.queries.Durable.bucketedTier(s, sf001, "fp_store",
+          "v1-base-mod5", "fp") {
+        graft.queries.Tables.t(s, sf001, "documents")
+          .selectExpr("doc_id",
+            s"md5(${graft.llm.Frag.sNorm}) as fp")
+          .filter("doc_id % 5 != 4")
+          .groupBy("fp").agg(min(col("doc_id")).as("e_of"))
+      }
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.indexDir", root)
+    graft.queries.Durable.stats.clear()
+    val st = fpStore(s1)
+    val built = st.collect().map(_.toString).sorted
+    assert(graft.queries.Durable.stats.get("fp_store")._2 >= 1,
+      "first session must BUILD the bucketed store")
+
+    // the x99 shape: a batch-sized probe joining the standing store —
+    // with broadcast off, the ONLY hash exchange on fp is the probe's
+    val prev = s1.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s1.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = graft.queries.Tables.t(s1, sf001, "documents")
+        .selectExpr("doc_id", s"md5(${graft.llm.Frag.sNorm}) as fp")
+        .filter("doc_id % 5 = 4")
+      // left join: the fixture corpus has no cross-split exact dup, so
+      // an inner join would be legitimately empty (x99 adds a re-crawl
+      // arm for exactly this reason) — the plan shape is what's tested
+      val joined = probe.join(fpStore(s1), Seq("fp"), "left")
+      val plan = joined.queryExecution.executedPlan.toString
+      val nFpExchanges =
+        "Exchange hashpartitioning\\(fp".r.findAllIn(plan).length
+      assert(nFpExchanges == 1,
+        s"expected exactly ONE fp exchange (probe side only), got $nFpExchanges:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"store scan should report bucketed:\n$plan")
+      assert(joined.count() > 0)
+    } finally s1.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // durable across sessions: a NEW session must REGISTER the existing
+    // bucketed files (loads>=1, builds==0), bit-identical rows. Drop
+    // the catalog entry first — newSession() shares the JVM catalog, so
+    // without the drop this would test the cache, not the disk path.
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest((new java.io.File(sf001).getAbsolutePath + "|v1-base-mod5")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    spark.sql(s"DROP TABLE IF EXISTS graft_bt_fp_store_$tag")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.indexDir", root)
+    graft.queries.Durable.stats.clear()
+    val reloaded = fpStore(s2)
+    assert(reloaded.collect().map(_.toString).sorted.sameElements(built),
+      "re-registered bucketed store is not bit-identical")
+    val m = graft.queries.Durable.stats.get("fp_store")
+    assert(m != null && m._1 >= 1 && m._2 == 0,
+      s"second session must re-register, never rebuild: $m")
+    val plan2 = reloaded.groupBy("fp").agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange hashpartitioning(fp"),
+      s"re-registered store lost its bucketing:\n$plan2")
+  }
+
   test("bucketed landing store: R1/R2 latest-version views run with zero exchanges") {
     import spark.implicits._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -97,6 +97,35 @@ class DurableTiersSpec extends SparkSpec {
     assert(base.sameElements(built))
   }
 
+  test("shingle_df is a durable tier: a fresh session serves x64/x57/x48 from disk, bit-identical") {
+    val root = freshRoot("shdf")
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.indexDir", root)
+    Durable.stats.clear()
+    val riders = Seq("x64_dedup_pressure", "x57_novelty", "x48_source_overlap")
+    val built = riders.map(q =>
+      q -> SparkEntry.queries(q)(s1, sf001).collect().map(_.toString).sorted).toMap
+    val m0 = Durable.stats.get("shingle_df")
+    assert(m0 != null && m0._2 >= 1, s"first session must BUILD shingle_df: $m0")
+    // fresh session: only the durable copy can serve it
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.indexDir", root)
+    Durable.stats.clear()
+    riders.foreach { q =>
+      val loaded = SparkEntry.queries(q)(s2, sf001)
+        .collect().map(_.toString).sorted
+      assert(loaded.sameElements(built(q)),
+        s"$q over the durable shingle_df tier is not bit-identical")
+      // no-root baseline equality too
+      val base = SparkEntry.queries(q)(spark, sf001)
+        .collect().map(_.toString).sorted
+      assert(base.sameElements(built(q)), s"$q drifted without a root")
+    }
+    val m1 = Durable.stats.get("shingle_df")
+    assert(m1 != null && m1._1 >= 1 && m1._2 == 0,
+      s"second session must LOAD shingle_df, never rebuild: $m1")
+  }
+
   test("corpus rewrite invalidates the fingerprint and forces a rebuild") {
     val root = freshRoot("fp")
     val corpus = Files.createTempDirectory("graft_corpus").toString
