@@ -115,6 +115,30 @@ class BucketingSpec extends SparkSpec {
       s"re-registered store lost its bucketing:\n$plan2")
   }
 
+  test("r16 past broadcast scale: the l-o join is a bucket-aligned SMJ with zero join-key exchanges") {
+    // at bench SFs orders fits the broadcast threshold, so r16's plan
+    // is BHJ and bucketing is dormant (job counts don't move — the
+    // round-14 observation); this pins the shape that engages when the
+    // fact side outgrows broadcast: disable broadcast and the join must
+    // come out a SortMergeJoin over the two bucketed scans with NO
+    // exchange on either join key
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("r16_nation_revenue")(spark, sf001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin [l_orderkey"),
+        s"expected the l-o join as SMJ with broadcast off:\n$plan")
+      assert("Bucketed: true".r.findAllIn(plan).length >= 2,
+        s"both fact scans should be bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucket-aligned join must not re-shuffle its keys:\n$plan")
+      assert(df.count() > 0)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed landing store: R1/R2 latest-version views run with zero exchanges") {
     import spark.implicits._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
