@@ -1419,10 +1419,14 @@ object Similarity {
     // walk (no hop's frontier depends on the total budget), so the
     // three depths are graded off one traversal — the same shape the
     // oracle always had (one v0/v1/v2 chain, three grades).
+    // Round 15: seeded by the IVF-ROUTED serving entries (the
+    // `ann_search` default whenever the routing tiers are resident) —
+    // the curve prices the depth knob in the configuration the engine
+    // actually serves, not the retired uniform-hash seeding.
     "x126_beam_curve" -> { (s, dir) =>
       val probes = withSq(s, dir).filter(QuerySet)
         .selectExpr("vec_id as src", "embedding as ea", "sq as sa")
-      beamWalkTrace(s, dir, probes, hops = 2).zipWithIndex.map {
+      ivfWalkTrace(s, dir, probes, hops = 2).zipWithIndex.map {
         case (vis, h) =>
           gradeWalk(s, dir, vis)
             .agg(count(lit(1)).as("n_answers"),
@@ -1542,11 +1546,17 @@ object Similarity {
     // degenerate walk every graph-ANN paper warns gets stuck. Three
     // walks over the one resident index; ~10 rows out at any corpus
     // size.
+    // Round 15: the three widths share ONE IVF-routed entry frame (the
+    // serving default — entries are width-independent, so the IVF
+    // quantizer routing runs once for the whole curve).
     "x132_beam_width_curve" -> { (s, dir) =>
       val probes = withSq(s, dir).filter(QuerySet)
         .selectExpr("vec_id as src", "embedding as ea", "sq as sa")
+      val sq = withSq(s, dir)
+      val ud = cappedUd(s, dir, nndescentEdges(s, dir, iters = 2), "nnd_ud")
+      val entries = ivfServingEntries(s, dir, probes).localCheckpoint()
       Seq(1, 5, 10).map { b =>
-        gradeWalk(s, dir, beamWalk(s, dir, probes, hops = 2, b = b))
+        gradeWalk(s, dir, walkFrom(s, sq, ud, probes, entries, hops = 2, b = b))
           .agg(count(lit(1)).as("n_answers"),
             sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
           .selectExpr(s"cast($b as bigint) as beam", "n_answers", "n_hits",
@@ -1871,6 +1881,57 @@ object Similarity {
         "case when d0 = src then (d0 + 1) % nc else d0 end as dst")
       .distinct()
     walkFromTrace(s, sq, ud, probes, entries, hops, b)
+  }
+
+  /** Measurement body for the round-15 seeding re-grade (SCALE.md, the
+    * SeedRegrade main): the x132-shaped width curve over the STANDING
+    * corpus index, run TWICE — hash entries (the retired default) vs
+    * IVF-routed serving entries (the new default) — so the operating
+    * numbers x126/x132 freeze under IVF seeding have their hash
+    * baseline next to them. Hash geometry; the clustered-geometry
+    * A/B is x136/x137's job (slice index, measured recall@10 1.0 at
+    * E=8 for IVF vs 0.5 for hash). */
+  private[graft] def seedRegradeTable(s: SparkSession, dir: String): DataFrame = {
+    val sq = withSq(s, dir)
+    val probes = sq.filter(QuerySet)
+      .selectExpr("vec_id as src", "embedding as ea", "sq as sa")
+    val ud = cappedUd(s, dir, nndescentEdges(s, dir, iters = 2), "nnd_ud")
+    val nRow = sq.agg(count(lit(1)).as("nc"))
+    val hashE = probes.select(col("src")).crossJoin(broadcast(nRow))
+      .selectExpr("src",
+        s"explode(transform(sequence(1, 8), j -> " +
+          s"${sH("concat(src, ':entry:', j)")} % nc)) as d0", "nc")
+      .selectExpr("src",
+        "case when d0 = src then (d0 + 1) % nc else d0 end as dst")
+      .distinct().localCheckpoint()
+    val ivfE = ivfServingEntries(s, dir, probes).localCheckpoint()
+    val legs = for {
+      (seed, entries) <- Seq("hash" -> hashE, "ivf" -> ivfE)
+      b <- Seq(1, 5, 10)
+    } yield gradeWalk(s, dir, walkFrom(s, sq, ud, probes, entries, hops = 2, b = b))
+      .agg(count(lit(1)).as("n_answers"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+      .selectExpr(s"'$seed' as seeding", s"cast($b as bigint) as beam",
+        "n_answers", "n_hits",
+        sRound6("cast(n_hits as double) / cast(n_answers as double)") +
+          " as recall_at_k")
+    legs.reduce(_ unionByName _).orderBy("seeding", "beam")
+  }
+
+  /** [[beamWalkTrace]] with IVF-ROUTED serving entries — the round-15
+    * serving default's walk over the standing index: same graph, same
+    * capped adjacency, same per-depth trace; only the entry frame
+    * comes from [[ivfServingEntries]] (durable quantizer routing, ≤ 8
+    * self-filtered entries per probe). x126/x132 grade THIS
+    * configuration, so the operating curves describe what `ann_search`
+    * actually serves when the IVF tiers are resident. */
+  private def ivfWalkTrace(s: SparkSession, dir: String,
+      probes: DataFrame, hops: Int, b: Int = 5): Seq[DataFrame] = {
+    val sq = withSq(s, dir)
+    val edges = nndescentEdges(s, dir, iters = 2)
+    val ud = cappedUd(s, dir, edges, "nnd_ud")
+    walkFromTrace(s, sq, ud, probes,
+      ivfServingEntries(s, dir, probes), hops, b)
   }
 
   /** Undirected adjacency ρ-CAPPED at 2K per node, in the same
@@ -3555,6 +3616,44 @@ object Similarity {
        |      ORDER BY cos DESC, dst) AS rk FROM ${pfx}v0) WHERE rk <= $b)"""
       .stripMargin
 
+  /** IVF-routed entry CTEs over the STANDING corpus — the serving
+    * default's oracle replay (x126/x132): the x17 quantizer text
+    * (per-label exact-decimal centroids, argmax-cosine assignment,
+    * probe top-2 routing), 4 hash-ranked representatives per cell,
+    * entries = routed cells' reps with self pairs filtered (the
+    * `ivfServingEntries` contract). Ends at `$v0` = the scored entry
+    * visits; requires `sq` in scope. */
+  private def dIvfEntryScored(v0: String): String =
+    s"""icd AS (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+       |       FROM embeddings),
+       |icm AS (SELECT label, dim,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+       |       FROM icd GROUP BY label, dim),
+       |icent AS (SELECT clabel, cv, ${dSumSq64("cv")} AS csq FROM (
+       |       SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM icm GROUP BY label)),
+       |iranked AS MATERIALIZED (SELECT vec_id, clabel,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosc DESC, clabel) AS rn
+       |    FROM (SELECT vec_id, clabel,
+       |            (${dDotF64("sq.embedding", "cv")}) / sqrt(sq * csq) AS cosc
+       |          FROM sq CROSS JOIN icent)),
+       |icell4 AS (SELECT clabel, dst FROM (
+       |    SELECT clabel, vec_id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY clabel
+       |        ORDER BY ${dH("concat(clabel, ':', vec_id)")} DESC, vec_id) AS rnc
+       |    FROM iranked WHERE rn = 1) WHERE rnc <= 4),
+       |ientp AS (SELECT DISTINCT r.vec_id AS src, c.dst
+       |          FROM iranked r JOIN icell4 c USING (clabel)
+       |          WHERE r.vec_id < 8 AND r.rn <= 2 AND r.vec_id <> c.dst),
+       |$v0 AS MATERIALIZED (SELECT src, dst, $dCos AS cos
+       |       FROM ientp JOIN sq a ON ientp.src = a.vec_id
+       |                  JOIN sq b ON ientp.dst = b.vec_id)""".stripMargin
+
+  /** Top-`b` hop-1 frontier fold from a scored entry CTE. */
+  private def dWalkFold(v0: String, f0: String, b: Int): String =
+    s"""$f0 AS (SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rk FROM $v0) WHERE rk <= $b)""".stripMargin
+
   private def dX121Sql: String = {
     val b = 5; val e = 8; val h = 2
     val hopCte = dBeamHops(h, b, "sq", "vec_id")
@@ -3567,9 +3666,10 @@ object Similarity {
   /** x126's oracle: the same walk chain, graded at EVERY depth — v0,
     * v1, v2 are all CTEs of one text, so the curve costs one
     * construction + one walk, mirroring the Scala side's shared
-    * standing index. */
+    * standing index. Round 15: seeded by the IVF-routed entry replay
+    * ([[dIvfEntryScored]]) — the serving default's configuration. */
   private def dX126Sql: String = {
-    val b = 5; val e = 8; val h = 2; val k = NndK
+    val b = 5; val h = 2; val k = NndK
     val hopCte = dBeamHops(h, b, "sq", "vec_id")
     val grades = (0 to h).map { i =>
       s""",
@@ -3585,7 +3685,9 @@ object Similarity {
          |    ON f.src = e.query_id AND f.dst = e.neighbor_id)""".stripMargin
     }.mkString
     s"""$dNndBase,
-       |${dWalkPrelude(e, b)}
+       |${dUdCap(s"e$NndT", "ud", "udc")},
+       |${dIvfEntryScored("v0")},
+       |${dWalkFold("v0", "f0", b)}
        |$hopCte
        |, exact AS (SELECT query_id, neighbor_id FROM ($dX11Sql)
        |            WHERE rk <= $k)
@@ -3833,18 +3935,20 @@ object Similarity {
        |        AS rk FROM mg)
        |WHERE rk <= 20 ORDER BY rk""".stripMargin
 
-  /** x132's oracle: ONE adjacency (ud/udc emitted once) + three
-    * prefixed entry/hop chains (w1/w5/w10 — the widths share entries
-    * and differ only in the fold), each graded against the shared
-    * exact list — the same one-index/three-walks shape as the Scala
-    * side. */
+  /** x132's oracle: ONE adjacency (ud/udc emitted once) + ONE
+    * IVF-routed entry chain (round 15 — entries are width-independent,
+    * exactly the Scala side's one shared serving-entry frame) + three
+    * prefixed fold/hop chains (w1/w5/w10 differ only in the fold
+    * width), each graded against the shared exact list — the same
+    * one-index/three-walks shape as the Scala side. */
   private def dX132Sql: String = {
-    val e = 8; val h = 2; val k = NndK
+    val h = 2; val k = NndK
     val widths = Seq(1, 5, 10)
     val chains = widths.map { b =>
       val pfx = s"w$b"
       s""",
-         |${dWalkEntries(e, b, pfx)}
+         |${pfx}v0 AS (SELECT src, dst, cos FROM iv0),
+         |${dWalkFold(s"${pfx}v0", s"${pfx}f0", b)}
          |${dBeamHops(h, b, "sq", "vec_id", pfx = pfx, udcName = "udc")}"""
         .stripMargin
     }.mkString
@@ -3862,7 +3966,8 @@ object Similarity {
          |    ON f.src = e.query_id AND f.dst = e.neighbor_id)""".stripMargin
     }.mkString
     s"""$dNndBase,
-       |${dUdCap(s"e$NndT", "ud", "udc")}
+       |${dUdCap(s"e$NndT", "ud", "udc")},
+       |${dIvfEntryScored("iv0")}
        |$chains
        |, exact AS (SELECT query_id, neighbor_id FROM ($dX11Sql)
        |            WHERE rk <= $k)
