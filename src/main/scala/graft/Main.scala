@@ -219,10 +219,12 @@ object Main {
     * for this corpus (the round-14 recall study's measured default:
     * recall@10 = 1.0 at E=8 on clustered geometry where hash seeding
     * needs E=32) AND the user did not reach for the hash-only
-    * `--entries` knob; `hash` otherwise (a corpus without resident
-    * tiers keeps the zero-prerequisite path — IVF seeding would
-    * otherwise silently pay two full tier builds inside a point
-    * lookup). Combining explicit `--entries` with explicit
+    * `--entries` knob AND the measured quantizer gauge (x138's durable
+    * `quantizer_margin` tier), when installed, clears the routing
+    * threshold; `hash` otherwise (a corpus without resident tiers
+    * keeps the zero-prerequisite path — IVF seeding would otherwise
+    * silently pay two full tier builds inside a point lookup).
+    * Combining explicit `--entries` with explicit
     * `--seed ivf` is an error: the IVF entry budget is structural
     * (top-2 cells × 4 representatives ≤ 8 per probe) and the E knob
     * would be silently ignored. */
@@ -240,8 +242,19 @@ object Main {
         throw new IllegalArgumentException(
           s"--seed must be 'hash' or 'ivf', got '$other'")
       case None =>
+        // IVF iff (a) the routing tiers are resident, AND (b) the
+        // measured quantizer gauge — when one is installed (x138's
+        // durable tier) — says the cells carry routing signal. The
+        // round-15 regrade found IVF seeding LOSES to hash diversity
+        // on isotropic vectors (0.2625 → 0.1625 recall@10 at B=10)
+        // while doubling recall on clustered ones, so residency alone
+        // is intent, and the gauge is the evidence. No gauge installed
+        // ⇒ trust residency (never build a corpus pass inside a point
+        // lookup).
         if (entries.isEmpty &&
-          graft.llm.Similarity.ivfTiersFresh(spark, corpus)) "ivf"
+          graft.llm.Similarity.ivfTiersFresh(spark, corpus) &&
+          graft.llm.Similarity.quantizerGauge(spark, corpus)
+            .forall(_ >= graft.llm.Similarity.QuantizerMarginThreshold)) "ivf"
         else "hash"
     }
 

@@ -1648,6 +1648,23 @@ object Similarity {
     // that buys recall, at serving cost E + hops·B·2K per probe with
     // NO index rebuild.
     "x137_entry_curve" -> { (s, dir) => entryCurve(s, dir) },
+
+    // QUANTIZER CALIBRATION — the gauge behind the round-15 seeding
+    // regrade: IVF-routed entries buy recall 4× cheaper per entry on
+    // CLUSTERED geometry (x136: 0.5 → 1.0 at E=8) and LOSE to hash
+    // diversity on isotropic vectors (SeedRegrade: 0.2625 → 0.1625 at
+    // B=10) — so whether the quantizer carries routing signal is a
+    // per-corpus MEASUREMENT, not an assumption. Per cell: assigned
+    // count, mean top-1 cosine, and mean top1−top2 MARGIN (the routing
+    // confidence; measured ≈ 0.76 on the clustered twin vs ≈ 0.07 on
+    // the hash corpus — an order of magnitude apart, split at 0.2).
+    // DURABLE tier: `ann_search` consults the corpus-weighted mean
+    // margin when resolving the seeding default (Main.resolveSeed) —
+    // resident + margin ≥ 0.2 ⇒ ivf, resident + measured-low ⇒ hash.
+    // One corpus × 8-cell broadcast pass; 6-dp-rounded cosines into
+    // decimal means (the x131 contract), so the report is bit-exact
+    // cross-engine.
+    "x138_quantizer_margin" -> { (s, dir) => quantizerMargin(s, dir) },
   )
 
   /** x122's body: min-label propagation to the FIXPOINT (converge-or-
@@ -2315,6 +2332,58 @@ object Similarity {
         Durable.load(s, r, dir, "ivf_top2", "v1-r4").isDefined
     }
 
+  /** x138's body: per-cell quantizer calibration over the STANDING
+    * corpus — assigned count, mean top-1 cosine, and mean top1−top2
+    * routing MARGIN, 6-dp-rounded cosines into decimal means (the x131
+    * exactness contract). DURABLE tier: the corpus-weighted mean
+    * margin is the gauge [[quantizerGauge]] serves to
+    * `Main.resolveSeed`. One corpus × |cells| broadcast pass. */
+  private[graft] def quantizerMargin(s: SparkSession, dir: String): DataFrame =
+    Durable.tier(s, dir, "quantizer_margin", "v1") {
+      val cent = centroids(s, dir)
+      val dotE =
+        if (s.catalog.functionExists("dot_f32f64")) "dot_f32f64(embedding, cv)"
+        else "aggregate(zip_with(embedding, cv, (x, w) -> cast(x as double) * w), cast(0 as double), (acc, t) -> acc + t)"
+      withSq(s, dir).crossJoin(broadcast(cent))
+        .selectExpr("vec_id", "clabel", s"$dotE / sqrt(sq * csq) as cosc")
+        .groupBy("vec_id")
+        .agg(expr("sort_array(collect_list(struct(-cosc as nc, clabel)))").as("a"))
+        .selectExpr("element_at(a, 1).clabel as cell",
+          sRound6("-element_at(a, 1).nc") + " as m1",
+          sRound6("(-element_at(a, 1).nc) - (-element_at(a, 2).nc)") + " as marg")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("m1").cast(DecimalType(24, 12))).cast("double") /
+            count(lit(1)).cast("double")).as("a1"),
+          (sum(col("marg").cast(DecimalType(24, 12))).cast("double") /
+            count(lit(1)).cast("double")).as("a2"))
+        .selectExpr("cell as clabel", "n_vecs",
+          sRound6("a1") + " as mean_top1_cos",
+          sRound6("a2") + " as mean_margin")
+        .orderBy("clabel")
+    }
+
+  /** The corpus-weighted mean routing margin from the durable
+    * `quantizer_margin` tier — ONLY if installed and fresh, never
+    * building (consulting a gauge must not turn a CLI point lookup
+    * into a corpus pass). None = no gauge installed. */
+  private[graft] def quantizerGauge(s: SparkSession, dir: String): Option[Double] =
+    Durable.root(s).flatMap { r =>
+      Durable.load(s, r, dir, "quantizer_margin", "v1").map { t =>
+        val row = t.selectExpr(
+          "sum(cast(n_vecs as double) * mean_margin) as a",
+          "sum(cast(n_vecs as double)) as b").head()
+        row.getDouble(0) / row.getDouble(1)
+      }
+    }
+
+  /** The measured split between geometries where IVF routing wins
+    * (clustered: mean margin ≈ 0.76, IVF recall@10 1.0 vs hash 0.5 at
+    * E=8) and where it loses (isotropic: ≈ 0.07, IVF 0.1625 vs hash
+    * 0.2625 at B=10) — an order of magnitude apart; 0.2 splits them
+    * with headroom on both sides. */
+  private[graft] val QuantizerMarginThreshold = 0.2
+
   private def ivfServingEntries(s: SparkSession, dir: String,
       probes: DataFrame): DataFrame = {
     val cent = centroids(s, dir).selectExpr("clabel as cl", "cv", "csq")
@@ -2819,6 +2888,34 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked
        |WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+
+  /** x138's oracle: the x17 exact-decimal quantizer CTEs, per-vec top-2
+    * cosine pivot (ROW_NUMBER over cosc DESC, clabel), 6-dp-rounded m1
+    * and raw-difference margin into decimal means — the Spark side's
+    * exact algebra. */
+  private def dX138Sql: String =
+    s"""$dSq,
+       |qcd AS (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+       |       FROM embeddings),
+       |qcm AS (SELECT label, dim,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+       |       FROM qcd GROUP BY label, dim),
+       |qcent AS (SELECT clabel, cv, ${dSumSq64("cv")} AS csq FROM (
+       |       SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM qcm GROUP BY label)),
+       |qranked AS (SELECT vec_id, clabel, cosc,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosc DESC, clabel) AS rn
+       |    FROM (SELECT vec_id, clabel,
+       |            (${dDotF64("sq.embedding", "cv")}) / sqrt(sq * csq) AS cosc
+       |          FROM sq CROSS JOIN qcent)),
+       |qpv AS (SELECT vec_id,
+       |         MAX(CASE WHEN rn = 1 THEN clabel END) AS cell,
+       |         ${dRound6("MAX(CASE WHEN rn = 1 THEN cosc END)")} AS m1,
+       |         ${dRound6("MAX(CASE WHEN rn = 1 THEN cosc END) - MAX(CASE WHEN rn = 2 THEN cosc END)")} AS marg
+       |       FROM qranked WHERE rn <= 2 GROUP BY vec_id)
+       |SELECT cell AS clabel, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  ${dRound6("CAST(SUM(CAST(m1 AS DECIMAL(24,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS mean_top1_cos,
+       |  ${dRound6("CAST(SUM(CAST(marg AS DECIMAL(24,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS mean_margin
+       |FROM qpv GROUP BY cell ORDER BY clabel""".stripMargin
 
   private val dX17Sql =
     s"""WITH sq AS (SELECT vec_id, embedding, ${dSumSq("embedding")} AS sq FROM embeddings),
@@ -3453,6 +3550,7 @@ object Similarity {
     "x135_clustered_degree_sweep" -> dX135Sql,
     "x136_ivf_seeded_walk" -> dX136Sql,
     "x137_entry_curve" -> dX137Sql,
+    "x138_quantizer_margin" -> dX138Sql,
     "x133_bitext_margin" -> dX133Sql,
   )
 

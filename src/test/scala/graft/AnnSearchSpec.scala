@@ -81,6 +81,35 @@ class AnnSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Main.resolveSeed(s2, sf001, Some("ivf"), Some("16"))
     }
+    // x138's gauge on this ISOTROPIC corpus measures a sub-threshold
+    // routing margin — installing it flips the default back to hash
+    // (measured evidence beats tier-residency intent); explicit --seed
+    // ivf stays honored
+    graft.llm.Similarity.quantizerMargin(s2, sf001).count()
+    val g = graft.llm.Similarity.quantizerGauge(s2, sf001)
+    assert(g.exists(_ < graft.llm.Similarity.QuantizerMarginThreshold),
+      s"hash-geometry gauge should read below threshold: $g")
+    assert(Main.resolveSeed(s2, sf001, None, None) == "hash",
+      "a measured-low gauge must veto the ivf default")
+    assert(Main.resolveSeed(s2, sf001, Some("ivf"), None) == "ivf")
+  }
+
+  test("x138: cells partition the corpus; hash geometry reads an order below the clustered margin") {
+    val rows = SparkEntry.queries("x138_quantizer_margin")(spark, sf001)
+      .collect()
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == n,
+      "every vector is assigned to exactly one cell")
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= 1.000001 && r.getDouble(2) >= -1.000001,
+        s"mean top-1 cosine out of range: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 2.000001,
+        s"margin out of range: $r")
+    }
+    val weighted = rows.map(r => r.getLong(1) * r.getDouble(3)).sum / n
+    assert(weighted < graft.llm.Similarity.QuantizerMarginThreshold,
+      s"isotropic corpus should gauge below 0.2, got $weighted")
   }
 
   test("ivf-seeded search never returns the probe as its own neighbor") {
