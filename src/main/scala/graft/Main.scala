@@ -152,6 +152,31 @@ object Main {
         // the corpus's current fingerprint, and their on-disk size.
         graft.queries.Durable.status(spark, req("index-dir"), req("corpus"))
           .foreach(println)
+      case "dbx_push" => // K4: landing store → Databricks over the public
+        // REST surface (distributed per-partition DBFS upload in the
+        // reference CSV contract, COPY INTO via the SQL Statement
+        // Execution API, recursive stage cleanup, core views)
+        val sink = new graft.ingest.DatabricksSink(
+          req("dbx-url"), req("dbx-token"), req("warehouse-id"),
+          catalog = opts.getOrElse("catalog", ""),
+          schema = opts.getOrElse("db-schema", ""))
+        val n = sink.push(
+          graft.ingest.Ingest.readLanding(spark, req("landing")),
+          opts.getOrElse("batch-tag", java.time.Instant.now().toString))
+        sink.createCoreViews()
+        println(s"pushed $n rows")
+      case "snowpipe_notify" => // K1 ingestion notify: stage-relative
+        // files (what a distributed df.write just produced on the
+        // pipe's external stage) announced over the Snowpipe REST API,
+        // RS256 key-pair JWT from the `gen` keypair
+        val kp = graft.ingest.SnowpipeClient.keyPairFromDsnB64(
+          opts.get("private-key-file")
+            .map(f => new String(Files.readAllBytes(Paths.get(f))).trim)
+            .getOrElse(req("private-key")))
+        val c = new graft.ingest.SnowpipeClient(
+          req("sf-url"), req("account"), req("user"), kp)
+        println(c.insertFiles(req("pipe"),
+          req("files").split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       case "jdbc_push" => // K2: landing store → external JDBC warehouse,
         // all-or-nothing per batch (sqlserver.go:92-200 semantics)
         val p = new java.util.Properties
@@ -287,12 +312,14 @@ object Main {
   }
 
   private def usage(): Unit = System.err.println(
-    "usage: graft.Main sync|push|clone|create_views|prune|compact|compact_index|ann_search|index_status|jdbc_push|gen|config|version " +
+    "usage: graft.Main sync|push|clone|create_views|prune|compact|compact_index|ann_search|index_status|jdbc_push|dbx_push|snowpipe_notify|gen|config|version " +
       "--source DIR | --url URL [--user U --password P --limit N] " +
       "--landing DIR --state DIR [--schema FILE] " +
       "[--hide-inactive-fields true|false] [--persistent-db DB] " +
       "[--wait SECONDS] [--chunk-size N] [--target-file-mb N] " +
       "[--jdbc-url URL --jdbc-table T --jdbc-driver CLASS] " +
       "[--corpus DIR --index-dir DIR [--deletes FILE --inserts FILE --hops N]] " +
-      "[--ids \"0,5,9\" | --probes FILE] [--k N] [--beam B] [--entries E] [--seed hash|ivf]")
+      "[--ids \"0,5,9\" | --probes FILE] [--k N] [--beam B] [--entries E] [--seed hash|ivf] " +
+      "[--dbx-url URL --dbx-token T --warehouse-id W [--catalog C --db-schema S --batch-tag TAG]] " +
+      "[--sf-url URL --account A --user U --pipe P --files f1,f2 (--private-key B64 | --private-key-file F)]")
 }
