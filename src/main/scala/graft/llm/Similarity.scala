@@ -2121,67 +2121,6 @@ object Similarity {
     visited
   }
 
-  /** Param-lifted NN-Descent for the degree sweeps: one construction
-    * loop builds EVERY degree's graph, edges keyed by (pk = K, src,
-    * dst). Each fold ranks per (pk, src) at the max degree and cuts at
-    * `rk <= pk` (and the ρ-cap at `rk <= 2·pk`) — the same
-    * prefix-of-a-total-order identity the fused walk uses, so the
-    * pk = K slice is bit-identical to [[nndescentEdgesOn]] at that K
-    * (seeds hash on (vec_id, j) only; sequence(1, K) is a prefix of
-    * sequence(1, maxK)). Jobs: one checkpoint per round for the whole
-    * sweep instead of one per degree per round. */
-  private[graft] def nndescentEdgesMultiOn(s: SparkSession, corpus: DataFrame,
-      iters: Int, ks: Seq[Int]): DataFrame = {
-    val maxK = ks.max
-    val sq = corpus
-    val nRow = sq.agg(count(lit(1)).as("nc"))
-    def score(pairs: DataFrame): DataFrame = pairs
-      .join(corpus.selectExpr("vec_id as src", "embedding as ea",
-        "sq as sa"), "src")
-      .join(corpus.selectExpr("vec_id as dst", "embedding as eb",
-        "sq as sb"), "dst")
-      .selectExpr("pk", "src", "dst", s"${sCosIn(s)} as cos")
-    val seeds = sq.select("vec_id").crossJoin(broadcast(nRow))
-      .selectExpr("vec_id", "nc",
-        s"explode(array(${ks.mkString(", ")})) as pk")
-      .selectExpr("pk", "vec_id", "nc",
-        s"explode(transform(sequence(1, pk), j -> " +
-          s"${sH("concat(vec_id, ':init:', j)")} % nc)) as d0")
-      .selectExpr("pk", "vec_id as src",
-        "case when d0 = vec_id then (d0 + 1) % nc else d0 end as dst")
-      .distinct()
-    var edges = graft.plans.TopKPerKey.topKDesc(score(seeds),
-        Seq("pk", "src"), "cos", Seq("dst"), maxK)
-      .filter(col("rk") <= col("pk"))
-      .select("pk", "src", "dst", "cos").localCheckpoint()
-    for (_ <- 1 to iters) {
-      val adj = edges.select(col("pk"), col("src").as("p"), col("dst").as("n"))
-        .unionByName(edges.select(col("pk"), col("dst").as("p"),
-          col("src").as("n")))
-        .distinct()
-      val kept = graft.plans.TopKPerKey.topKDesc(
-          adj.selectExpr("pk", "p", "n",
-            s"${sH("concat(p, ':', n)")} as hk"),
-          Seq("pk", "p"), "hk", Seq("n"), 2 * maxK)
-        .filter(col("rk") <= col("pk") * 2)
-      val pairs = kept.groupBy("pk", "p")
-        .agg(sort_array(collect_list(col("n"))).as("ns"))
-        .selectExpr("pk", "posexplode(ns) as (ix, a)", "ns")
-        .selectExpr("pk", "a as src",
-          "explode(slice(ns, ix + 2, size(ns))) as dst")
-        .distinct()
-      val scored = score(pairs)
-      val cand = scored.unionByName(
-        scored.selectExpr("pk", "dst as src", "src as dst", "cos"))
-      edges = graft.plans.TopKPerKey.topKDesc(
-          edges.unionByName(cand).distinct(), Seq("pk", "src"), "cos",
-          Seq("dst"), maxK)
-        .filter(col("rk") <= col("pk"))
-        .select("pk", "src", "dst", "cos").localCheckpoint()
-    }
-    edges
-  }
-
   /** The fused twin of the slice grade: one aggregation pass emits the
     * whole curve — top-[[TopK]] per (pk, probe) of the fused visited
     * set, self dropped on the orig-id map, dual-graded per pk.
@@ -2232,12 +2171,21 @@ object Similarity {
     * operator runs once per corpus to PICK the standing degree, not a
     * resident structure.
     *
-    * Round 15: the three K-legs are FUSED into one param-lifted
-    * build + walk ([[nndescentEdgesMultiOn]] / [[walkFromMulti]], pk =
-    * K) — the whole sweep is one checkpoint chain instead of three
-    * concurrent ones (the round-14 Future overlap already hid the
-    * scheduler gaps; fusion removes the jobs themselves, ~210 → ~70 at
-    * sf0.1, identical rows by the rank-prefix identity). */
+    * The three K-legs run CONCURRENTLY (scala.concurrent.Future): each
+    * leg is a chain of eager localCheckpoint rounds (the lineage-
+    * truncation the loops need), so a sequential sweep serializes ~36
+    * small blocking jobs and pays the scheduler gap between every one;
+    * overlapping the legs fills those gaps with the other graphs' work
+    * (measured: 21.0 → 8.6 s at sf0.1). MEASURED DECISION (round 15):
+    * the param-lifted fusion that closed the fixed-graph curves
+    * ([[walkFromMulti]], x132/x136/x137) was built for this sweep too
+    * — one pk-tagged NN-Descent loop for all three degrees — and RACED
+    * the Future overlap: fused lost 4.9 vs 4.8 s at sf0.1 and 31.6 vs
+    * 23.3 s at 100× (x135 likewise), because a single leg's build
+    * stages never saturate the machine (slice-sized frames), so the
+    * overlap's idle-core fill beats the job-count cut at every decade
+    * measured. Reverted to the concurrent legs; SCALE.md records the
+    * race so the fusion isn't re-tried. */
   private[graft] def degreeSweep(s: SparkSession, dir: String): DataFrame =
     degreeSweepOn(s, withSq(s, dir))
 
@@ -2253,6 +2201,9 @@ object Similarity {
   /** The sweep generic over the (vec_id, embedding, sq) corpus frame —
     * x134 passes the hash geometry, x135 the clustered twin. */
   private def degreeSweepOn(s: SparkSession, corpus: DataFrame): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val ks = Seq(5, 10, 20)
     val sq = corpus
     val probes = sq.filter(QuerySet)
@@ -2287,26 +2238,48 @@ object Similarity {
           s"${sH("concat(src, ':entry:', j)")} % nc)) as dst")
       .distinct()
       .localCheckpoint() // shared by all three legs — force once
-    // ONE param-lifted build + walk for all three degrees (pk = K).
-    val edgesM = nndescentEdgesMultiOn(s, s10c, iters = 3, ks = ks)
-    val udRawM = edgesM.select("pk", "src", "dst").unionByName(
-      edgesM.select(col("pk"), col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    // ρ-cap at EACH graph's 2K (the structural per-hop bound scales
-    // with the degree the user is pricing): rank at 2·maxK, cut at 2·pk
-    val udM = graft.plans.TopKPerKey.topKDesc(
-        udRawM.selectExpr("pk", "src", "dst",
+    // sc.setJobGroup is thread-local: without re-pinning it inside
+    // each Future the legs' jobs escape Bench's per-query group and
+    // BENCH_DETAIL undercounts x134's jobs/stages
+    val jobGroup = s.sparkContext.getLocalProperty("spark.jobGroup.id")
+    val jobDesc = s.sparkContext.getLocalProperty("spark.job.description")
+    val legs = ks.map { k => Future {
+      if (jobGroup != null)
+        s.sparkContext.setJobGroup(jobGroup,
+          if (jobDesc == null) jobGroup else jobDesc)
+      val edges = nndescentEdgesOn(s, s10c, iters = 3, k = k)
+      val udRaw = edges.select("src", "dst").unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      // ρ-cap at THIS graph's 2K (the structural per-hop bound scales
+      // with the degree the user is pricing)
+      val ud = graft.plans.TopKPerKey.topKDesc(
+        udRaw.selectExpr("src", "dst",
           s"${sH("concat(src, ':', dst)")} as hk"),
-        Seq("pk", "src"), "hk", Seq("dst"), 2 * ks.max)
-      .filter(col("rk") <= col("pk") * 2)
-      .select("pk", "src", "dst")
-    val entriesM = entries.selectExpr(
-      s"explode(array(${ks.mkString(", ")})) as pk", "src", "dst")
-    val visitedM = walkFromMulti(s, s10c, udM, probes, entriesM, hops = 2,
-      bs = ks.map(_ -> 5).toMap, excludeSelf = false)
-    gradeWalkMulti(s, smap, truth, visitedM, "degree",
-        "cast(pk as bigint)")
-      .orderBy("degree")
+        Seq("src"), "hk", Seq("dst"), 2 * k).select("src", "dst")
+      val visited = walkFrom(s, s10c, ud, probes, entries, hops = 2,
+        b = 5, excludeSelf = false)
+      graft.plans.TopKPerKey.topKDesc(
+          visited.join(broadcast(smap), "dst")
+            .filter(col("orig_id") =!= col("src"))
+            .select("src", "dst", "cos"),
+          Seq("src"), "cos", Seq("dst"), TopK)
+        .join(truth, Seq("src", "dst"), "left")
+        .agg(
+          sum(when(col("rk") <= 5, 1L).otherwise(0L)).as("n5"),
+          sum(when(col("rk") <= 5 && col("erk") <= 5, 1L).otherwise(0L))
+            .as("h5"),
+          count(lit(1)).as("n10"),
+          sum(when(col("erk").isNotNull, 1L).otherwise(0L)).as("h10"))
+        .selectExpr(s"cast($k as bigint) as degree",
+          "n5 as n_answers_5", "h5 as n_hits_5",
+          sRound6("cast(h5 as double) / cast(n5 as double)") +
+            " as recall_at_5",
+          "n10 as n_answers_10", "h10 as n_hits_10",
+          sRound6("cast(h10 as double) / cast(n10 as double)") +
+            " as recall_at_10")
+    } }
+    legs.map(Await.result(_, Duration.Inf))
+      .reduce(_ unionByName _).orderBy("degree")
   }
 
   /** The shared evaluation index for x136/x137: the clustered 1/10

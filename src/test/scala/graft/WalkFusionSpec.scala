@@ -2,14 +2,16 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-/** Round-15 floor diet: the PARAM-LIFTED walk engine (`walkFromMulti` /
-  * `nndescentEdgesMultiOn`) fuses a whole operating curve into one
-  * traversal by carrying the sweep parameter as a `pk` column. The
-  * fusion's entire correctness claim is a rank-prefix identity — the
-  * pk = p slice of every fused frame equals the independent per-leg
-  * frame — and this spec pins it leg-by-leg against the pre-fusion
-  * reference bodies (`gradeWalk(ix, …)` per leg, `nndescentEdgesOn`
-  * per degree), which are kept for exactly this purpose.
+/** Round-15 floor diet: the PARAM-LIFTED walk engine (`walkFromMulti`)
+  * fuses a whole operating curve into one traversal by carrying the
+  * sweep parameter as a `pk` column. The fusion's entire correctness
+  * claim is a rank-prefix identity — the pk = p slice of every fused
+  * frame equals the independent per-leg frame — and this spec pins it
+  * leg-by-leg against the pre-fusion reference bodies
+  * (`gradeWalk(ix, …)` per leg over `walkFrom`), which are kept for
+  * exactly this purpose. (The degree sweeps x134/x135 stay on
+  * concurrent per-leg builds — the fused variant was raced and lost at
+  * both decades; see SCALE.md and the x134 scaladoc.)
   */
 class WalkFusionSpec extends SparkSpec {
 
@@ -38,26 +40,5 @@ class WalkFusionSpec extends SparkSpec {
     val fused = graft.llm.Similarity.queries("x136_ivf_seeded_walk")(
       spark, sf001)
     assert(sortedRows(fused) == sortedRows(reference))
-  }
-
-  test("fused NN-Descent: pk = K slice == independent nndescentEdgesOn at K") {
-    // the degree sweep's exact construction frame: the 1/10 tuning
-    // slice under dense rank ids (x134's body)
-    val corpus = {
-      import org.apache.spark.sql.functions.col
-      graft.queries.ExactRank.withGlobalRank(
-          graft.llm.Similarity.withSq(spark, sf001)
-            .filter("vec_id % 10 = 0"), Seq(col("vec_id")))
-        .selectExpr("rank - 1 as vec_id", "embedding", "sq")
-    }
-    val fused = graft.llm.Similarity.nndescentEdgesMultiOn(
-      spark, corpus, iters = 2, ks = Seq(5, 10))
-    Seq(5, 10).foreach { k =>
-      val leg = graft.llm.Similarity.nndescentEdgesOn(
-        spark, corpus, iters = 2, k = k)
-      assert(sortedRows(fused.filter(s"pk = $k").select("src", "dst", "cos"))
-        == sortedRows(leg.select("src", "dst", "cos")),
-        s"degree $k slice diverged from the independent build")
-    }
   }
 }
