@@ -1708,38 +1708,51 @@ object Similarity {
     val ud = edges.select("src", "dst").unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .localCheckpoint()
-    var labels = ud.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint()
-    def step(l: DataFrame): DataFrame = {
-      val prop = ud.join(l.selectExpr("node as src", "lbl as nlbl"), "src")
-        .groupBy(col("dst").as("node")).agg(min(col("nlbl")).as("nbr"))
-      l.join(prop, Seq("node"), "left")
-        .selectExpr("node", "least(lbl, coalesce(nbr, lbl)) as lbl")
-        .localCheckpoint()
-    }
-    var unconvRows = -1L
-    if (rounds > 0) {
-      for (_ <- 1 to rounds) labels = step(labels)
-      val probe = step(labels)
-      unconvRows = labels.selectExpr("node", "lbl as a")
-        .join(probe.selectExpr("node", "lbl as b"), "node")
-        .filter("b < a").count()
-    } else {
-      var changed = 1L; var r = 0
-      while (changed > 0 && r < CcMaxRounds) {
-        val next = step(labels)
-        changed = next.selectExpr("node", "lbl as b")
-          .join(labels.selectExpr("node", "lbl as a"), "node")
-          .filter("b < a").count()
-        labels = next; r += 1
+    // Loop discipline shared with Dedup.clusterLabelsBuild: (a) the
+    // convergence check is an `improved` flag carried ON the stepped
+    // frame — a filter-count over the just-checkpointed result — not a
+    // fresh self-join of two label frames per round (one less |V|⋈|V|
+    // shuffle join and one less planned action per round, identical
+    // label evolution and identical changed-row count); (b) the loop's
+    // shuffle width tracks the GRAPH size, not the corpus default —
+    // every round is joins/aggregations over |V|·2K edge rows, and at
+    // the session width each round is mostly empty tasks of pure
+    // scheduling overhead (the measured x32 pattern, 2.2s → 0.9s).
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.min(prevParts.toInt,
+      math.max(2, (ud.count() / 100000L).toInt)).toString
+    s.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      var labels = ud.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")).localCheckpoint()
+      // step keeps (node, lbl=new label, improved=label still shrank)
+      def step(l: DataFrame): DataFrame = {
+        val prop = ud.join(l.selectExpr("node as src", "lbl as nlbl"), "src")
+          .groupBy(col("dst").as("node")).agg(min(col("nlbl")).as("nbr"))
+        l.join(prop, Seq("node"), "left")
+          .selectExpr("node", "least(lbl, coalesce(nbr, lbl)) as lbl",
+            "coalesce(nbr, lbl) < lbl as improved")
+          .localCheckpoint()
       }
-      unconvRows = changed // 0 at fixpoint; >0 only if the cap bound
-    }
-    labels.groupBy(col("lbl").as("component_id"))
-      .agg(count(lit(1)).as("n_nodes"))
-      .withColumn("unconverged_nodes", lit(unconvRows))
-      .select("component_id", "n_nodes", "unconverged_nodes")
-      .orderBy(col("n_nodes").desc, col("component_id"))
+      var unconvRows = -1L
+      if (rounds > 0) {
+        for (_ <- 1 to rounds) labels = step(labels).drop("improved")
+        unconvRows = step(labels).filter(col("improved")).count()
+      } else {
+        var changed = 1L; var r = 0
+        while (changed > 0 && r < CcMaxRounds) {
+          val next = step(labels)
+          changed = next.filter(col("improved")).count()
+          labels = next.drop("improved"); r += 1
+        }
+        unconvRows = changed // 0 at fixpoint; >0 only if the cap bound
+      }
+      labels.groupBy(col("lbl").as("component_id"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .withColumn("unconverged_nodes", lit(unconvRows))
+        .select("component_id", "n_nodes", "unconverged_nodes")
+        .orderBy(col("n_nodes").desc, col("component_id"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Adaptive-CC round cap — far above any kNN graph's diameter (the
@@ -2036,10 +2049,19 @@ object Similarity {
       .selectExpr("src", "dst", s"${sCosIn(s)} as cos")
     var visited = score(entries).localCheckpoint()
     val trace = scala.collection.mutable.ArrayBuffer(visited)
+    // The frontier is NOT checkpointed: it is consumed exactly once
+    // (the next hop's expand join), its lineage is depth-1 over the
+    // just-checkpointed `scored`, and the only other thing the
+    // checkpoint bought — the exact-size hint that made the planner
+    // broadcast it into the edge join — is stated structurally instead:
+    // the per-hop frontier is ≤ |probes|·B rows (corpus-independent by
+    // the walk's own bound), so broadcast() is the always-right call.
+    // One scheduler action saved per hop per walk (measured x129
+    // 2.52 → 2.02 s, x121 1.31 → 1.06 s at sf0.1; 100× decade flat).
     var frontier = graft.plans.TopKPerKey.topKDesc(visited, Seq("src"),
-      "cos", Seq("dst"), b).select("src", "dst").localCheckpoint()
+      "cos", Seq("dst"), b).select("src", "dst")
     for (_ <- 1 to hops) {
-      val expand0 = frontier
+      val expand0 = broadcast(frontier)
         .join(ud.selectExpr("src as dst", "dst as nxt"), "dst")
         .select(col("src"), col("nxt").as("dst")).distinct()
       // src and dst share an id domain on the layer-0 walks (probe IS a
@@ -2053,7 +2075,7 @@ object Similarity {
       visited = visited.unionByName(scored).localCheckpoint()
       trace += visited
       frontier = graft.plans.TopKPerKey.topKDesc(scored, Seq("src"), "cos",
-        Seq("dst"), b).select("src", "dst").localCheckpoint()
+        Seq("dst"), b).select("src", "dst")
     }
     trace.toSeq
   }
@@ -2102,13 +2124,18 @@ object Similarity {
         .select("pk", "src", "dst")
     }
     var visited = score(entries).localCheckpoint()
-    var frontier = fold(visited).localCheckpoint()
+    // same frontier discipline as walkFromTrace: consumed once, depth-1
+    // lineage over checkpointed `scored`, probe-bounded — broadcast
+    // hint instead of a per-hop checkpoint action
+    var frontier = fold(visited)
     for (_ <- 1 to hops) {
       val expand0 =
         (if (udTagged)
-           frontier.join(ud.selectExpr("pk", "src as dst", "dst as nxt"),
+           broadcast(frontier).join(
+             ud.selectExpr("pk", "src as dst", "dst as nxt"),
              Seq("pk", "dst"))
-         else frontier.join(ud.selectExpr("src as dst", "dst as nxt"), "dst"))
+         else broadcast(frontier)
+           .join(ud.selectExpr("src as dst", "dst as nxt"), "dst"))
           .select(col("pk"), col("src"), col("nxt").as("dst")).distinct()
       val expand = (if (excludeSelf) expand0.filter(col("src") =!= col("dst"))
                     else expand0)
@@ -2116,7 +2143,7 @@ object Similarity {
           "left_anti")
       val scored = score(expand).localCheckpoint()
       visited = visited.unionByName(scored).localCheckpoint()
-      frontier = fold(scored).localCheckpoint()
+      frontier = fold(scored)
     }
     visited
   }
