@@ -740,9 +740,27 @@ object Dedup {
     "x109_corpus_manifest" -> { (s, dir) =>
       val (_, _, _, s3) = funnelStages(s, dir)
       val grams = splitGrams(s, dir)
-      val bench = grams.filter("bucket >= 90")
-        .selectExpr("explode(gs) as g").distinct()
-      val contaminated = grams.selectExpr("doc_id", "explode(gs) as g")
+      val bench = Shared.temp(grams.filter("bucket >= 90")
+        .selectExpr("explode(gs) as g").distinct())
+      // the contamination probe only decides membership for docs that
+      // can survive the preceding bench anti-join (bucket < 90), and
+      // the corpus-side gram stream is bloom-gated MAP-SIDE before the
+      // string-keyed exchange (guide §3.2; the x119 pattern) — the
+      // exact join below confirms, so the gate is results-invisible
+      val trainEx = grams.filter("bucket < 90")
+        .selectExpr("doc_id", "explode(gs) as g")
+      val gated =
+        if (s.catalog.functionExists("bloom_bits")) {
+          val m = gateBits(grams.filter("bucket >= 90")
+            .selectExpr("coalesce(sum(size(gs)), cast(0 as bigint)) as n")
+            .head.getLong(0))
+          val bloom = bench.selectExpr(s"${sH("g")} as h")
+            .agg(expr(s"bloom_bits(h, $m, $BloomK)").as("bloom"))
+          trainEx.crossJoin(broadcast(bloom))
+            .filter(expr(s"bloom_might_contain(bloom, ${sH("g")}, $BloomK)"))
+            .select("doc_id", "g")
+        } else trainEx
+      val contaminated = gated
         .join(bench, "g").select("doc_id").distinct()
       s3
         .join(grams.filter("bucket >= 90").select("doc_id"),
@@ -1035,12 +1053,28 @@ object Dedup {
     * both forms on one session and assert bit-identity: the Bloom
     * prefilter admits false positives, the exact semi-join removes
     * them, so `native` may only change the plan, never the rows. */
+  /** Bits for a results-INVISIBLE bloom gate (x119/x109 — an exact
+    * semi-join confirms downstream, so m affects bytes-through-the-
+    * exchange, never results): ~16 bits per inserted key at k=3 is
+    * fpp < 1%; power of two, floored at x61's contractual 2^17 and
+    * capped at 2^27 bits = 16 MB broadcast. Scale-honest: x61's FIXED
+    * m is part of that query's output contract, but reused as a gate
+    * it SATURATES past ~40k eval grams (sf0.1 holds ~450k set bits →
+    * every probe passes → the full corpus-side gram stream hits the
+    * exchange the gate exists to protect). */
+  private[graft] def gateBits(nKeys: Long): Int = {
+    var m = BloomM.toLong
+    while (m < 16L * math.max(1L, nKeys) && m < (1L << 27)) m <<= 1
+    m.toInt
+  }
+
   private[graft] def contaminationSpan(
       s: SparkSession, dir: String, native: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = BloomM; val k = BloomK
-    val evalG = splitGrams(s, dir).filter("bucket >= 90")
-      .selectExpr("explode(gs) as g").distinct()
+    val k = BloomK
+    // cached: read twice (bloom build, confirm join)
+    val evalG = Shared.temp(splitGrams(s, dir).filter("bucket >= 90")
+      .selectExpr("explode(gs) as g").distinct())
     val trainPos = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .filter(expr(s"${sSplitBucket("doc_id")} < 80"))
@@ -1052,6 +1086,12 @@ object Dedup {
           |  else cast(array() as array<string>) end) as (p0, g)""".stripMargin)
     val gated =
       if (native) {
+        // gate sizing from the POSITIONAL upper bound — a map-side sum
+        // over the cached split_grams frame (no distinct exchange just
+        // to count); overestimating n only grows m toward the cap
+        val m = gateBits(splitGrams(s, dir).filter("bucket >= 90")
+          .selectExpr("coalesce(sum(size(gs)), cast(0 as bigint)) as n")
+          .head.getLong(0))
         val bloom = evalG.selectExpr(s"${sH("g")} as h")
           .agg(expr(s"bloom_bits(h, $m, $k)").as("bloom"))
         trainPos.crossJoin(broadcast(bloom))

@@ -495,12 +495,20 @@ object DocViews {
     // |distinct parents| edge list, never on the corpus, and depth is
     // bounded by the reference graph's height (log |dim| here).
     "r77_reference_lineage" -> { (s, dir) =>
+      // the UnionLoop re-plans the edge relation EVERY iteration, and
+      // here that relation is the whole typed-view chain (JSON parse +
+      // latest() window over the landing) — the r47 lesson applied:
+      // materialize the dimension-sized (id, parent) list narrow and
+      // cached, so each recursion round reads a 2-partition in-memory
+      // relation instead of re-parsing the landing store per hop
       val latest = Shared.shared(s, dir, "lineage_landing") {
         Views.latest(lineageLanding(s, dir))
       }
-      Views.typedView(latest, "SRC", lineageSchema("SRC"))
-        .selectExpr("DOCUMENT_ID as id", "PARENT_REF as parent")
-        .createOrReplaceTempView("graft_lineage_edges")
+      Shared.shared(s, dir, "lineage_edges_r77") {
+        Views.typedView(latest, "SRC", lineageSchema("SRC"))
+          .selectExpr("DOCUMENT_ID as id", "PARENT_REF as parent")
+          .coalesce(2)
+      }.createOrReplaceTempView("graft_lineage_edges")
       s.sql(r77Sql("SELECT id, parent FROM graft_lineage_edges"))
     },
     // SNAPSHOT DIFF — the daily CDC question ("what changed since the

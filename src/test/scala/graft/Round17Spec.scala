@@ -89,6 +89,18 @@ class Round17Spec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("x119/x109 gate sizing: ~16 bits/key, power of two, floored at 2^17, capped at 2^27") {
+    import graft.llm.Dedup.gateBits
+    assert(gateBits(0L) == (1 << 17))
+    assert(gateBits(8000L) == (1 << 17), "small eval sets keep the x61 floor")
+    // sf0.1-shaped eval population: 450k grams need >= 7.2M bits — the
+    // fixed 2^17 would be fully saturated (every probe passes)
+    assert(gateBits(450000L) == (1 << 23))
+    assert(gateBits(450000L) >= 16 * 450000)
+    assert(gateBits(Long.MaxValue / 32) == (1 << 27), "broadcast cap")
+    assert(Integer.bitCount(gateBits(123456L)) == 1, "power of two (m % 64 == 0)")
+  }
+
   test("x119: bloom gate plan probes map-side (broadcast, no corpus gram shuffle before the gate)") {
     val plan = graft.llm.Dedup.contaminationSpan(spark, dir, native = true)
       .queryExecution.executedPlan.toString
