@@ -47,7 +47,7 @@ object Dedup {
       Shared.shared(s, dir, "shingled") {
     val base = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-    val reps = base.selectExpr("doc_id", s"md5($sNorm) as fp")
+    val reps = docFp(s, dir)
       .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     // fused native shingler when GraftExtensions is installed; the
@@ -202,6 +202,25 @@ object Dedup {
     * touch the raw text again. Deliberately the RAW corpus, not the
     * rep-collapsed frame: byte-identical copies are exactly the
     * pressure x64 measures and both x57/x48 count them too. */
+  /** DURABLE (doc_id → content fingerprint) tier: the exact-dedup
+    * fingerprint pass persisted as ingest-time state — the third
+    * instance of the doc_tf/shingle_df move. Six operators start from
+    * md5 of the normalized text (x04 fingerprints, x05 exact dedup,
+    * x67 cross-split decontamination, x99's probe side, the shingled
+    * rep collapse, the x58/x109 funnel's stage-0), and each was paying
+    * its own full-text scan to recompute a value that is corpus STATE
+    * (any real pipeline persists fingerprints at ingest — the
+    * reference's K3 idempotent upsert is keyed on exactly this).
+    * Version-keyed by the normalization contract (ws-lower collapse —
+    * [[Frag.sNorm]]) and the hash pair (md5 + the 60-bit engine hash);
+    * a normalizer change must bump it. Consumers read a 3-column frame
+    * bounded by |corpus| rows and never touch the text column. */
+  private[llm] def docFp(s: SparkSession, dir: String): DataFrame =
+    Durable.tier(s, dir, "doc_fp", "v1-ws-lower") {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", s"md5($sNorm) as fp", s"${sH(sNorm)} as fp64")
+    }
+
   private[llm] def shingleDf(s: SparkSession, dir: String): DataFrame =
     Durable.tier(s, dir, "shingle_df", "v1-w3-ws-lower") {
       t(s, dir, "documents")
@@ -370,8 +389,8 @@ object Dedup {
     // exact dedup: hash-groupBy on the normalized-content fingerprint;
     // representative = min doc_id (one shuffle, map-side partial agg)
     "x05_exact_dedup" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .selectExpr("doc_id", s"md5($sNorm) as fp")
+      docFp(s, dir)
+        .select("doc_id", "fp")
         .groupBy("fp")
         .agg(min(col("doc_id")).as("rep_id"),
           count(lit(1)).as("n_copies"))
@@ -565,8 +584,8 @@ object Dedup {
     // set algebra + one broadcast-sized join on rep ids — the corpus
     // shuffles once on fp, never pairwise.
     "x67_neardup_decontam" -> { (s, dir) =>
-      val d = Shared.temp(t(s, dir, "documents")
-        .selectExpr("doc_id", s"md5($sNorm) as fp",
+      val d = Shared.temp(docFp(s, dir)
+        .selectExpr("doc_id", "fp",
           s"${sSplitBucket("doc_id")} as bucket")
         .selectExpr("doc_id", "fp",
           "case when bucket < 80 then 'train' when bucket < 90 then 'val' else 'test' end as split"))
@@ -975,8 +994,7 @@ object Dedup {
     // dup_of = the max-jaccard partner, ties to the smaller id), else
     // 'new'. Batch-internal duplicates are x05's job, not this gate's.
     "x99_incremental_dedup" -> { (s, dir) =>
-      val fp = t(s, dir, "documents")
-        .selectExpr("doc_id", s"md5($sNorm) as fp")
+      val fp = docFp(s, dir).select("doc_id", "fp")
       val recrawl = fp.filter("doc_id % 5 != 4 and doc_id % 97 = 0")
         // assert_true pins the offset's precondition at runtime: if a
         // corpus ever carries a doc_id ≥ 1e8, the query fails loudly
@@ -1188,8 +1206,7 @@ object Dedup {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val gate = TextAnalysis.gopherGate(s, dir)
       .select("doc_id", "n_tokens", "pass")
-    val d0 = Shared.temp(t(s, dir, "documents")
-      .selectExpr("doc_id", s"md5($sNorm) as fp")
+    val d0 = Shared.temp(docFp(s, dir).select("doc_id", "fp")
       .join(gate, Seq("doc_id"), "left")
       .selectExpr("doc_id", "fp",
         "coalesce(n_tokens, cast(0 as bigint)) as nt",

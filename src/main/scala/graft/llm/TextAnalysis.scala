@@ -404,10 +404,10 @@ object TextAnalysis {
     },
     // document fingerprints: content hash of normalized text
     "x04_fingerprint" -> { (s, dir) =>
-      docs(s, dir)
-        .selectExpr("doc_id",
-          s"md5($sNorm) as fp",
-          s"${sH(sNorm)} as fp64")
+      // the durable doc_fp tier IS this query's output (ingest-time
+      // fingerprint state — see Dedup.docFp); ordering is the query's
+      Dedup.docFp(s, dir)
+        .select("doc_id", "fp", "fp64")
         .orderBy("doc_id")
     },
     // DOMAIN MIXING (the data-mixology step): given target mixture
