@@ -25,7 +25,13 @@ import org.apache.spark.sql.functions._
 object ExactRank {
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
     val s = df.sparkSession
-    val base = Shared.temp(df
+    // RangePartitioner SAMPLES its child in a separate job before the
+    // shuffle reads it again — an expensive input (e.g. x73's corpus
+    // tokenize + quality score) would be computed twice per action.
+    // Materialize the (narrow: id + sort cols) input once; sampling
+    // and shuffle both read the cached copy.
+    val pre = Shared.temp(df)
+    val base = Shared.temp(pre
       .repartitionByRange(s.sparkContext.defaultParallelism, sortCols: _*)
       .withColumn("__pid", spark_partition_id()))
     val c = base.groupBy("__pid").agg(count(lit(1)).as("__c"))
@@ -65,8 +71,9 @@ object ExactRank {
   def withGlobalCumsum(df: DataFrame, sortCols: Seq[Column],
       valueCol: Column): DataFrame = {
     val s = df.sparkSession
-    val base = Shared.temp(df
-      .withColumn("__v", valueCol.cast("bigint"))
+    // same sampling-pass materialization as withGlobalRank
+    val pre = Shared.temp(df.withColumn("__v", valueCol.cast("bigint")))
+    val base = Shared.temp(pre
       .repartitionByRange(s.sparkContext.defaultParallelism, sortCols: _*)
       .withColumn("__pid", spark_partition_id()))
     val c = base.groupBy("__pid")
