@@ -103,24 +103,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.files.minPartitionNum", cpus)
+    // engine confs (extensions, codegen cache) come from EngineSession —
+    // the bench sets nothing the production entry point doesn't
+    val spark = EngineSession.local("graft-bench", cpus)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_AQE", "true"))
-      // The JVM-local Janino compile cache defaults to 100 entries; a
-      // 223-query suite holds ~1000 distinct codegen fragments, so at
-      // the default every pass recompiles every query (measured: r-block
-      // subset 26.4 s -> 21.6 s with the cache sized to the suite).
-      // This caches COMPILED CLASSES keyed on generated source text —
-      // JIT warmth, not results; a long-running cluster app with a wide
-      // query surface sets exactly this.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JVM/codegen paths: run every query shape once at the tiny

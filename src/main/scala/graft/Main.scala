@@ -43,11 +43,8 @@ object Main {
     def req(k: String): String = opts.getOrElse(k,
       { System.err.println(s"missing --$k"); usage(); sys.exit(2) })
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName(s"graft-$cmd")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    val spark = EngineSession.builder(s"graft-$cmd",
+        sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

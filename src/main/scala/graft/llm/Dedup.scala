@@ -33,6 +33,12 @@ object Dedup {
 
   private val Seeds = 16
 
+  /** x29's exact Levenshtein as a banded kernel (see [[EditDistance]]);
+    * null-safe like the built-in expression (null in → null out). */
+  private val levBandedUdf = udf((a: String, b: String) =>
+    if (a == null || b == null) null.asInstanceOf[java.lang.Integer]
+    else java.lang.Integer.valueOf(EditDistance.exact(a, b)))
+
   /** doc_id + distinct 3-gram shingle set (the base for minhash/jaccard),
     * over exact-dup REPRESENTATIVES only: byte-identical documents are
     * collapsed first (min doc_id per content fingerprint). Identical
@@ -487,17 +493,30 @@ object Dedup {
     // for survivors only — the verify-after-candidates discipline that
     // keeps fuzzy dedup linear.
     "x29_edit_distance" -> { (s, dir) =>
-      val pairs = simhashPairs(s, dir).select("doc_a", "doc_b")
-      val norm = t(s, dir, "documents").selectExpr("doc_id", s"$sNorm as nt")
-      // the O(len²) levenshtein runs ONCE per pair: the persist boundary
-      // stops CollapseProject from inlining the alias into both
-      // consumers and evaluating the DP twice. The persisted frame is
-      // candidate-pair-sized (LSH survivors), not corpus-sized.
+      val pairs = Shared.temp(simhashPairs(s, dir).select("doc_a", "doc_b"))
+      // normalize ONLY pair members (guide §8: the decision set is
+      // pair-graph-sized): the old shape evaluated the whitespace-lower
+      // normalization over the FULL corpus twice — once per join side —
+      // to feed a candidate set thousands of times smaller
+      val ids = pairs.selectExpr("explode(array(doc_a, doc_b)) as doc_id")
+        .distinct()
+      val norm = Shared.temp(t(s, dir, "documents")
+        .join(broadcast(ids), "doc_id")
+        .selectExpr("doc_id", s"$sNorm as nt"))
+      // the DP runs ONCE per pair: the persist boundary stops
+      // CollapseProject from inlining the alias into both consumers and
+      // evaluating it twice. The persisted frame is candidate-pair-sized
+      // (LSH survivors), not corpus-sized. The distance itself is the
+      // banded exact kernel (EditDistance: prefix/suffix strip + Ukkonen
+      // band doubling — O(d·len) on the near-identical candidates
+      // instead of the built-in's full O(len²) table; value-identical,
+      // property-pinned against the built-in by EditDistanceSpec).
       val lev = Shared.temp(pairs
         .join(norm.select(col("doc_id").as("doc_a"), col("nt").as("ta")), "doc_a")
         .join(norm.select(col("doc_id").as("doc_b"), col("nt").as("tb")), "doc_b")
-        .selectExpr("doc_a", "doc_b", "length(ta) as la", "length(tb) as lb",
-          "levenshtein(ta, tb) as lev"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("length(ta)").as("la"), expr("length(tb)").as("lb"),
+          levBandedUdf(col("ta"), col("tb")).as("lev")))
       lev.selectExpr("doc_a", "doc_b",
           "cast(lev as bigint) as edit_dist",
           sRound6("1.0d - cast(lev as double) / cast(greatest(la, lb, 1) as double)") + " as edit_sim")
@@ -762,17 +781,19 @@ object Dedup {
       val bench = Shared.temp(grams.filter("bucket >= 90")
         .selectExpr("explode(gs) as g").distinct())
       // the contamination probe only decides membership for docs that
-      // can survive the preceding bench anti-join (bucket < 90), and
-      // the corpus-side gram stream is bloom-gated MAP-SIDE before the
-      // string-keyed exchange (guide §3.2; the x119 pattern) — the
-      // exact join below confirms, so the gate is results-invisible
+      // can survive the preceding bench anti-join (bucket < 90). When
+      // the distinct bench-gram set fits the broadcast bound, the exact
+      // join broadcasts it — the corpus-side gram stream never shuffles
+      // on the gram string (x119's shape). A genuinely large held-out
+      // split falls back to the map-side bloom gate + shuffle join
+      // (guide §3.2); the exact join confirms either way.
+      val nEval = bench.count()
+      val fits = nEval <= GateBroadcastKeys
       val trainEx = grams.filter("bucket < 90")
         .selectExpr("doc_id", "explode(gs) as g")
       val gated =
-        if (s.catalog.functionExists("bloom_bits")) {
-          val m = gateBits(grams.filter("bucket >= 90")
-            .selectExpr("coalesce(sum(size(gs)), cast(0 as bigint)) as n")
-            .head.getLong(0))
+        if (!fits && s.catalog.functionExists("bloom_bits")) {
+          val m = gateBits(nEval)
           val bloom = bench.selectExpr(s"${sH("g")} as h")
             .agg(expr(s"bloom_bits(h, $m, $BloomK)").as("bloom"))
           trainEx.crossJoin(broadcast(bloom))
@@ -780,7 +801,8 @@ object Dedup {
             .select("doc_id", "g")
         } else trainEx
       val contaminated = gated
-        .join(bench, "g").select("doc_id").distinct()
+        .join(if (fits) broadcast(bench) else bench, "g")
+        .select("doc_id").distinct()
       s3
         .join(grams.filter("bucket >= 90").select("doc_id"),
           Seq("doc_id"), "left_anti")
@@ -1051,13 +1073,13 @@ object Dedup {
     // of it is eval-overlapped" (the dirty-document methodology of the
     // GPT-3 appendix-C / PaLM contamination analyses: merge the matched
     // 8-gram spans [i, i+7] into maximal covered runs, measure the
-    // covered-token fraction). Scale shape: positional train grams are
-    // gated MAP-SIDE by the x61 broadcast Bloom (16 KB, zero shuffle)
-    // BEFORE the exact semi-join, so only bloom-admitted positions —
-    // contamination-sized, not corpus-sized — ever shuffle on the gram
-    // key; the Bloom's false positives are then removed by the exact
-    // join, making the result bit-identical with or without the
-    // extension (the DuckDB oracle runs the plain semi-join). The span
+    // covered-token fraction). Scale shape: when the distinct eval-gram
+    // set fits the broadcast bound, the exact semi-join BROADCASTS it,
+    // so the positional train stream never shuffles on the gram key at
+    // all; a genuinely large held-out split falls back to the map-side
+    // Bloom gate + shuffle join, whose false positives the exact join
+    // removes — bit-identical either way (the DuckDB oracle runs the
+    // plain semi-join). The span
     // merge is gaps-and-islands per document (window partitioned by
     // doc_id — never a global sort); output is one row per contaminated
     // train doc, bounded by the contamination, not the corpus.
@@ -1082,20 +1104,39 @@ object Dedup {
     * exchange the gate exists to protect). */
   private[graft] def gateBits(nKeys: Long): Int = {
     var m = BloomM.toLong
-    while (m < 16L * math.max(1L, nKeys) && m < (1L << 27)) m <<= 1
+    // overflow-safe form of `m < 16 * nKeys` (m is a power of two ≥ 2^17)
+    while (m / 16 < nKeys && m < (1L << 27)) m <<= 1
     m.toInt
   }
 
+  /** Max distinct eval-gram keys the contamination scans will BROADCAST
+    * for the exact semi-join (x119/x109). Below this the join is a
+    * broadcast hash semi-join — the corpus-side positional gram stream
+    * never shuffles on the gram string at all, which beats any bloom
+    * gate (the gate only *thinned* that exchange; the broadcast removes
+    * it). Above it (a genuinely large held-out split) the map-side
+    * bloom gate + shuffle join path stands. ~2M grams ≈ low hundreds of
+    * MB of broadcast hash relation — sized for the bench's 8 GB driver;
+    * env-tunable for bigger drivers. */
+  private[graft] val GateBroadcastKeys: Long =
+    sys.env.get("GRAFT_GATE_BROADCAST_KEYS").map(_.toLong).getOrElse(1L << 21)
+
   private[graft] def contaminationSpan(
-      s: SparkSession, dir: String, native: Boolean): DataFrame = {
+      s: SparkSession, dir: String, native: Boolean,
+      broadcastKeys: Long = GateBroadcastKeys): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = BloomK
-    // cached: read twice (bloom build, confirm join)
+    // cached: read twice (sizing action, confirm join / bloom build)
     val evalG = Shared.temp(splitGrams(s, dir).filter("bucket >= 90")
       .selectExpr("explode(gs) as g").distinct())
+    // exact distinct-gram count off the cached frame — replaces the old
+    // positional upper bound, which overestimated by the copy factor on
+    // duplicated corpora (and wrongly forced the shuffle path at 100×)
+    val nEval = evalG.count()
+    val fits = nEval <= broadcastKeys
     val trainPos = t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
       .filter(expr(s"${sSplitBucket("doc_id")} < 80"))
+      .repartition(s.sparkContext.defaultParallelism)
       .selectExpr("doc_id", s"$sTokens as tk")
       .selectExpr("doc_id", "cast(size(tk) as bigint) as n_tokens",
         """posexplode(case when size(tk) >= 8
@@ -1103,20 +1144,21 @@ object Dedup {
           |    i -> concat_ws(' ', slice(tk, i, 8)))
           |  else cast(array() as array<string>) end) as (p0, g)""".stripMargin)
     val gated =
-      if (native) {
-        // gate sizing from the POSITIONAL upper bound — a map-side sum
-        // over the cached split_grams frame (no distinct exchange just
-        // to count); overestimating n only grows m toward the cap
-        val m = gateBits(splitGrams(s, dir).filter("bucket >= 90")
-          .selectExpr("coalesce(sum(size(gs)), cast(0 as bigint)) as n")
-          .head.getLong(0))
+      if (native && !fits) {
+        // large eval split: the exact join must shuffle, so thin the
+        // corpus-side stream map-side first (guide §3.2)
+        val m = gateBits(nEval)
         val bloom = evalG.selectExpr(s"${sH("g")} as h")
           .agg(expr(s"bloom_bits(h, $m, $k)").as("bloom"))
         trainPos.crossJoin(broadcast(bloom))
           .filter(expr(s"bloom_might_contain(bloom, ${sH("g")}, $k)"))
           .select("doc_id", "n_tokens", "p0", "g")
       } else trainPos
-    val matched = gated.join(evalG, Seq("g"), "left_semi")
+    // eval set fits ⇒ broadcast the exact semi-join (same equality
+    // predicate, zero corpus-side exchange — strictly dominates the
+    // bloom gate, which only thinned the exchange this removes)
+    val evalSide = if (fits) broadcast(evalG) else evalG
+    val matched = gated.join(evalSide, Seq("g"), "left_semi")
       .selectExpr("doc_id", "n_tokens", "p0 + 1 as i")
     val w = Window.partitionBy("doc_id").orderBy("i")
     matched

@@ -395,15 +395,26 @@ object Multimodal {
     // plan is unchanged.
     "x55_media_neardup" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
-      val base = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .filter("length(text) > 0")
-      val reps = base.selectExpr("doc_id", "md5(text) as pfp")
-        .groupBy("pfp").agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val tiles = graft.queries.Shared.temp(base.join(reps, "doc_id")
-        .selectExpr("doc_id",
-          "explode(array_distinct(transform(sequence(0, cast(ceil(length(text) / 32.0d) as int) - 1), i -> md5(substring(text, i * 32 + 1, 32))))) as tfp"))
+      // ONE corpus pass (was three: a reps-derivation scan, a base scan,
+      // and a full-text round-robin of each): the rep collapse and the
+      // rep's text travel in the same md5(text)-keyed aggregation —
+      // min_by(text, doc_id) is exactly the representative's own text
+      // (identical to the old base⋈reps join, md5-collision behavior
+      // included, since the group key stays md5). The map-side partial
+      // agg collapses byte-identical copies before the exchange, so on
+      // duplicated corpora only ~one copy of each distinct content ever
+      // ships; the repartition then spreads the surviving reps' text for
+      // parallel tile hashing (the single-file test corpus scans at
+      // row-group parallelism). NOTE: raw-text md5, NOT the normalized
+      // doc_fp tier — x55's oracle groups on md5(text).
+      val tiles = graft.queries.Shared.temp(
+        t(s, dir, "documents").filter("length(text) > 0")
+          .groupBy(expr("md5(text)").as("pfp"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            expr("min_by(text, doc_id)").as("text"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr("doc_id",
+            "explode(array_distinct(transform(sequence(0, cast(ceil(length(text) / 32.0d) as int) - 1), i -> md5(substring(text, i * 32 + 1, 32))))) as tfp"))
       // candidate recall from rare tiles; exact-intersection verify over
       // the FULL tile sets on candidates only (the x10 discipline)
       val pairs = tiles.groupBy("tfp")

@@ -399,7 +399,17 @@ object DocViews {
         .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_r85_${dirTag}_${ProcessHandle.current().pid()}").toString
-      landing(s, dir).write.mode("overwrite").parquet(path)
+      // the landing STORE is ingest-time state (the r68 bucketedStore
+      // rule): write it once per (session, dir); what r85 demonstrates —
+      // and what every invocation still pays — is the persistent SQL
+      // catalog DDL and the read back through those views
+      val k = (s, dir)
+      if (!r85Built.contains(k)) r85Built.synchronized {
+        if (!r85Built.contains(k)) {
+          landing(s, dir).write.mode("overwrite").parquet(path)
+          r85Built.add(k)
+        }
+      }
       Views.registerAllPersistent(s, path, docSchema, db = "graft_r85")
       s.table("graft_r85.DOC").orderBy("DOCUMENT_ID")
     },
@@ -523,7 +533,10 @@ object DocViews {
     // r69 fold plus this join.
     "r79_snapshot_diff" -> { (s, dir) =>
       val store = Shared.shared(s, dir, "cdc_landing") { cdcLanding(s, dir) }
-      val prev = Views.latest(store.filter(s"batch_date = $ts1"))
+      // prev feeds BOTH the diff's left side and the incremental fold —
+      // uncached it is planned (and its windows executed) twice per run
+      val prev = Shared.temp(
+        Views.latest(store.filter(s"batch_date = $ts1")))
       val cur = Views.latestIncremental(prev,
         store.filter(s"batch_date = $ts2"))
       Views.changes(prev, cur)
@@ -648,6 +661,12 @@ object DocViews {
     * drop + clean + TWO appends, exercising the append path, and runs
     * during the bench's untimed prewarm pass. */
   private val storeBuilt =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]())
+
+  /** r85's landing-store parquet, written once per (session, dir) —
+    * same ingest-time-state rule as [[storeBuilt]]. */
+  private val r85Built =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]())
 

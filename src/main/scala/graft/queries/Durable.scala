@@ -45,6 +45,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Durable {
 
+  /** THE TIER-ELIGIBILITY RULE (round-16 codification of the contract
+    * the round-13–15 verdicts reviewed): a durable tier must be
+    *   (1) derived per-document (or per-token/shingle/vector) corpus
+    *       STATE — never the shape of any one query's answer;
+    *   (2) query-independent — multiple operators read it, none owns it;
+    *   (3) version-keyed by its builder contract (normalizer, shingle
+    *       width, seed count, K…) so a parameter change rebuilds;
+    *   (4) corpus-fingerprint invalidated (fail-closed, [[fingerprint]]).
+    * A query-shaped aggregate (a cached rank, a memoized result) must
+    * NEVER become a tier. Enforced: every install goes through this
+    * allowlist, and DurableTiersSpec fails on an undeclared key. */
+  val allowedKeys: Set[String] = Set(
+    "doc_fp", "doc_tf", "shingle_df", "winnow_fps", // per-doc text state
+    "minhash_ms", "simhashed", "lsh_bands", "fp_store", // dedup signatures
+    "centroids", "ivf_top2", "pqCodebook", "pq_codes", // vector routing
+    "exact_topk", "quantizer_margin", // serving-index calibration state
+    "nnd_edges", "nnd_l1", "nnd_ud", "nnd_l1_ud", // standing ANN graph
+    "nnd_edges_compacted", "tombstones") // compaction output + delete-set
+
+  private def checkKey(key: String): Unit =
+    require(allowedKeys.contains(key),
+      s"undeclared durable tier '$key': add it to Durable.allowedKeys ONLY " +
+        "if it is per-document corpus state, query-independent, " +
+        "version-keyed and fingerprint-invalidated (see the rule above)")
+
   /** Per-key load outcome counters, for specs and ops visibility:
     * key → (diskHits, builds). */
   val stats = new ConcurrentHashMap[String, (Long, Long)]()
@@ -104,12 +129,14 @@ object Durable {
     * to the root otherwise. With no root configured this IS
     * `Shared.shared(s, dir, key)(build)`. */
   def tier(s: SparkSession, dir: String, key: String, version: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    checkKey(key)
     root(s) match {
       case None => Shared.shared(s, dir, key)(build)
       case Some(r) =>
         Shared.shared(s, dir, key) { loadOrBuild(s, r, dir, key, version)(build) }
     }
+  }
 
   private def loadOrBuild(s: SparkSession, rootDir: String, dir: String,
       key: String, version: String)(build: => DataFrame): DataFrame = {
@@ -151,7 +178,8 @@ object Durable {
     * per bucket — see Tables.bucketed's sizing note). */
   def bucketedTier(s: SparkSession, dir: String, key: String,
       version: String, bucketCol: String, nBuckets: Int = 32)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    checkKey(key)
     Shared.shared(s, dir, key) {
       val fp = fingerprint(s, dir)
       val tag = md5(new File(dir).getAbsolutePath + "|" + version).take(8)
@@ -193,6 +221,7 @@ object Durable {
       }
       s.table(table)
     }
+  }
   private val bucketedTierLock = new Object
 
   /** Load tier (dir, key, version) ONLY if present and fingerprint-
@@ -250,6 +279,7 @@ object Durable {
     * path. */
   def install(s: SparkSession, rootDir: String, dir: String, key: String,
       version: String, df: DataFrame): String = {
+    checkKey(key)
     val td = tierDir(rootDir, dir, key, version)
     write(s, df, td, fingerprint(s, dir))
     // a session that already memoized the old tier must see the new one

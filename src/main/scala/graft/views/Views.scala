@@ -51,10 +51,22 @@ object Views {
     * the exchange from R1 (both windows shuffle on type,id-prefixed
     * keys). */
   def latest(landing: DataFrame): DataFrame = {
-    val w = Window.partitionBy("type", "id")
-    latestAllVersions(landing)
-      .withColumn("__maxv", max(col("version")).over(w))
+    // One exchange, not two: the R2 argmax (max version per (type,id))
+    // runs FIRST, so R1's (type,id,version) window and the PK-restoring
+    // dedup both reuse the hash(type,id) partitioning (subset rule —
+    // HashPartitioning(t,i) clusters every (t,i,v) and every PK group).
+    // Value-identical to R1-then-R2: R1 keeps ≥1 row of every landed
+    // version (it only drops stale replays WITHIN a version), so the max
+    // version per (type,id) is the same computed before or after R1, and
+    // same-PK rows are identical replay copies, so dedup order is moot.
+    val wTI = Window.partitionBy("type", "id")
+    val wTIV = Window.partitionBy("type", "id", "version")
+    landing
+      .withColumn("__maxv", max(col("version")).over(wTI))
       .filter(col("version") === col("__maxv")).drop("__maxv")
+      .withColumn("__maxb", max(col("batch_date")).over(wTIV))
+      .filter(col("batch_date") === col("__maxb")).drop("__maxb")
+      .dropDuplicates("batch_date", "type", "id", "version", "chunk")
   }
 
   /** SCD2 `_HISTORY` view: every surviving version of every document
@@ -574,12 +586,25 @@ object Views {
        |  WHERE batch_date = __maxb)
        |WHERE __rn = 1""".stripMargin
 
-  /** R2 as SQL over the R1 view. */
-  private[views] def latestSql(lavRef: String): String =
+  /** `_LATEST` as ONE self-contained text over the landing path — the
+    * SQL twin of [[latest]]'s fused shape (R2 argmax first, so the R1
+    * window and the PK row_number reuse the hash(type,id) exchange;
+    * value-identical, see [[latest]]). The previous composed form (an R2
+    * window view over the R1 view) paid two exchanges because R1's
+    * (type,id,version) partitioning cannot serve R2's (type,id). */
+  private[views] def latestFusedSql(landingRef: String): String =
     s"""SELECT ${landingCols.mkString(", ")} FROM (
-       |  SELECT *, MAX(version) OVER (PARTITION BY type, id) AS __maxv
-       |  FROM $lavRef)
-       |WHERE version = __maxv""".stripMargin
+       |  SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY batch_date, type, id, version, chunk
+       |      ORDER BY data) AS __rn
+       |  FROM (SELECT *, MAX(batch_date) OVER (
+       |          PARTITION BY type, id, version) AS __maxb
+       |        FROM (SELECT *, MAX(version) OVER (
+       |                PARTITION BY type, id) AS __maxv
+       |              FROM $landingRef)
+       |        WHERE version = __maxv)
+       |  WHERE batch_date = __maxb)
+       |WHERE __rn = 1""".stripMargin
 
   /** SCD2 history as SQL over the R1 view (same RANGE frame as
     * [[history]]). */
@@ -624,7 +649,7 @@ object Views {
     val lav = s"${prefix}_LATEST_ALL_VERSIONS"
     create(lav)(latestAllVersionsSql(landingRef))
     val latestQn = s"${qi(db)}.${qi(s"${prefix}_LATEST")}"
-    create(s"${prefix}_LATEST")(latestSql(s"${qi(db)}.${qi(lav)}"))
+    create(s"${prefix}_LATEST")(latestFusedSql(landingRef))
     create(s"${prefix}_HISTORY")(historySql(s"${qi(db)}.${qi(lav)}"))
     catalogDefs(schema).foreach { d =>
       create(d.name)(viewSql(d, schema, latestQn))

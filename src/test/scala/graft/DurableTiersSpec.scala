@@ -17,6 +17,44 @@ class DurableTiersSpec extends SparkSpec {
     d.toString
   }
 
+  test("tier-eligibility allowlist: an undeclared key is rejected at install") {
+    val s1 = spark.newSession()
+    intercept[IllegalArgumentException] {
+      Durable.tier(s1, sf001, "cached_query_rank", "v1") {
+        s1.range(1).toDF("x")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Durable.install(s1, freshRoot("bad"), sf001, "memoized_result", "v1",
+        s1.range(1).toDF("x"))
+    }
+  }
+
+  test("tier-eligibility allowlist: every tier INSTALLED under an index root " +
+      "carries a declared key (index_status audit)") {
+    val root = freshRoot("audit")
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.indexDir", root)
+    // install a representative spread: text state, dedup signatures,
+    // vector tiers (riders pull their dependencies in)
+    graft.SparkEntry.queries("x04_fingerprint")(s1, sf001).count()
+    graft.SparkEntry.queries("x64_dedup_pressure")(s1, sf001).count()
+    graft.SparkEntry.queries("x49_pq_ann")(s1, sf001).count()
+    val corpusDir = Files.list(Paths.get(root)).iterator()
+    assert(corpusDir.hasNext, "nothing installed")
+    import scala.jdk.CollectionConverters._
+    val keys = Files.list(corpusDir.next()).iterator().asScala
+      .map(_.getFileName.toString)
+      .filterNot(n => n.contains(".tmp-") || n.contains(".old-"))
+      .map(_.split("__", 2).head).toSet
+    assert(keys.nonEmpty)
+    val undeclared = keys -- Durable.allowedKeys
+    assert(undeclared.isEmpty,
+      s"tiers on disk with undeclared keys: $undeclared — a tier must be " +
+        "per-document corpus state on Durable.allowedKeys, never a " +
+        "query-shaped aggregate")
+  }
+
   test("new session loads the standing graph from the index root, bit-identical, no rebuild") {
     val root = freshRoot("nnd")
     val s1 = spark.newSession()

@@ -80,13 +80,18 @@ class Round17Spec extends SparkSpec {
       "adjacent P+Q runs merge; the far P repeat is a second island")
   }
 
-  test("x119: bloom-gated and plain paths are bit-identical (FP independence)") {
-    val native = graft.llm.Dedup.contaminationSpan(spark, dir, native = true)
-      .collect().toSeq
-    val plain = graft.llm.Dedup.contaminationSpan(spark, dir, native = false)
-      .collect().toSeq
-    assert(native == plain)
-    assert(native.nonEmpty)
+  test("x119: broadcast, bloom-gated and plain-shuffle paths are bit-identical") {
+    val broadcastPath = graft.llm.Dedup.contaminationSpan(spark, dir,
+      native = true).collect().toSeq
+    // broadcastKeys = 0 forces the large-eval fallback: bloom gate +
+    // shuffle semi-join (native) / plain shuffle semi-join (oracle shape)
+    val bloomPath = graft.llm.Dedup.contaminationSpan(spark, dir,
+      native = true, broadcastKeys = 0L).collect().toSeq
+    val plain = graft.llm.Dedup.contaminationSpan(spark, dir,
+      native = false, broadcastKeys = 0L).collect().toSeq
+    assert(broadcastPath == plain)
+    assert(bloomPath == plain)
+    assert(plain.nonEmpty)
   }
 
   test("x119/x109 gate sizing: ~16 bits/key, power of two, floored at 2^17, capped at 2^27") {
@@ -101,13 +106,24 @@ class Round17Spec extends SparkSpec {
     assert(Integer.bitCount(gateBits(123456L)) == 1, "power of two (m % 64 == 0)")
   }
 
-  test("x119: bloom gate plan probes map-side (broadcast, no corpus gram shuffle before the gate)") {
-    val plan = graft.llm.Dedup.contaminationSpan(spark, dir, native = true)
+  test("x119: fallback bloom gate plan probes map-side (broadcast, no corpus gram shuffle before the gate)") {
+    val plan = graft.llm.Dedup.contaminationSpan(spark, dir, native = true,
+        broadcastKeys = 0L)
       .queryExecution.executedPlan.toString
     assert(plan.contains("bloom_might_contain"), "codegen probe present")
     assert(plan.contains("BroadcastExchange") ||
       plan.contains("BroadcastNestedLoopJoin"),
       "the one-row bloom bitset must broadcast")
+  }
+
+  test("x119: default path broadcasts the exact semi-join — no bloom, no gram shuffle") {
+    val plan = graft.llm.Dedup.contaminationSpan(spark, dir, native = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("bloom_might_contain"),
+      "broadcast exact join supersedes the bloom gate when the eval set fits")
+    assert(plan.contains("BroadcastHashJoin LeftSemi") ||
+      plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "the eval-gram set must broadcast into the semi-join")
   }
 
   // ── x120 NN-Descent ──
