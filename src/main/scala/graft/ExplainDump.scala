@@ -18,10 +18,21 @@ object ExplainDump {
     val spark = EngineSession.local("graft-explain", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")} — " +
+        "names must be SparkEntry.queries keys")
+      sys.exit(2)
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      // steady-state: let the query install its shared tiers first
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      // steady-state: let the query install its shared tiers first.
+      // NonFatal only (ADVICE r15): an OOM/linkage error must abort the
+      // dump, not produce a plan that silently isn't the steady state.
+      try fn(spark, sfDir).count() catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[explain] prewarm of $name failed: ${e.getMessage}")
+      }
       val df = fn(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

@@ -21,6 +21,15 @@ object Scratch {
       spark.sparkContext.setJobDescription(null)
     }
 
+    // scan-floor attribution: raw text scan vs +md5 vs +group
+    (1 to 2).foreach { _ =>
+      val base = t(spark, dir, "documents").filter("length(text) > 0")
+      time("floor.scanLen")(
+        base.selectExpr("sum(length(text))").count())
+      time("floor.scanMd5")(
+        base.selectExpr("count(distinct md5(text))").count())
+    }
+
     // r47: AQE on/off over the recursion (run twice each: cold/steady)
     (1 to 2).foreach { _ =>
       time("r47.aqeOn")(SparkEntry.queries("r47_recursive_cte")(spark, dir).count())

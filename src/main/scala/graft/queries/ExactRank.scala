@@ -28,8 +28,14 @@ object ExactRank {
     // RangePartitioner SAMPLES its child in a separate job before the
     // shuffle reads it again — an expensive input (e.g. x73's corpus
     // tokenize + quality score) would be computed twice per action.
-    // Materialize the (narrow: id + sort cols) input once; sampling
-    // and shuffle both read the cached copy.
+    // Materialize the input once; sampling and shuffle both read the
+    // cached copy. CALLERS MUST PASS NARROW FRAMES (id + sort cols):
+    // Shared.temp persists whatever it gets, and both this copy and the
+    // repartitioned one below stay cached until dropTransient — a wide
+    // input would hold double its footprint for the query's lifetime
+    // (eagerly unpersisting `pre` was considered and rejected: it would
+    // either re-introduce the double-compute or cost an extra
+    // materialization action per ExactRank consumer).
     val pre = Shared.temp(df)
     val base = Shared.temp(pre
       .repartitionByRange(s.sparkContext.defaultParallelism, sortCols: _*)
