@@ -21,6 +21,52 @@ object Scratch {
       spark.sparkContext.setJobDescription(null)
     }
 
+    // x73 decomposition (forcing sums so nothing prunes; noop-style)
+    (1 to 2).foreach { _ =>
+      def q = t(spark, dir, "documents")
+        .selectExpr("doc_id", s"${graft.llm.Frag.sTokens} as tk")
+        .selectExpr("doc_id",
+          s"${graft.llm.Frag.sDistinctRatio} as dr",
+          s"${graft.llm.Frag.sLengthScore} as ls")
+        .selectExpr("doc_id", graft.llm.Frag.sRound6("dr * ls") + " as quality")
+      time("x73.qualityEval")(
+        q.agg(sum(col("quality"))).count())
+      time("x73.qualityNoop") {
+        q.write.format("noop").mode("overwrite").save(); 0L
+      }
+      time("x73.tokenizeNoop") {
+        t(spark, dir, "documents")
+          .selectExpr("doc_id", s"${graft.llm.Frag.sTokens} as tk")
+          .write.format("noop").mode("overwrite").save(); 0L
+      }
+      val pre = graft.queries.Shared.temp(q)
+      time("x73.preCacheBuild")(pre.agg(sum(col("quality"))).count())
+      time("x73.rangeRepart")(
+        pre.repartitionByRange(32, col("quality"), col("doc_id"))
+          .agg(sum(col("quality"))).count())
+      graft.queries.Shared.dropTransient()
+      def qLet = t(spark, dir, "documents")
+        .selectExpr("doc_id", graft.llm.Frag.sRound6(
+          graft.llm.Frag.sLet(graft.llm.Frag.sTokens, "tk",
+            s"(${graft.llm.Frag.sDistinctRatio}) * (${graft.llm.Frag.sLengthScore})")) + " as quality")
+      val preLet = graft.queries.Shared.temp(qLet)
+      time("x73.preCacheBuildLet")(preLet.agg(sum(col("quality"))).count())
+      graft.queries.Shared.dropTransient()
+      val preTriv = graft.queries.Shared.temp(
+        t(spark, dir, "documents")
+          .selectExpr("doc_id", "cast(length(text) as double) as quality"))
+      time("x73.preCacheTrivial")(preTriv.agg(sum(col("quality"))).count())
+      graft.queries.Shared.dropTransient()
+      val preRp = graft.queries.Shared.temp(q
+        .repartition(spark.sparkContext.defaultParallelism))
+      time("x73.preCacheRepart")(preRp.agg(sum(col("quality"))).count())
+      graft.queries.Shared.dropTransient()
+      val ranked = graft.queries.ExactRank.withGlobalRank(q,
+          Seq(col("quality"), col("doc_id")))
+      time("x73.rankedForce")(ranked.agg(sum(col("rank"))).count())
+      graft.queries.Shared.dropTransient()
+    }
+
     // scan-floor attribution: raw text scan vs +md5 vs +group
     (1 to 2).foreach { _ =>
       val base = t(spark, dir, "documents").filter("length(text) > 0")

@@ -686,11 +686,13 @@ object Dedup {
     // (quality is a narrow map; canonical mapping is x32's); output is
     // 10 rows. Integer counts into exact divisions.
     "x73_quality_dup_curve" -> { (s, dir) =>
-      val q = t(s, dir, "documents")
-        .selectExpr("doc_id", s"$sTokens as tk")
+      // quality from the doc_stats tier (same integers, same divisions
+      // — bit-identical; measured: the per-run corpus re-tokenize was
+      // ~7 s of this cell's 8.4 s at 100×)
+      val q = TextAnalysis.docStats(s, dir)
         .selectExpr("doc_id",
-          s"$sDistinctRatio as dr",
-          s"$sLengthScore as ls")
+          s"${TextAnalysis.sStatsDr} as dr",
+          s"${TextAnalysis.sStatsLs} as ls")
         .selectExpr("doc_id", sRound6("dr * ls") + " as quality")
       val ranked = graft.queries.ExactRank.withGlobalRank(q,
           Seq(col("quality"), col("doc_id")))

@@ -54,6 +54,52 @@ object TextAnalysis {
           .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     }
 
+  /** DURABLE per-document token statistics — (doc_id, source,
+    * n_chars_raw, n_tokens, n_distinct) with the '' tokens of the
+    * split contract INCLUDED (unlike doc_tf, which drops them — the
+    * empty-token row is part of the quality score's defined algebra,
+    * the exactness hazard that kept x73 off doc_tf in rounds 14–15).
+    * The quality stack (x03 score, x59 gate, x69 budget, x73 curve,
+    * x75 cap, x81 curriculum) derives distinct-ratio, length-score and
+    * quality in closed form from these integers — identical doubles,
+    * same operands — so six operators stop re-tokenizing the corpus
+    * per run. Fourth instance of the doc_tf/shingle_df/doc_fp move;
+    * tier-eligible by the SCALE.md rule (per-document, six consumers,
+    * version-keyed by the tokenizer contract, fingerprint-invalidated).
+    * Built from the fused tokenize_tf map when installed (size(m) IS
+    * the distinct count, sum(values) the token count — no token array
+    * ever materializes); composable twin otherwise (kernel equality is
+    * oracle- and TokenizeTfSpec-pinned). */
+  private[llm] def docStats(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Durable.tier(s, dir, "doc_stats", "v1-ws-lower") {
+      if (s.catalog.functionExists("tokenize_tf"))
+        docs(s, dir)
+          .selectExpr("doc_id", "source",
+            "cast(length(text) as bigint) as n_chars_raw",
+            "tokenize_tf(text) as m")
+          .selectExpr("doc_id", "source", "n_chars_raw",
+            "aggregate(map_values(m), cast(0 as bigint), (acc, x) -> acc + x) as n_tokens",
+            "cast(size(m) as bigint) as n_distinct")
+      else
+        docs(s, dir)
+          .selectExpr("doc_id", "source",
+            "cast(length(text) as bigint) as n_chars_raw",
+            s"$sTokens as tk")
+          .selectExpr("doc_id", "source", "n_chars_raw",
+            "cast(size(tk) as bigint) as n_tokens",
+            "cast(size(array_distinct(tk)) as bigint) as n_distinct")
+    }
+
+  /** The x03 quality algebra over [[docStats]]' integers — one shared
+    * definition so every consumer divides the same operands: dr and ls
+    * here are bit-identical to Frag.sDistinctRatio/sLengthScore over
+    * the token array (same integer counts, same single divisions). */
+  private[llm] val sStatsDr =
+    "case when n_tokens = 0 then cast(0 as double) " +
+      "else cast(n_distinct as double) / cast(n_tokens as double) end"
+  private[llm] val sStatsLs =
+    "least(cast(1 as double), cast(n_tokens as double) / cast(50 as double))"
+
   /** Per-source document counts — the mixture-planning base x31 and x41
     * both start from (shared tier: one cached copy, no plan-identical
     * re-persist). */
@@ -271,14 +317,13 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
     // quality scoring: length/diversity ratios → filterable score
+    // (reads the doc_stats tier — same integer counts, same divisions,
+    // bit-identical doubles; the corpus text is never re-tokenized)
     "x03_quality_score" -> { (s, dir) =>
-      docs(s, dir)
-        .selectExpr("doc_id", "cast(length(text) as bigint) as n_chars_raw",
-          s"$sTokens as tk")
-        .selectExpr("doc_id", "n_chars_raw",
-          "cast(size(tk) as bigint) as n_tokens",
-          s"$sDistinctRatio as distinct_ratio",
-          s"$sLengthScore as length_score")
+      docStats(s, dir)
+        .selectExpr("doc_id", "n_chars_raw", "n_tokens",
+          s"$sStatsDr as distinct_ratio",
+          s"$sStatsLs as length_score")
         .selectExpr("doc_id", "n_chars_raw", "n_tokens",
           sRound6("distinct_ratio") + " as distinct_ratio",
           sRound6("length_score") + " as length_score",
@@ -1099,11 +1144,10 @@ object TextAnalysis {
     // crawl with a heavy-tailed domain distribution. The only float
     // op after ranking is one division on identical operands.
     "x75_source_cap" -> { (s, dir) =>
-      val d = docs(s, dir)
-        .selectExpr("doc_id", "source", s"$sTokens as tk")
+      val d = docStats(s, dir)
         .selectExpr("doc_id", "source",
-          s"$sDistinctRatio as dr",
-          s"$sLengthScore as ls")
+          s"$sStatsDr as dr",
+          s"$sStatsLs as ls")
         .selectExpr("doc_id", "source",
           // micro-units via DECIMAL(16,6) × 10⁶: exact on both engines
           // (double→bigint cast semantics differ: Spark truncates,
@@ -1126,11 +1170,10 @@ object TextAnalysis {
     // is the first 100 positions (the curriculum's head is what you
     // inspect; the full ordering exists without materializing).
     "x81_curriculum_order" -> { (s, dir) =>
-      val d = docs(s, dir)
-        .selectExpr("doc_id", "source", s"$sTokens as tk")
+      val d = docStats(s, dir)
         .selectExpr("doc_id", "source",
-          s"$sDistinctRatio as dr",
-          s"$sLengthScore as ls")
+          s"$sStatsDr as dr",
+          s"$sStatsLs as ls")
         .selectExpr("doc_id", "source",
           "cast(cast(dr * ls as decimal(16,6)) * 1000000 as bigint) as qm")
       val w = org.apache.spark.sql.expressions.Window
@@ -1253,11 +1296,10 @@ object TextAnalysis {
     // threshold frame is #sources rows — always broadcastable.
     "x59_source_quality_gate" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
-      val q = graft.queries.Shared.temp(docs(s, dir)
-        .selectExpr("doc_id", "source", s"$sTokens as tk")
+      val q = graft.queries.Shared.temp(docStats(s, dir)
         .selectExpr("doc_id", "source",
-          s"$sDistinctRatio as dr",
-          s"$sLengthScore as ls")
+          s"$sStatsDr as dr",
+          s"$sStatsLs as ls")
         .selectExpr("doc_id", "source", sRound6("dr * ls") + " as quality"))
       val thr = q
         .withColumn("rn", row_number().over(
@@ -1287,11 +1329,10 @@ object TextAnalysis {
     // arithmetic off the grand total the scan already produced ⇒ the
     // kept set is engine-exact.
     "x69_token_budget" -> { (s, dir) =>
-      val q = docs(s, dir)
-        .selectExpr("doc_id", s"$sTokens as tk")
-        .selectExpr("doc_id", "cast(size(tk) as bigint) as n_tokens",
-          s"$sDistinctRatio as dr",
-          s"$sLengthScore as ls")
+      val q = docStats(s, dir)
+        .selectExpr("doc_id", "n_tokens",
+          s"$sStatsDr as dr",
+          s"$sStatsLs as ls")
         .selectExpr("doc_id", "n_tokens", sRound6("dr * ls") + " as quality")
       graft.queries.ExactRank.withGlobalCumsum(q,
           Seq(col("quality").desc, col("doc_id")), col("n_tokens"))

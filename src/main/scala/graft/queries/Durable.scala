@@ -57,7 +57,7 @@ object Durable {
     * NEVER become a tier. Enforced: every install goes through this
     * allowlist, and DurableTiersSpec fails on an undeclared key. */
   val allowedKeys: Set[String] = Set(
-    "doc_fp", "doc_tf", "shingle_df", "winnow_fps", // per-doc text state
+    "doc_fp", "doc_tf", "doc_stats", "shingle_df", "winnow_fps", // per-doc text state
     "minhash_ms", "simhashed", "lsh_bands", "fp_store", // dedup signatures
     "centroids", "ivf_top2", "pqCodebook", "pq_codes", // vector routing
     "exact_topk", "quantizer_margin", // serving-index calibration state

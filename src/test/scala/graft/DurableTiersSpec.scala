@@ -191,6 +191,34 @@ class DurableTiersSpec extends SparkSpec {
       s"second session must LOAD doc_fp, never rebuild: $m1")
   }
 
+  test("doc_stats is a durable tier: a fresh session serves the quality riders from disk, bit-identical") {
+    val root = freshRoot("dst")
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.indexDir", root)
+    Durable.stats.clear()
+    val riders = Seq("x03_quality_score", "x75_source_cap",
+      "x59_source_quality_gate")
+    val built = riders.map(q =>
+      q -> SparkEntry.queries(q)(s1, sf001).collect().map(_.toString).sorted).toMap
+    val m0 = Durable.stats.get("doc_stats")
+    assert(m0 != null && m0._2 >= 1, s"first session must BUILD doc_stats: $m0")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.indexDir", root)
+    Durable.stats.clear()
+    riders.foreach { q =>
+      val loaded = SparkEntry.queries(q)(s2, sf001)
+        .collect().map(_.toString).sorted
+      assert(loaded.sameElements(built(q)),
+        s"$q over the durable doc_stats tier is not bit-identical")
+      val base = SparkEntry.queries(q)(spark, sf001)
+        .collect().map(_.toString).sorted
+      assert(base.sameElements(built(q)), s"$q drifted without a root")
+    }
+    val m1 = Durable.stats.get("doc_stats")
+    assert(m1 != null && m1._1 >= 1 && m1._2 == 0,
+      s"second session must LOAD doc_stats, never rebuild: $m1")
+  }
+
   test("corpus rewrite invalidates the fingerprint and forces a rebuild") {
     val root = freshRoot("fp")
     val corpus = Files.createTempDirectory("graft_corpus").toString
